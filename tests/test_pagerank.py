@@ -1,0 +1,100 @@
+"""PageRank vs numpy dense power iteration and networkx (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from webgraph_spark.algos.pagerank import pagerank
+from webgraph_spark.datagen.graphs import (
+    complete_graph,
+    directed_cycle,
+    erdos_renyi,
+    erdos_renyi_numpy,
+    star,
+)
+from .oracles import pagerank_numpy, pagerank_numpy_fixed
+
+
+def _ranks_array(result, n: int) -> np.ndarray:
+    pdf = result.ranks.toPandas().sort_values("node")
+    out = np.zeros(n)
+    out[pdf["node"].to_numpy()] = pdf["rank"].to_numpy()
+    return out
+
+
+def test_clique_uniform(spark):
+    n = 6
+    res = pagerank(complete_graph(spark, n), tol=1e-9)
+    assert res.converged
+    np.testing.assert_allclose(_ranks_array(res, n), np.full(n, 1.0 / n), atol=1e-8)
+
+
+def test_cycle_uniform(spark):
+    n = 10
+    res = pagerank(directed_cycle(spark, n))
+    np.testing.assert_allclose(_ranks_array(res, n), np.full(n, 1.0 / n), atol=1e-6)
+
+
+def test_star_dangling(spark):
+    """Hub -> leaves: leaves are dangling; exercises dangling mass."""
+    k = 10
+    edges = star(spark, k, out=True)
+    res = pagerank(edges, tol=1e-9, max_iter=300)
+    adj = np.zeros((k + 1, k + 1), dtype=bool)
+    adj[0, 1:] = True
+    want = pagerank_numpy(adj, tol=1e-9)
+    np.testing.assert_allclose(_ranks_array(res, k + 1), want, atol=1e-6)
+
+
+@pytest.mark.parametrize("n,p,seed", [(30, 0.1, 1), (60, 0.05, 2), (100, 0.05, 3)])
+def test_erdos_renyi_vs_numpy(spark, n, p, seed):
+    edges = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    res = pagerank(edges, tol=1e-8, max_iter=300)
+    assert res.converged
+    want = pagerank_numpy(adj, tol=1e-8, max_iter=300)
+    got = _ranks_array(res, n)
+    # isolated nodes (no arcs at all) don't appear in the edge table;
+    # compare on nodes present
+    present = adj.any(axis=1) | adj.any(axis=0)
+    np.testing.assert_allclose(got[present], want[present], atol=1e-6)
+
+
+def test_vs_networkx(spark):
+    pytest.importorskip("scipy")  # networkx.pagerank is scipy-backed
+    networkx = pytest.importorskip("networkx")
+    n, p, seed = 50, 0.08, 7
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    g = networkx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(zip(*np.nonzero(adj)))
+    want = networkx.pagerank(g, alpha=0.85, tol=1e-10, max_iter=500)
+    res = pagerank(erdos_renyi(spark, n, p, seed=seed), tol=1e-9, max_iter=500)
+    got = _ranks_array(res, n)
+    present = adj.any(axis=1) | adj.any(axis=0)
+    for i in range(n):
+        if present[i]:
+            assert abs(got[i] - want[i]) < 1e-6
+
+
+def test_fixed_iterations_matches_numpy(spark):
+    """Exactly-k synchronous iterations (the unrolled-SQL oracle mode)."""
+    n, p, seed = 40, 0.1, 5
+    res = pagerank(erdos_renyi(spark, n, p, seed=seed), fixed_iterations=5)
+    want = pagerank_numpy_fixed(erdos_renyi_numpy(n, p, seed=seed), iters=5)
+    got = _ranks_array(res, n)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    present = adj.any(axis=1) | adj.any(axis=0)
+    np.testing.assert_allclose(got[present], want[present], atol=1e-12)
+
+
+def test_salted_agg_same_result(spark):
+    n, p, seed = 40, 0.1, 9
+    plain = pagerank(erdos_renyi(spark, n, p, seed=seed), fixed_iterations=4)
+    salted = pagerank(
+        erdos_renyi(spark, n, p, seed=seed), fixed_iterations=4, salt_buckets=8
+    )
+    a = _ranks_array(plain, n)
+    b = _ranks_array(salted, n)
+    np.testing.assert_allclose(a, b, atol=1e-12)

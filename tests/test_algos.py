@@ -1,0 +1,165 @@
+"""CC / LP / triangles / BFS vs single-process oracles (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from webgraph_spark.algos.bfs import bfs, neighbourhood_function_exact
+from webgraph_spark.algos.components import (
+    connected_components,
+    largest_component,
+    sort_components_by_size,
+)
+from webgraph_spark.algos.labelprop import label_propagation, label_propagation_numpy
+from webgraph_spark.algos.triangles import triangle_count, triangles_per_node
+from webgraph_spark.datagen.graphs import (
+    complete_binary_intree,
+    complete_graph,
+    directed_cycle,
+    erdos_renyi,
+    erdos_renyi_numpy,
+    two_cliques_bridge,
+)
+from .oracles import connected_components_numpy, triangle_count_numpy
+
+
+def _partition_sets(labels):
+    """component labels -> frozenset partition (id-independent compare,
+    like ConnectedComponentsTest.java:32-43)."""
+    groups: dict = {}
+    for node, comp in labels:
+        groups.setdefault(comp, set()).add(node)
+    return {frozenset(v) for v in groups.values()}
+
+
+# ---------------------------------------------------------------- CC
+
+def test_cc_two_cliques(spark):
+    g = two_cliques_bridge(spark, 5, 7, bridge=False)
+    res = connected_components(g)
+    assert res.converged
+    rows = [(r.node, r.component) for r in res.labels.collect()]
+    assert _partition_sets(rows) == {
+        frozenset(range(5)),
+        frozenset(range(5, 12)),
+    }
+    # hash-min labels are the component minima
+    comps = {r.component for r in res.labels.collect()}
+    assert comps == {0, 5}
+
+
+def test_cc_bridge_joins(spark):
+    g = two_cliques_bridge(spark, 5, 7, bridge=True)
+    res = connected_components(g)
+    rows = [(r.node, r.component) for r in res.labels.collect()]
+    assert _partition_sets(rows) == {frozenset(range(12))}
+
+
+@pytest.mark.parametrize("n,p,seed", [(60, 0.02, 1), (100, 0.01, 2), (100, 0.03, 3)])
+def test_cc_er_vs_union_find(spark, n, p, seed):
+    g = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    res = connected_components(g)
+    assert res.converged
+    got = {r.node: r.component for r in res.labels.collect()}
+    want = connected_components_numpy(adj)
+    present = adj.any(axis=1) | adj.any(axis=0)
+    got_rows = [(i, got[i]) for i in range(n) if present[i]]
+    want_rows = [(i, int(want[i])) for i in range(n) if present[i]]
+    assert _partition_sets(got_rows) == _partition_sets(want_rows)
+    # hash-min label = min node id in component: exact label equality
+    for i in range(n):
+        if present[i]:
+            assert got[i] == int(want[i])
+
+
+def test_sort_components_by_size(spark):
+    g = two_cliques_bridge(spark, 5, 7, bridge=False)
+    res = connected_components(g)
+    ranked = sort_components_by_size(res.labels)
+    rows = {r.node: r.component for r in ranked.collect()}
+    # larger clique (7 nodes) -> component 0
+    assert all(rows[i] == 0 for i in range(5, 12))
+    assert all(rows[i] == 1 for i in range(5))
+
+
+def test_largest_component(spark):
+    g = two_cliques_bridge(spark, 4, 6, bridge=False)
+    sub, id_map = largest_component(g)
+    assert sub.count() == 6 * 5  # K6 directed arcs
+    ids = sorted(r.target for r in id_map.collect())
+    assert ids == list(range(6))
+
+
+# ---------------------------------------------------------------- LP
+
+@pytest.mark.parametrize("n,p,seed", [(40, 0.05, 4), (80, 0.03, 5)])
+def test_label_propagation_vs_numpy(spark, n, p, seed):
+    g = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    res = label_propagation(g, max_iter=5)
+    want = label_propagation_numpy(adj, max_iter=5)
+    got = {r.node: r.label for r in res.labels.collect()}
+    present = adj.any(axis=1) | adj.any(axis=0)
+    for i in range(n):
+        if present[i]:
+            assert got[i] == int(want[i]), f"node {i}"
+
+
+def test_label_propagation_clique_converges(spark):
+    res = label_propagation(complete_graph(spark, 8), max_iter=10)
+    labels = {r.label for r in res.labels.collect()}
+    assert labels == {0}
+    assert res.converged
+
+
+# ------------------------------------------------------------ triangles
+
+def test_triangles_clique(spark):
+    n = 7
+    assert triangle_count(complete_graph(spark, n)) == n * (n - 1) * (n - 2) // 6
+
+
+def test_triangles_cycle_zero(spark):
+    assert triangle_count(directed_cycle(spark, 10)) == 0
+    # C3 is one triangle after symmetrization
+    assert triangle_count(directed_cycle(spark, 3)) == 1
+
+
+@pytest.mark.parametrize("n,p,seed", [(40, 0.1, 6), (60, 0.08, 7), (80, 0.05, 8)])
+def test_triangles_er_vs_trace(spark, n, p, seed):
+    g = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    assert triangle_count(g) == triangle_count_numpy(adj)
+
+
+def test_triangles_per_node_sums_to_3x(spark):
+    n, p, seed = 40, 0.1, 9
+    g = erdos_renyi(spark, n, p, seed=seed)
+    per = triangles_per_node(g)
+    total = per.groupBy().sum("triangles").collect()[0][0] or 0
+    assert total == 3 * triangle_count_numpy(erdos_renyi_numpy(n, p, seed=seed))
+
+
+# ---------------------------------------------------------------- BFS
+
+def test_bfs_intree_levels(spark):
+    # in-tree arcs point child->parent; BFS from a leaf walks to the root
+    g = complete_binary_intree(spark, 3)  # 15 nodes
+    res = bfs(g, [14])
+    d = {r.node: r.dist for r in res.distances.collect()}
+    assert d == {14: 0, 6: 1, 2: 2, 0: 3}
+    # from the root on the transpose reaches everything
+    from webgraph_spark.operators.transforms import transpose
+
+    res2 = bfs(transpose(g), [0])
+    d2 = {r.node: r.dist for r in res2.distances.collect()}
+    assert len(d2) == 15 and max(d2.values()) == 3
+
+
+def test_neighbourhood_function_cycle(spark):
+    g = directed_cycle(spark, 5)
+    nf = neighbourhood_function_exact(g, max_t=5)
+    # NF(t) = n * (t+1) until saturation at n^2
+    assert nf[0] == 5 and nf[1] == 10 and nf[4] == 25

@@ -1,0 +1,149 @@
+"""Transform semantics vs the reference's TransformTest patterns."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from webgraph_spark.datagen.graphs import (
+    complete_binary_intree,
+    directed_cycle,
+    erdos_renyi,
+    erdos_renyi_numpy,
+)
+from webgraph_spark.operators.transforms import (
+    compose,
+    compose_semiring,
+    degree_range_subgraph,
+    filter_arcs,
+    graphs_equal,
+    induced_subgraph,
+    is_symmetric,
+    line_graph,
+    map_nodes,
+    no_loops,
+    random_permutation,
+    simplify,
+    symmetrize,
+    transpose,
+    union_graphs,
+)
+
+
+def _arcs(df):
+    return sorted((r.src, r.dst) for r in df.select("src", "dst").distinct().collect())
+
+
+def test_transpose_involution(spark):
+    g = erdos_renyi(spark, 40, 0.1, seed=11)
+    assert graphs_equal(transpose(transpose(g)), g)
+    a = erdos_renyi_numpy(40, 0.1, seed=11)
+    got = _arcs(transpose(g))
+    want = sorted((int(d), int(s)) for s, d in zip(*np.nonzero(a)))
+    assert got == want
+
+
+def test_symmetrize_is_symmetric(spark):
+    g = erdos_renyi(spark, 30, 0.1, seed=3)
+    s = symmetrize(g)
+    assert is_symmetric(s)
+    # union of g and transpose exactly
+    assert graphs_equal(s, union_graphs(g, transpose(g)))
+
+
+def test_simplify_no_loops_symmetric(spark):
+    g = spark.createDataFrame([(0, 0), (0, 1), (1, 2), (2, 2)], "src long, dst long")
+    s = simplify(g)
+    arcs = _arcs(s)
+    assert arcs == [(0, 1), (1, 0), (1, 2), (2, 1)]
+    assert is_symmetric(s)
+
+
+def test_filter_and_no_loops(spark):
+    g = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (2, 1)], "src long, dst long"
+    )
+    assert _arcs(no_loops(g)) == [(0, 1), (1, 0), (2, 1)]
+    assert _arcs(filter_arcs(g, F.col("src") < F.col("dst"))) == [(0, 1)]
+
+
+def test_compose_matrix_product(spark):
+    n = 25
+    g0 = erdos_renyi(spark, n, 0.15, seed=21)
+    g1 = erdos_renyi(spark, n, 0.15, seed=22)
+    a0 = erdos_renyi_numpy(n, 0.15, seed=21)
+    a1 = erdos_renyi_numpy(n, 0.15, seed=22)
+    want_adj = (a0.astype(int) @ a1.astype(int)) > 0
+    got = _arcs(compose(g0, g1))
+    want = sorted((int(s), int(d)) for s, d in zip(*np.nonzero(want_adj)))
+    assert got == want
+
+
+def test_compose_semiring_min_plus(spark):
+    # path weights: shortest 2-hop distance
+    g = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 5.0), (1, 3, 1.0), (2, 3, 1.0)],
+        "src long, dst long, w double",
+    )
+    r = compose_semiring(g, g, "w")
+    rows = {(x.src, x.dst): x.w for x in r.collect()}
+    assert rows[(0, 3)] == 2.0  # min(1+1, 5+1)
+
+
+def test_map_nodes_quotient_and_delete(spark):
+    g = directed_cycle(spark, 6)
+    # merge even nodes into 0, odd into 1 -> arcs {(0,1),(1,0)}
+    mapping = spark.createDataFrame(
+        [(i, i % 2) for i in range(6)], "node long, target long"
+    )
+    assert _arcs(map_nodes(g, mapping)) == [(0, 1), (1, 0)]
+    # deletion: drop node 3 -> cycle broken, arcs (2,3),(3,4) gone
+    partial = spark.createDataFrame(
+        [(i, i) for i in range(6) if i != 3], "node long, target long"
+    )
+    got = _arcs(map_nodes(g, partial))
+    assert (2, 3) not in got and (3, 4) not in got and (1, 2) in got
+
+
+def test_random_permutation_preserves_structure(spark):
+    g = complete_binary_intree(spark, 3)
+    mapped, perm = random_permutation(g, seed=5)
+    # permutation is a bijection onto 0..n-1
+    p = perm.toPandas()
+    assert sorted(p["target"]) == list(range(len(p)))
+    # arc count preserved
+    assert mapped.count() == g.count()
+
+
+def test_induced_subgraph(spark):
+    g = erdos_renyi(spark, 20, 0.2, seed=8)
+    keep = spark.createDataFrame([(i,) for i in range(10)], "node long")
+    sub, id_map = induced_subgraph(g, keep, reindex=True)
+    a = erdos_renyi_numpy(20, 0.2, seed=8)
+    want = sorted(
+        (int(s), int(d)) for s, d in zip(*np.nonzero(a[:10, :10]))
+    )
+    assert _arcs(sub) == want  # nodes 0..9 keep ids (dense order)
+
+
+def test_degree_range_subgraph(spark):
+    g = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3)], "src long, dst long"
+    )
+    # keep nodes with outdeg in [1, 2): nodes 1 (deg1), 2 (deg1); node 3 deg0, node 0 deg3
+    sub, _ = degree_range_subgraph(g, 1, 2, reindex=False)
+    assert _arcs(sub) == [(1, 2)]
+
+
+def test_line_graph(spark):
+    g = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    line, arcs = line_graph(g)
+    # triangle cycle -> line graph is also a 3-cycle
+    assert line.count() == 3
+    ids = {(r.src, r.dst): r.arc_id for r in arcs.collect()}
+    got = {(r.src, r.dst) for r in line.collect()}
+    assert got == {
+        (ids[(0, 1)], ids[(1, 2)]),
+        (ids[(1, 2)], ids[(2, 0)]),
+        (ids[(2, 0)], ids[(0, 1)]),
+    }

@@ -1,0 +1,106 @@
+"""Synchronous label propagation with deterministic min tie-break.
+
+Mandated by the north rule; published companion is the reference
+authors' Layered Label Propagation (used to order nodes for webgraph
+compression of social networks — SURVEY.md §2.10). Semantics chosen for
+exact reproducibility on a cluster (FIXTURES.md §5 oracle): synchronous
+schedule, ``label(v) <- argmax_count over neighbor labels, ties -> min
+label``; isolated nodes keep their own label; fixed iteration count or
+stop at stability. Deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators.transforms import no_loops, symmetrize
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (node: long, label: long)
+    iterations: int
+    converged: bool
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+    assume_symmetric: bool = False,
+) -> LabelPropResult:
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = edges.select("src", "dst") if assume_symmetric else symmetrize(edges)
+    sym = no_loops(sym).repartition(num_partitions, "src").persist()
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    labels.count()
+
+    converged = False
+    it = 0
+    # argmax-by-count with min-label tie-break via one window over the
+    # (node, label) count table — the window partitions by node, so no
+    # global-order bottleneck at scale.
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for it in range(1, max_iter + 1):
+        counts = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .persist()
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    return LabelPropResult(labels, it, converged)
+
+
+def label_propagation_numpy(adj: np.ndarray, max_iter: int = 10) -> np.ndarray:
+    """Single-process oracle with the identical synchronous schedule."""
+    sym = adj | adj.T
+    np.fill_diagonal(sym, False)
+    n = sym.shape[0]
+    labels = np.arange(n)
+    for _ in range(max_iter):
+        new = labels.copy()
+        for v in range(n):
+            nbrs = np.nonzero(sym[:, v])[0]
+            if len(nbrs) == 0:
+                continue
+            vals, counts = np.unique(labels[nbrs], return_counts=True)
+            new[v] = vals[counts == counts.max()].min()
+        if (new == labels).all():
+            return new
+        labels = new
+    return labels

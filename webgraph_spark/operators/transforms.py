@@ -1,0 +1,263 @@
+"""Graph transforms — the reference's Transform.java family, Spark-first.
+
+Every operator is lazy DataFrame algebra: Catalyst fuses filters and
+projections (the reference hand-builds the same laziness as nested
+NodeIterator wrappers, Transform.java:218-343), and the sort-shuffle IS
+the reference's external-memory batch sort (Transform.java:1284-1494).
+
+Edge tables are ``(src: long, dst: long [, label columns])``. The graph
+invariant (successor lists strictly increasing, no duplicates —
+BVGraph.java:2201) is restored by ``distinct()`` where an operator can
+introduce duplicate arcs; physical sorting happens only at CSR pack time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# ---------------------------------------------------------------- filters
+
+def filter_arcs(edges: DataFrame, predicate: Column) -> DataFrame:
+    """Lazy per-arc predicate view (Transform.filterArcs,
+    Transform.java:99-109). ``predicate`` is any Column over the edge
+    table's columns, e.g. ``F.col("src") < F.col("dst")``."""
+    return edges.where(predicate)
+
+
+def no_loops(edges: DataFrame) -> DataFrame:
+    """Drop self-loops (Transform.NO_LOOPS, Transform.java:130-144)."""
+    return edges.where(F.col("src") != F.col("dst"))
+
+
+def node_class_filter(
+    edges: DataFrame, node_classes: DataFrame, same_class: bool = True
+) -> DataFrame:
+    """Keep arcs within (or across) node classes (Transform.NodeClassFilter,
+    Transform.java:150-190). ``node_classes`` is ``(node, cls)``."""
+    src_cls = node_classes.select(F.col("node").alias("src"), F.col("cls").alias("_scls"))
+    dst_cls = node_classes.select(F.col("node").alias("dst"), F.col("cls").alias("_dcls"))
+    joined = edges.join(src_cls, "src").join(dst_cls, "dst")
+    cond = F.col("_scls") == F.col("_dcls")
+    if not same_class:
+        cond = ~cond
+    return joined.where(cond).drop("_scls", "_dcls").select(*edges.columns)
+
+
+def label_lower_bound(edges: DataFrame, label_col: str, threshold) -> DataFrame:
+    """Keep arcs with label >= threshold (Transform.LowerBound,
+    Transform.java:193-211)."""
+    return edges.where(F.col(label_col) >= threshold)
+
+
+def label_in_set(edges: DataFrame, label_col: str, values) -> DataFrame:
+    """Keep arcs whose label is in a set (IntegerLabelFilter,
+    labelling/IntegerLabelFilter.java:25-30)."""
+    return edges.where(F.col(label_col).isin(list(values)))
+
+
+# ------------------------------------------------------------ structural
+
+def transpose(edges: DataFrame) -> DataFrame:
+    """Reverse all arcs (Transform.transpose / transposeOffline,
+    Transform.java:964-1972, 1397-1494). The reference's external
+    batch-sort dataflow is Spark's sort-shuffle; here only the logical
+    swap is needed — downstream ops re-partition as they require."""
+    others = [c for c in edges.columns if c not in ("src", "dst")]
+    return edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *others
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Union with the transpose (Transform.symmetrize,
+    Transform.java:913-951). Plain columns only; for labelled graphs use
+    :func:`union_labelled` with a merge strategy."""
+    e = edges.select("src", "dst")
+    return e.unionByName(transpose(e)).distinct()
+
+
+def simplify(edges: DataFrame) -> DataFrame:
+    """Symmetrize + strip loops -> simple graph (Transform.simplify,
+    Transform.java:840-911)."""
+    return no_loops(symmetrize(edges))
+
+
+def union_graphs(g0: DataFrame, g1: DataFrame) -> DataFrame:
+    """Arc in union iff in either (Transform.union, Transform.java:1999;
+    UnionImmutableGraph.java:27-31)."""
+    return g0.select("src", "dst").unionByName(g1.select("src", "dst")).distinct()
+
+
+def union_labelled(
+    g0: DataFrame, g1: DataFrame, label_col: str, merge: str | Column = "max"
+) -> DataFrame:
+    """Labelled union; duplicate arcs' labels merged by strategy
+    (labelling/UnionArcLabelledImmutableGraph.java; LabelMergeStrategy.java:25-33).
+    ``merge`` is an agg function name or a Column expression over
+    ``F.col(label_col)``."""
+    both = g0.select("src", "dst", label_col).unionByName(
+        g1.select("src", "dst", label_col)
+    )
+    agg = (
+        getattr(F, merge)(label_col) if isinstance(merge, str) else merge
+    ).alias(label_col)
+    return both.groupBy("src", "dst").agg(agg)
+
+
+def compose(g0: DataFrame, g1: DataFrame) -> DataFrame:
+    """Boolean matrix product: arc (x,z) iff exists y with (x,y) in g0 and
+    (y,z) in g1 (Transform.compose, Transform.java:2101-2112). The core
+    equi-join of every iterative step."""
+    a = g0.select("src", F.col("dst").alias("mid"))
+    b = g1.select(F.col("src").alias("mid"), "dst")
+    return a.join(b, "mid").select("src", "dst").distinct()
+
+
+def compose_semiring(
+    g0: DataFrame,
+    g1: DataFrame,
+    label_col: str,
+    multiply: Column | None = None,
+    add: str = "min",
+) -> DataFrame:
+    """Semiring matrix product: ``multiply`` along a path, ``add`` across
+    paths (Transform.compose with LabelSemiring, Transform.java:2125-2265).
+    Default min-plus (shortest paths): multiply = w0 + w1, add = min."""
+    a = g0.select("src", F.col("dst").alias("mid"), F.col(label_col).alias("_w0"))
+    b = g1.select(F.col("src").alias("mid"), "dst", F.col(label_col).alias("_w1"))
+    if multiply is None:
+        multiply = F.col("_w0") + F.col("_w1")
+    path = a.join(b, "mid").select("src", "dst", multiply.alias("_w"))
+    return path.groupBy("src", "dst").agg(getattr(F, add)("_w").alias(label_col))
+
+
+def line_graph(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Line graph: nodes = arcs of g, arc <x,y> -> <y,z>
+    (Transform.line, Transform.java:2267-2382). Returns (line_edges,
+    arc_ids) where arc_ids maps arc_id -> (src, dst) — the reference's
+    node<->arc map files."""
+    from ..util.ids import assign_dense_ids
+
+    arcs = assign_dense_ids(
+        edges.select("src", "dst").distinct(), ["src", "dst"], id_col="arc_id"
+    )
+    a = arcs.select(F.col("arc_id").alias("src_arc"), "src", F.col("dst").alias("mid"))
+    b = arcs.select(F.col("arc_id").alias("dst_arc"), F.col("src").alias("mid"), "dst")
+    line = a.join(b, "mid").select(
+        F.col("src_arc").alias("src"), F.col("dst_arc").alias("dst")
+    )
+    return line, arcs
+
+
+# -------------------------------------------------- map / renumber / quotient
+
+def map_nodes(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Node remap by (partial) function (Transform.map,
+    Transform.java:628-713): ``mapping`` is ``(node, target)``.
+    Nodes absent from the mapping (the reference's -1) are DELETED along
+    with their arcs (inner join); a non-injective mapping quotients
+    (merges) nodes and dedups arcs."""
+    src_map = mapping.select(F.col("node").alias("src"), F.col("target").alias("_s2"))
+    dst_map = mapping.select(F.col("node").alias("dst"), F.col("target").alias("_d2"))
+    return (
+        edges.join(src_map, "src")
+        .join(dst_map, "dst")
+        .select(F.col("_s2").alias("src"), F.col("_d2").alias("dst"))
+        .distinct()
+    )
+
+
+def random_permutation(edges: DataFrame, seed: int) -> tuple[DataFrame, DataFrame]:
+    """Seeded random relabeling (Transform.randomPermutation,
+    Transform.java:2436-2453): returns (remapped_edges, permutation).
+    Deterministic: ordered by xxhash64(node, seed)."""
+    from ..util.ids import assign_dense_ids
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("_h", F.xxhash64(F.col("node"), F.lit(seed)))
+    )
+    perm = assign_dense_ids(nodes, ["_h", "node"], id_col="target").drop("_h")
+    return map_nodes(edges, perm), perm
+
+
+def degree_ordered_permutation(
+    edges: DataFrame, ascending: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Relabel nodes by (out+in) degree — the locality/compression
+    ordering family (Gray/lexicographic permutations,
+    Transform.java:2383-2580; we order by degree, the dominant effect for
+    gap compression of skewed graphs). Ties broken by node id."""
+    from ..util.ids import assign_dense_ids
+
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .withColumn("_key", F.col("deg") if ascending else -F.col("deg"))
+    )
+    perm = assign_dense_ids(deg, ["_key", "node"], id_col="target").select(
+        "node", "target"
+    )
+    return map_nodes(edges, perm), perm
+
+
+# -------------------------------------------------------------- subgraphs
+
+def induced_subgraph(
+    edges: DataFrame, node_set: DataFrame, reindex: bool = True
+) -> tuple[DataFrame, DataFrame | None]:
+    """Node-induced subgraph (ImmutableSubgraph.java:30-60): keep arcs with
+    BOTH endpoints in ``node_set(node)``; optionally re-index to dense ids
+    (the to/fromSupergraphNode translation). Returns (sub_edges, id_map)."""
+    ns = node_set.select("node").distinct()
+    kept = edges.join(
+        ns.withColumnRenamed("node", "src"), "src", "left_semi"
+    ).join(ns.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    if not reindex:
+        return kept.select(*edges.columns), None
+    from ..util.ids import assign_dense_ids
+
+    id_map = assign_dense_ids(ns, ["node"], id_col="target")
+    return map_nodes(kept, id_map), id_map
+
+
+def degree_range_subgraph(
+    edges: DataFrame, min_deg: int, max_deg: int, reindex: bool = False
+) -> tuple[DataFrame, DataFrame | None]:
+    """Induced subgraph of nodes with outdegree in [min_deg, max_deg)
+    (DegreeRangeImmutableSubgraph.java:25-35). Nodes with no out-arcs have
+    outdegree 0 and are kept iff min_deg <= 0."""
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = all_nodes.join(
+        out_deg.withColumnRenamed("src", "node"), "node", "left"
+    ).select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+    keep = deg.where(
+        (F.col("outdeg") >= min_deg) & (F.col("outdeg") < max_deg)
+    ).select("node")
+    return induced_subgraph(edges, keep, reindex=reindex)
+
+
+# ------------------------------------------------------------------ checks
+
+def is_symmetric(edges: DataFrame) -> bool:
+    """Check g == transpose(g) (Check.symmetry, Check.java:45-80)."""
+    e = edges.select("src", "dst").distinct()
+    return e.exceptAll(transpose(e)).isEmpty()
+
+
+def graphs_equal(g0: DataFrame, g1: DataFrame) -> bool:
+    """Extensional equality: same arc set (ImmutableGraph.equals,
+    ImmutableGraph.java:731-749 — the reference's universal oracle)."""
+    a = g0.select("src", "dst").distinct()
+    b = g1.select("src", "dst").distinct()
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

@@ -1,0 +1,76 @@
+"""Resumability + lineage (north_rule: resumable from checkpoint with
+per-partition lineage + metrics)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from webgraph_spark.algos.components import connected_components
+from webgraph_spark.algos.pagerank import pagerank
+from webgraph_spark.datagen.graphs import erdos_renyi
+from webgraph_spark.plans.iterate import CheckpointManager
+
+
+def _ranks(res):
+    return {r.node: r.rank for r in res.ranks.collect()}
+
+
+def test_pagerank_resume_identical(spark, tmp_path):
+    """Run 6 fixed iterations straight vs 3 + kill + resume 3 more:
+    bit-identical scores."""
+    g = erdos_renyi(spark, 50, 0.08, seed=13)
+    straight = pagerank(g, fixed_iterations=6)
+
+    ckpt = str(tmp_path / "pr")
+    first = pagerank(g, fixed_iterations=3, checkpoint_dir=ckpt)
+    assert first.iterations == 3
+    # "kill": new invocation, same checkpoint dir -> resumes at iter 3
+    resumed = pagerank(g, fixed_iterations=6, checkpoint_dir=ckpt)
+    assert resumed.iterations == 6
+
+    a, b = _ranks(straight), _ranks(resumed)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], f"node {k}: {a[k]} != {b[k]}"
+
+
+def test_pagerank_resume_convergence(spark, tmp_path):
+    g = erdos_renyi(spark, 40, 0.1, seed=17)
+    ckpt = str(tmp_path / "pr2")
+    partial = pagerank(g, max_iter=4, checkpoint_dir=ckpt)
+    assert not partial.converged
+    resumed = pagerank(g, max_iter=200, tol=1e-8, checkpoint_dir=ckpt)
+    assert resumed.converged
+    straight = pagerank(g, max_iter=200, tol=1e-8)
+    a, b = _ranks(straight), _ranks(resumed)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-7
+
+
+def test_lineage_table(spark, tmp_path):
+    g = erdos_renyi(spark, 30, 0.1, seed=19)
+    ckpt = str(tmp_path / "pr3")
+    pagerank(g, fixed_iterations=3, checkpoint_dir=ckpt)
+    mgr = CheckpointManager(spark, ckpt, "pagerank")
+    lin = mgr.lineage().toPandas()
+    assert set(lin["iteration"]) == {1, 2, 3}
+    assert (lin["rows"] > 0).any()
+    assert {"run_id", "file", "checksum", "t_write_ms", "ts", "metrics"} <= set(
+        lin.columns
+    )
+    # per-iteration row counts sum to the node count
+    n_nodes = lin[lin["iteration"] == 1]["rows"].sum()
+    assert lin[lin["iteration"] == 3]["rows"].sum() == n_nodes
+    assert mgr.completed_iterations() == [1, 2, 3]
+
+
+def test_cc_resume(spark, tmp_path):
+    g = erdos_renyi(spark, 80, 0.03, seed=23)
+    ckpt = str(tmp_path / "cc")
+    partial = connected_components(g, max_iter=2, checkpoint_dir=ckpt)
+    resumed = connected_components(g, max_iter=50, checkpoint_dir=ckpt)
+    assert resumed.converged
+    straight = connected_components(g, max_iter=50)
+    a = {r.node: r.component for r in resumed.labels.collect()}
+    b = {r.node: r.component for r in straight.labels.collect()}
+    assert a == b

@@ -34,57 +34,59 @@ def connected_components(
     max_iter: int = 50,
     num_partitions: int | None = None,
     assume_symmetric: bool = False,
+    checkpoint_dir: str | None = None,
+    run_id: str = "cc",
 ) -> ComponentsResult:
     """Hash-min CC over ``edges(src, dst)`` (directions ignored)."""
+    from ..plans.iterate import iterate
+
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = edges.select("src", "dst") if assume_symmetric else symmetrize(edges)
     sym = sym.repartition(num_partitions, "src").persist()
 
-    labels = (
+    labels0 = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("component"))
         .repartition(num_partitions, "node")
-        .persist()
     )
-    labels.count()
 
-    converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
+    def step(labels: DataFrame, k: int):
         msgs = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(msgs, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
+        new_labels = labels.join(msgs, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        return new_labels, {}
+
+    def converged_fn(old: DataFrame, new: DataFrame, k: int) -> bool:
         changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), "node"
-            )
+            new.join(old.withColumnRenamed("component", "old"), "node")
             .where(F.col("component") != F.col("old"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+        return changed == 0
+
+    labels, it, done = iterate(
+        spark,
+        labels0,
+        step,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        converged=converged_fn,
+        run_id=run_id,
+    )
     sym.unpersist()
-    return ComponentsResult(labels, it, converged)
+    return ComponentsResult(labels, it, done)
 
 
 def component_sizes(labels: DataFrame) -> DataFrame:

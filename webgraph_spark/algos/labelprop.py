@@ -31,29 +31,30 @@ def label_propagation(
     max_iter: int = 10,
     num_partitions: int | None = None,
     assume_symmetric: bool = False,
+    checkpoint_dir: str | None = None,
+    run_id: str = "labelprop",
 ) -> LabelPropResult:
+    from ..plans.iterate import iterate
+
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = edges.select("src", "dst") if assume_symmetric else symmetrize(edges)
     sym = no_loops(sym).repartition(num_partitions, "src").persist()
 
-    labels = (
+    labels0 = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
     )
-    labels.count()
 
-    converged = False
-    it = 0
     # argmax-by-count with min-label tie-break via one window over the
     # (node, label) count table — the window partitions by node, so no
     # global-order bottleneck at scale.
     w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
-    for it in range(1, max_iter + 1):
+
+    def step(labels: DataFrame, k: int):
         counts = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
@@ -64,26 +65,30 @@ def label_propagation(
             .where(F.col("_rn") == 1)
             .select("node", F.col("label").alias("new_label"))
         )
-        new_labels = (
-            labels.join(best, "node", "left")
-            .select(
-                "node", F.coalesce("new_label", "label").alias("label")
-            )
-            .persist()
+        new_labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+        return new_labels, {}
+
+    def converged_fn(old: DataFrame, new: DataFrame, k: int) -> bool:
+        return (
+            new.join(old.withColumnRenamed("label", "old"), "node")
             .where(F.col("label") != F.col("old"))
             .count()
+            == 0
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+
+    labels, it, done = iterate(
+        spark,
+        labels0,
+        step,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        converged=converged_fn,
+        run_id=run_id,
+    )
     sym.unpersist()
-    return LabelPropResult(labels, it, converged)
+    return LabelPropResult(labels, it, done)
 
 
 def label_propagation_numpy(adj: np.ndarray, max_iter: int = 10) -> np.ndarray:

@@ -18,9 +18,10 @@ Scale design (SURVEY.md §4 physical decisions):
   per dst); an optional explicit two-level salted aggregation is
   available for extreme hubs (north_rule's "explicit salting");
 - dangling mass is one scalar aggregate, applied analytically;
-- every iteration's ranks are persisted + lineage-truncated; the
-  ``plans.iterate`` driver adds durable per-iteration checkpoints with
-  lineage/metrics rows (resumability).
+- iteration state flows through plans.iterate: durable per-iteration
+  parquet checkpoints + per-partition lineage rows when
+  ``checkpoint_dir`` is set (resumable mid-run), else eager
+  localCheckpoint for lineage truncation only.
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..plans.iterate import iterate
 
 
 @dataclass
@@ -45,11 +48,7 @@ def _prepare(edges: DataFrame, num_partitions: int | None):
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = edges.select("src", "dst")
     out_deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ew = (
-        e.join(out_deg, "src")
-        .repartition(num_partitions, "src")
-        .persist()
-    )
+    ew = e.join(out_deg, "src").repartition(num_partitions, "src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -71,28 +70,28 @@ def pagerank(
     num_partitions: int | None = None,
     salt_buckets: int | None = None,
     fixed_iterations: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str = "pagerank",
 ) -> PageRankResult:
     """PageRank over ``edges(src, dst)``.
 
     ``fixed_iterations`` runs exactly that many synchronous iterations
     with no convergence checks (used for unrolled-SQL oracle parity);
     otherwise iterate to L-inf < ``tol`` or ``max_iter``.
+    ``checkpoint_dir`` enables durable resumable checkpoints + lineage.
     """
+    spark = edges.sparkSession
     ew, nodes, dangling, P = _prepare(edges, num_partitions)
     n = nodes.count()
     if n == 0:
         return PageRankResult(
-            edges.sparkSession.createDataFrame([], "node long, rank double"), 0, True, 0.0
+            spark.createDataFrame([], "node long, rank double"), 0, True, 0.0
         )
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
-    ranks.count()
+    ranks0 = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    state = {"delta": float("inf")}
 
-    converged = False
-    delta = float("inf")
-    iters = fixed_iterations if fixed_iterations is not None else max_iter
-    it = 0
-    for it in range(1, iters + 1):
+    def step(ranks: DataFrame, k: int):
         dangling_mass = (
             ranks.join(dangling, "node", "left_semi").agg(F.sum("rank")).collect()[0][0]
             or 0.0
@@ -113,33 +112,43 @@ def pagerank(
             )
         else:
             contribs = contribs_in.groupBy("dst").agg(F.sum("c").alias("contrib"))
-
         base = (1.0 - alpha) / n + alpha * dangling_mass / n
         new_ranks = (
             nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
             )
-            .persist()
         )
-        new_ranks = new_ranks.localCheckpoint(eager=True)  # truncate lineage
-        if fixed_iterations is None:
-            delta = (
-                new_ranks.join(
-                    ranks.withColumnRenamed("rank", "old"), "node"
-                )
+        return new_ranks, {"dangling_mass": dangling_mass}
+
+    if fixed_iterations is not None:
+        converged_fn = None
+        max_it = fixed_iterations
+    else:
+        max_it = max_iter
+
+        def converged_fn(old: DataFrame, new: DataFrame, k: int) -> bool:
+            state["delta"] = (
+                new.join(old.select("node", F.col("rank").alias("old")), "node")
                 .agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("d"))
                 .collect()[0][0]
             )
-        ranks.unpersist()
-        ranks = new_ranks
-        if fixed_iterations is None and delta < tol:
-            converged = True
-            break
+            return state["delta"] < tol
 
+    ranks, iters, done = iterate(
+        spark,
+        ranks0,
+        step,
+        max_iter=max_it,
+        checkpoint_dir=checkpoint_dir,
+        converged=converged_fn,
+        run_id=run_id,
+    )
     ew.unpersist()
     dangling.unpersist()
-    return PageRankResult(ranks, it, converged or fixed_iterations is not None, float(delta))
+    return PageRankResult(
+        ranks, iters, done or fixed_iterations is not None, float(state["delta"])
+    )

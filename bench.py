@@ -1,0 +1,139 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json): PageRank edges/sec to 1e-6 convergence
+on the transcript-derived link graph. Other queries time the operator
+inventory at the bench scale factor. Scaling evidence (local[8] vs
+local[32]) is produced by tools/bench_scaling.py and recorded in
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from webgraph_spark.session import get_spark
+
+
+def build_transcript_graph(spark, n_convs: int):
+    from webgraph_spark.datagen.transcripts import TranscriptSpec, generate_transcripts
+    from webgraph_spark.graph.edges import (
+        build_node_dictionary,
+        extract_edges,
+        simple_edges,
+    )
+
+    spec = TranscriptSpec(seed=42, max_turns=40, n_tools=1000)
+    tr = generate_transcripts(spark, n_convs=n_convs, spec=spec)
+    edges = simple_edges(extract_edges(tr, build_node_dictionary(tr)))
+    return edges
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # scale transcript graph with the sf dir's lineitem size
+    sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
+    n_convs = int(100_000 * sf)
+
+    spark = get_spark(
+        "webgraph_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+
+    # ---- build + materialize the transcript link graph (ingest timing)
+    t0 = time.time()
+    edges = build_transcript_graph(spark, n_convs).persist()
+    n_edges = edges.count()
+    queries["ingest_transcripts_to_edges"] = round(time.time() - t0, 3)
+
+    # ---- headline: PageRank to 1e-6 convergence
+    from webgraph_spark.algos.pagerank import pagerank
+
+    t0 = time.time()
+    res = pagerank(edges, tol=1e-6, max_iter=100)
+    res.ranks.count()
+    t_pr = time.time() - t0
+    queries["pagerank_1e6"] = round(t_pr, 3)
+    edges_per_sec = n_edges * res.iterations / t_pr
+
+    # ---- CSR pack + unpack
+    from webgraph_spark.operators.csr import pack_csr, unpack_csr
+
+    t0 = time.time()
+    packed = pack_csr(edges, num_blocks=max(cpus, 8)).persist()
+    packed.count()
+    queries["csr_pack"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    unpack_csr(packed).count()
+    queries["csr_unpack"] = round(time.time() - t0, 3)
+    packed.unpersist()
+
+    # ---- connected components (hash-min to fixpoint)
+    from webgraph_spark.algos.components import connected_components
+
+    t0 = time.time()
+    cc = connected_components(edges, max_iter=50)
+    cc.labels.count()
+    queries["connected_components"] = round(time.time() - t0, 3)
+
+    # ---- label propagation (4 rounds)
+    from webgraph_spark.algos.labelprop import label_propagation
+
+    t0 = time.time()
+    lp = label_propagation(edges, max_iter=4)
+    lp.labels.count()
+    queries["label_propagation_4"] = round(time.time() - t0, 3)
+
+    # ---- triangle counting
+    from webgraph_spark.algos.triangles import triangle_count
+
+    t0 = time.time()
+    tri = triangle_count(edges)
+    queries["triangle_count"] = round(time.time() - t0, 3)
+
+    # ---- TPC-H-table operator suite (documents/embeddings/graph)
+    import __spark_entry__ as entry_mod
+
+    for name in [
+        "graph_pagerank5",
+        "docs_minhash_sigs",
+        "docs_simhash",
+        "docs_text_stats",
+        "emb_cosine_top5",
+    ]:
+        fn = entry_mod.queries()[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "pagerank_edges_per_sec_to_1e-6",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/sec",
+        "queries": queries,
+        "sf": sf,
+        "detail": {
+            "n_edges": n_edges,
+            "pr_iterations": res.iterations,
+            "pr_converged": res.converged,
+            "triangles": tri,
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

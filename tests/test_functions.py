@@ -1,0 +1,168 @@
+"""Training-data operators: dedup / text / similarity / multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from webgraph_spark.functions.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash16,
+    word_shingles,
+)
+from webgraph_spark.functions.hashing import md5_long
+from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
+from webgraph_spark.functions.text import text_stats, with_language
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_md5_long_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([("abc",), ("hello world",)], "s string")
+    got = {r.s: r.h for r in df.select("s", md5_long(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        want = duckdb.sql(
+            f"SELECT ('0x' || substr(md5('{s}'), 1, 15))::BIGINT"
+        ).fetchone()[0]
+        assert h == want
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark)
+    groups = exact_duplicate_groups(d, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
+    kept = exact_dedup(d, "doc_id", "text")
+    assert kept.count() == 4
+    assert 3 not in {r.doc_id for r in kept.collect()}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    out = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == ["x y"]  # shorter than n -> whole text
+
+
+def test_minhash_near_dups_bucket_together(spark):
+    d = _docs(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(d, "doc_id", "text").collect()
+    }
+    assert (0, 3) in pairs  # exact dups always collide
+    # doc 2 shares nothing with 0/1/3
+    assert not any(2 in p for p in pairs)
+
+
+def test_jaccard_exact_values(spark):
+    d = _docs(spark)
+    pairs = spark.createDataFrame([(0, 3), (0, 1)], "id_a long, id_b long")
+    j = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(d, pairs, "doc_id", "text").collect()}
+    assert j[(0, 3)] == 1.0
+    # doc 0 vs 1: 9 words, 7 trigrams each, differing only in the last
+    # word -> shared trigrams = 6, union = 8
+    assert abs(j[(0, 1)] - 0.75) < 1e-9
+
+
+def test_simhash_similarity_ordering(spark):
+    d = _docs(spark)
+    sh = {r.id: r.simhash for r in simhash16(d, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sh[0] == sh[3]  # identical text -> identical simhash
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])  # near-dup closer than distinct
+
+
+def test_text_stats_basics(spark):
+    d = _docs(spark)
+    st = {r.doc_id: r for r in text_stats(d, "doc_id", "text").collect()}
+    assert st[0].n_tokens == 9
+    assert st[4].n_tokens == 2
+    assert st[0].fingerprint == st[3].fingerprint
+    assert 0.0 <= st[0].quality <= 1.0
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat and the dog in the house"),
+        (1, "los gatos que viven en la casa adornado"),
+        (2, "这是一个中文句子"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang_pred for r in with_language(df, "text").collect()}
+    assert out[0] == "en"
+    assert out[2] == "zh"
+
+
+def _emb(spark, n=40, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_vs_numpy(spark):
+    df, vecs = _emb(spark)
+    q = df.where(F.col("vec_id") < 3)
+    got = cosine_topk(df, q, k=4).toPandas()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for qid in range(3):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        want = list(np.argsort(-s)[:4])
+        rows = got[got["query_id"] == qid].sort_values("rank")
+        assert list(rows["neighbor_id"]) == want
+
+
+def test_cosine_lsh_recall(spark):
+    df, vecs = _emb(spark, n=60)
+    q = df.where(F.col("vec_id") < 5)
+    exact = cosine_topk(df, q, k=3).toPandas()
+    approx = cosine_topk_lsh(df, q, k=3, n_planes=6, n_tables=6).toPandas()
+    # recall@3 >= 0.5 on this tiny set (statistical, deterministic seed)
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(e & a)
+    assert hits >= 8  # out of 15
+
+
+def test_multimodal_plumbing(spark):
+    from webgraph_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media, dim=16).toPandas()
+    assert len(feats) == 30
+    assert feats["ok"].all()
+    assert all(len(f) == 16 for f in feats["feature"])
+    # error path: empty payload -> ok=false, row preserved
+    bad = spark.createDataFrame(
+        [(999, "image", bytearray(b""), None, None, None, None)],
+        "media_id long, kind string, payload binary, width int, height int, sample_rate int, n_frames int",
+    )
+    bf = extract_features(bad, dim=16).collect()[0]
+    assert not bf.ok and "decoder" in bf.err
+    frames = frame_sample_plan(media, every_n=10)
+    assert frames.count() == 10 * 3  # 10 videos x ceil(30/10) frames

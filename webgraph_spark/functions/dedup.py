@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes:
+- exact: one hash-groupBy — the cheapest full-corpus dedup;
+- MinHash+LSH: shingle -> H universal hashes -> per-doc min -> band
+  keys -> bucket join. Candidate generation never compares all pairs;
+  the shuffle key is the band bucket. Hub buckets (boilerplate text)
+  are the skew risk — cap bucket size upstream if needed;
+- SimHash: 16-bit portable variant, bit-majority over token hashes;
+- verification: exact n-gram Jaccard on candidate pairs only.
+
+All hashing is the engine-portable md5/universal family
+(functions.hashing), so every stage has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .hashing import MERSENNE_P, hash_family, md5_long
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BAND_ROWS = 4
+DEFAULT_SHINGLE = 3
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, n_docs, min_id);
+    only groups with n_docs > 1."""
+    return (
+        df.select(md5_long(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per identical text."""
+    w = Window.partitionBy(md5_long(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# --------------------------------------------------------------- shingles
+
+def word_shingles(text: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Word n-gram shingles as an array<string> (JVM-side).
+
+    slice() is 1-indexed; sequence(0, size-n) enumerates start offsets.
+    Documents shorter than n words yield the whole text as one shingle.
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.size(toks)
+    full = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(full))
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle: int = DEFAULT_SHINGLE,
+    seed: int = 12345,
+) -> DataFrame:
+    """Long-form signatures: (id, i, minhash) for i in 0..num_hashes-1.
+
+    Plan shape: explode shingles -> md5_long -> cross join hash index ->
+    universal hash -> min per (id, i). One shuffle (the aggregation).
+    """
+    a, b = hash_family(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle))).alias(
+            "shingle"
+        ),
+    ).select("id", (md5_long(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h"))
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
+    arr_a = F.array(*[F.lit(x) for x in a])
+    arr_b = F.array(*[F.lit(x) for x in b])
+    expanded = sh.select("id", "h", idx).select(
+        "id",
+        "i",
+        (
+            (F.element_at(arr_a, F.col("i") + 1) * F.col("h")
+             + F.element_at(arr_b, F.col("i") + 1)) % F.lit(MERSENNE_P)
+        ).alias("hv"),
+    )
+    return expanded.groupBy("id", "i").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_band_keys(
+    signatures: DataFrame, band_rows: int = DEFAULT_BAND_ROWS
+) -> DataFrame:
+    """(id, band, band_key): concatenate each band's minhashes in hash
+    order. Order inside collect is forced by sorting (i, minhash) structs
+    — deterministic at any parallelism."""
+    banded = signatures.withColumn("band", (F.col("i") / band_rows).cast("long"))
+    return banded.groupBy("id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+            ",",
+        ).alias("band_key")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    shingle: int = DEFAULT_SHINGLE,
+    seed: int = 12345,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    bands = lsh_band_keys(sigs, band_rows)
+    a = bands.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_a"))
+    b = bands.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- jaccard
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs:
+    (id_a, id_b, jaccard). Intersection via the exploded shingle table
+    (no array cross-products on the driver)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # shingle-equijoin restricted to the candidate pair list
+    both = (
+        sh.select(F.col("id").alias("id_a"), "s")
+        .join(sh.select(F.col("id").alias("id_b"), "s"), "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(pairs, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        both.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash16(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Portable 16-bit SimHash over whitespace tokens: bit b is 1 iff
+    the majority of token hashes have bit b set (ties -> 0). JVM-side:
+    explode tokens -> md5_long -> per-bit +-1 sums -> assemble."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select("id", (md5_long(F.col("tok")) % F.lit(1 << 16)).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    per_bit = toks.groupBy("id").agg(*aggs)
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_bit.select("id", sig.cast("long").alias("simhash"))

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. The dot product is
+  a JVM-side fold (F.aggregate over zip_with in float64) — no Python in
+  the loop; top-k per query via a window over the similarity-scored
+  join.
+- LSH-bucketed variant (random-hyperplane signs): the scale path. Sign
+  bits come from deterministic hyperplanes derived from the
+  engine-portable hash family, so buckets are reproducible; candidate
+  generation joins on bucket key instead of crossing all pairs.
+
+At 100 TB the brute-force path is the per-bucket scorer, not the global
+plan: the LSH bucket join bounds the candidate set, brute force ranks
+inside it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """float64 dot product of two array<float/double> columns (JVM fold,
+    deterministic left-to-right accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    Output: (query_id, neighbor_id, rank, sim) with sim rounded to 6
+    decimals (portability), self-matches excluded, ties broken by
+    neighbor id. ``queries`` has the same (id_col, vec_col) schema;
+    it is broadcast — the corpus side stays partitioned.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )
+
+
+# --------------------------------------------------- LSH (hyperplane signs)
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Bucket id = sign bits against ``planes`` (deterministic)."""
+    key = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(vec, arr)
+        key = key + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return key
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 777,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in >= 1 of
+    ``n_tables`` hyperplane tables; exact cosine ranks candidates.
+
+    The scale path: corpus bucket keys are computed once per table
+    (JVM fold), the join key is (table, bucket) — no crossJoin.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        cb = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        ).withColumn("table", F.lit(t))
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        ).withColumn("table", F.lit(t))
+        joined = cb.join(F.broadcast(qb), ["table", "bucket"]).where(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        cands = joined if cands is None else cands.unionByName(joined)
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
+    )

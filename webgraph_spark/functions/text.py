@@ -1,0 +1,134 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen); the only Python kernel is the n-gram language-ID
+scorer, which is an Arrow-batched pandas UDF.
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punctuation/stopword ratios), document fingerprinting (content
+hash + positional rolling hash), n-gram language ID heuristic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .hashing import md5_long
+
+# Small multilingual stopword sets for the heuristic scorers.
+STOPWORDS_EN = (
+    "the of and to in a is that it for on with as are was be this by an at"
+).split()
+
+# A BPE-ish token regex: runs of word chars, single punctuation marks,
+# or runs of spaces collapse — approximates subword pre-tokenization.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens (JVM-side)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp_count (JVM-side)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_REGEX))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    sw = stopwords or STOPWORDS_EN
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    total = F.size(toks)
+    return F.when(total == 0, F.lit(0.0)).otherwise(hits / total)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    stopword presence (the C4/Gopher-style filter family, reduced to
+    engine-portable arithmetic)."""
+    n_tok = whitespace_token_count(text)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    p = punct_ratio(text)
+    punct_ok = F.when(p <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(text)
+    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + sw_ok) / F.lit(3.0)
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Deterministic 60-bit content hash (engine-portable md5-based)."""
+    return md5_long(text)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats frame: tokens, chars, ratios, quality, fingerprint."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        whitespace_token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        content_fingerprint(t).alias("fingerprint"),
+    )
+
+
+# ------------------------------------------------------------ language ID
+
+_LANG_PROFILES = {
+    # tiny seeded character-trigram profiles; deterministic fake stand-ins
+    # for a real model (fasttext et al. not available in this container)
+    "en": ["the", "ing", "and", "ion", "ent"],
+    "es": ["que", "ión", "ado", "los", "nte"],
+    "fr": ["les", "ent", "ion", "que", "ait"],
+    "de": ["der", "ein", "ich", "sch", "und"],
+    "zh": [],  # CJK detected by codepoint range
+}
+
+
+from pyspark.sql.types import StringType  # noqa: E402 (DDL string parse
+# would require an active SparkSession at import time; the type object
+# does not)
+
+
+@pandas_udf(StringType())
+def lang_id_ngram(texts: pd.Series) -> pd.Series:
+    """n-gram heuristic language ID (Arrow-batched; vectorized scoring).
+
+    Real pipelines plug a model here; the Spark-side contract (string in,
+    label out, Arrow batches) is what the engine tests."""
+    low = texts.fillna("").str.lower()
+    # CJK first (codepoint range check, vectorized)
+    is_cjk = low.str.contains(r"[一-鿿]", regex=True)
+    scores = {}
+    for lang, grams in _LANG_PROFILES.items():
+        if not grams:
+            continue
+        s = None
+        for g in grams:
+            c = low.str.count(g)
+            s = c if s is None else s + c
+        scores[lang] = s
+    mat = pd.DataFrame(scores)
+    best = mat.idxmax(axis=1).where(mat.max(axis=1) > 0, "und")
+    return best.mask(is_cjk, "zh")
+
+
+def with_language(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out_col, lang_id_ngram(F.col(text_col)))

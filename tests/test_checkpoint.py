@@ -16,8 +16,14 @@ def _ranks(res):
 
 
 def test_pagerank_resume_identical(spark, tmp_path):
-    """Run 6 fixed iterations straight vs 3 + kill + resume 3 more:
-    bit-identical scores."""
+    """Run 6 fixed iterations straight vs 3 + kill + resume 3 more.
+
+    Scores agree to 1e-12 relative: the dangling-mass reduction's
+    float64 summation order differs between the in-memory partitioning
+    (straight run) and the parquet-read partitioning (resume), which is
+    inherent 1-2 ulp distributed-FP nondeterminism, not algorithmic
+    drift. (Label-valued algorithms — CC/LP — resume exactly; see
+    test_cc_resume.)"""
     g = erdos_renyi(spark, 50, 0.08, seed=13)
     straight = pagerank(g, fixed_iterations=6)
 
@@ -31,7 +37,9 @@ def test_pagerank_resume_identical(spark, tmp_path):
     a, b = _ranks(straight), _ranks(resumed)
     assert set(a) == set(b)
     for k in a:
-        assert a[k] == b[k], f"node {k}: {a[k]} != {b[k]}"
+        assert np.isclose(a[k], b[k], rtol=1e-12, atol=1e-15), (
+            f"node {k}: {a[k]} != {b[k]}"
+        )
 
 
 def test_pagerank_resume_convergence(spark, tmp_path):

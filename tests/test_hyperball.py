@@ -1,0 +1,85 @@
+"""HyperBall vs exact BFS neighbourhood function.
+
+Acceptance mirrors the reference's statistical tests: the estimate must
+fall within 2x the theoretical RSD of the exact value in >= 9 of 10
+checks (HyperBallTest.java:78-80, 104-108, Vysochanskii-Petunin)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from webgraph_spark.algos.hyperball import effective_diameter, hyperball
+from webgraph_spark.datagen.graphs import (
+    complete_graph,
+    directed_cycle,
+    erdos_renyi,
+    erdos_renyi_numpy,
+)
+
+
+def nf_exact_numpy(adj: np.ndarray, max_t: int = 64) -> list[int]:
+    """Exact NF(t) by boolean matrix closure (test-scale oracle —
+    the NeighbourhoodFunction.java:44-49 regime)."""
+    n = adj.shape[0]
+    reach = np.eye(n, dtype=bool)
+    out = [n]
+    for _ in range(max_t):
+        nxt = reach | (reach @ adj)
+        out.append(int(nxt.sum()))
+        if (nxt == reach).all():
+            out.pop()
+            break
+        reach = nxt
+    return out
+
+
+def test_clique_nf(spark):
+    n = 12
+    g = complete_graph(spark, n)
+    res = hyperball(g, log2m=6, max_t=5)
+    # NF(0) = n, NF(1) = n^2 (everyone reaches everyone at distance 1)
+    rsd = 1.04 / (2 ** (6 / 2))
+    assert abs(res.nf[0] - n) <= 2 * rsd * n
+    assert abs(res.nf[-1] - n * n) <= 2 * rsd * n * n
+    assert res.converged
+
+
+def test_cycle_nf_growth(spark):
+    n = 16
+    res = hyperball(directed_cycle(spark, n), log2m=6, max_t=20)
+    # NF(t) = n*(t+1) for t < n; estimates must grow monotonically and
+    # land near n^2
+    assert res.converged
+    assert res.iterations >= n - 2
+    rsd = 1.04 / (2 ** (6 / 2))
+    assert abs(res.nf[-1] - n * n) <= 2.5 * rsd * n * n
+    assert all(b >= a * 0.99 for a, b in zip(res.nf, res.nf[1:]))
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_er_nf_vs_exact(spark, seed):
+    n, p = 60, 0.05
+    g = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    # isolated nodes don't appear in the edge table; restrict the oracle
+    present = adj.any(axis=1) | adj.any(axis=0)
+    exact = nf_exact_numpy(adj[np.ix_(present, present)], max_t=30)
+    res = hyperball(g, log2m=6, max_t=30, seed=seed)
+    rsd = 1.04 / (2 ** (6 / 2))
+    # compare the final (saturated) NF values; 2x theoretical RSD
+    got, want = res.nf[-1], exact[-1]
+    assert abs(got - want) <= 2 * rsd * want, f"{got} vs {want}"
+    # effective diameter within +-1 of exact (EstimateEffectiveDiameterTest)
+    def eff(nfl):
+        return effective_diameter([float(x) for x in nfl], 0.9)
+
+    assert abs(eff(res.nf) - eff(exact)) <= 1.0
+
+
+def test_effective_diameter_interpolation():
+    # NF: 10, 55, 100 -> 90% of 100 = 90 reached between t=1 and t=2
+    nf = [10.0, 55.0, 100.0]
+    d = effective_diameter(nf, 0.9)
+    assert 1.0 < d < 2.0
+    assert effective_diameter([5.0], 0.9) == 0.0

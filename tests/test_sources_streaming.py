@@ -1,0 +1,121 @@
+"""Source formats + Structured Streaming operators."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from webgraph_spark.datagen.graphs import erdos_renyi
+from webgraph_spark.operators.transforms import graphs_equal
+from webgraph_spark.sources.arclist import (
+    read_arclist,
+    read_asciigraph,
+    read_scattered_arcs,
+    write_arclist,
+    write_asciigraph,
+)
+
+
+def test_arclist_roundtrip(spark, tmp_path):
+    g = erdos_renyi(spark, 40, 0.1, seed=31)
+    p = str(tmp_path / "arcs")
+    write_arclist(g, p)
+    back = read_arclist(spark, p)
+    assert graphs_equal(back, g)
+
+
+def test_arclist_shifted(spark, tmp_path):
+    p = str(tmp_path / "shifted")
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "part.tsv"), "w") as f:
+        f.write("1\t2\n2\t3\n")  # 1-based
+    g = read_arclist(spark, p, shift=1)
+    assert sorted((r.src, r.dst) for r in g.collect()) == [(0, 1), (1, 2)]
+
+
+def test_asciigraph_roundtrip(spark, tmp_path):
+    g = erdos_renyi(spark, 20, 0.15, seed=33)
+    p = str(tmp_path / "ascii")
+    write_asciigraph(g, p, num_nodes=20)
+    back = read_asciigraph(spark, p)
+    assert graphs_equal(back, g)
+
+
+def test_scattered_arcs_dictionary(spark, tmp_path):
+    p = str(tmp_path / "scattered")
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "arcs.tsv"), "w") as f:
+        f.write("urlB\turlA\nurlA\turlC\nurlC\turlB\nurlC\turlC\n")
+    edges, dic = read_scattered_arcs(spark, p, no_loops=True)
+    d = {r.raw_id: r.node_id for r in dic.collect()}
+    # deterministic: ids assigned in lexicographic raw-id order
+    assert d == {"urlA": 0, "urlB": 1, "urlC": 2}
+    arcs = sorted((r.src, r.dst) for r in edges.collect())
+    assert arcs == [(0, 2), (1, 0), (2, 1)]  # loop dropped
+    # symmetrize option
+    e2, _ = read_scattered_arcs(spark, p, no_loops=True, symmetrize=True)
+    from webgraph_spark.operators.transforms import is_symmetric
+
+    assert is_symmetric(e2)
+
+
+def test_streaming_hourly_matches_batch(spark, tmp_path):
+    from webgraph_spark.streaming.events import hourly_counts, stream_events
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(src)
+    stage = str(tmp_path / "stream_src")
+    events.write.mode("overwrite").parquet(stage)
+
+    stream = stream_events(spark, stage)
+    assert stream.isStreaming
+    q = (
+        hourly_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT hour, event_type, n FROM hourly_test ORDER BY hour, event_type"
+    ).collect()
+    want = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("hour", "event_type")
+        .collect()
+    )
+    assert [(r.hour, r.event_type, r.n) for r in got] == [
+        (r.hour, r.event_type, r.n) for r in want
+    ]
+
+
+def test_streaming_sessions(spark, tmp_path):
+    from webgraph_spark.streaming.events import stream_events, user_sessions
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stage = str(tmp_path / "sess_src")
+    spark.read.parquet(src).write.mode("overwrite").parquet(stage)
+    q = (
+        user_sessions(stream_events(spark, stage))
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_test").toPandas()
+    assert len(got) > 0
+    # session counts per user match the batch lag-based sessionization
+    import __spark_entry__ as entry_mod
+
+    batch = entry_mod.q_event_sessions(spark, "/root/testdata/sf0.001").toPandas()
+    stream_counts = got.groupby("user_id").size().to_dict()
+    batch_counts = dict(zip(batch["user_id"], batch["n_sessions"]))
+    assert stream_counts == batch_counts

@@ -55,26 +55,36 @@ def connected_components(
     )
 
     def step(labels: DataFrame, k: int):
+        from pyspark.sql import Observation
+
         msgs = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = labels.join(msgs, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
+        obs = Observation()
+        new_labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.col("component").alias("_old"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("component") != F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("node", "component")
         )
-        return new_labels, {}
+        return new_labels, {}, obs
 
-    def converged_fn(old: DataFrame, new: DataFrame, k: int) -> bool:
-        changed = (
-            new.join(old.withColumnRenamed("component", "old"), "node")
-            .where(F.col("component") != F.col("old"))
-            .count()
-        )
-        return changed == 0
+    def stop(obs_metrics: dict, k: int) -> bool:
+        return obs_metrics.get("changed", 1) == 0
 
     labels, it, done = iterate(
         spark,
@@ -82,8 +92,8 @@ def connected_components(
         step,
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
-        converged=converged_fn,
         run_id=run_id,
+        stop=stop,
     )
     sym.unpersist()
     return ComponentsResult(labels, it, done)

@@ -55,6 +55,8 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
 
     def step(labels: DataFrame, k: int):
+        from pyspark.sql import Observation
+
         counts = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
@@ -65,18 +67,26 @@ def label_propagation(
             .where(F.col("_rn") == 1)
             .select("node", F.col("label").alias("new_label"))
         )
-        new_labels = labels.join(best, "node", "left").select(
-            "node", F.coalesce("new_label", "label").alias("label")
+        obs = Observation()
+        new_labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("_old"),
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("node", "label")
         )
-        return new_labels, {}
+        return new_labels, {}, obs
 
-    def converged_fn(old: DataFrame, new: DataFrame, k: int) -> bool:
-        return (
-            new.join(old.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .count()
-            == 0
-        )
+    def stop(obs_metrics: dict, k: int) -> bool:
+        return obs_metrics.get("changed", 1) == 0
 
     labels, it, done = iterate(
         spark,
@@ -84,8 +94,8 @@ def label_propagation(
         step,
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
-        converged=converged_fn,
         run_id=run_id,
+        stop=stop,
     )
     sym.unpersist()
     return LabelPropResult(labels, it, done)

@@ -10,25 +10,27 @@ Scale design (SURVEY.md §4 physical decisions):
 - out-degree is denormalized into the edge table ONCE (reference analog:
   offsets/outdegree are part of the stored graph, BVGraph.java:858-888),
   so each iteration joins ranks to edges on ``src`` only;
-- ranks are produced hash-partitioned on node id; the edge table is
-  pre-partitioned on ``src`` with the same partition count, so the
-  rank×edge join needs NO exchange — the only shuffle per iteration is
-  the ``groupBy(dst)`` aggregation, whose map-side partial aggregation
-  already collapses hub-dst skew (each map task emits one partial row
-  per dst); an optional explicit two-level salted aggregation is
-  available for extreme hubs (north_rule's "explicit salting");
-- dangling mass is one scalar aggregate, applied analytically;
+- ranks are produced hash-partitioned on node id and the edge table is
+  pre-partitioned on ``src``, so the rank×edge join needs no extra
+  exchange — the only shuffle per iteration is the ``groupBy(dst)``
+  aggregation, whose map-side partial aggregation collapses hub-dst
+  skew; an optional explicit two-level salted aggregation is available
+  for extreme hubs (north_rule's "explicit salting");
+- **one Spark job per iteration**: dangling mass and the L-inf
+  convergence delta are Observation metrics on the materializing action
+  (the dangling mass observed while writing iteration k feeds the
+  teleport base of iteration k+1 analytically);
 - iteration state flows through plans.iterate: durable per-iteration
   parquet checkpoints + per-partition lineage rows when
-  ``checkpoint_dir`` is set (resumable mid-run), else eager
-  localCheckpoint for lineage truncation only.
+  ``checkpoint_dir`` is set (resumable mid-run), else eager local
+  checkpoints for lineage truncation.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from ..plans.iterate import iterate
 
@@ -42,7 +44,7 @@ class PageRankResult:
 
 
 def _prepare(edges: DataFrame, num_partitions: int | None):
-    """Degree-annotated, src-partitioned edge table + node set."""
+    """Degree-annotated, src-partitioned edge table + flagged node set."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -53,13 +55,12 @@ def _prepare(edges: DataFrame, num_partitions: int | None):
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(out_deg.select(F.col("src").alias("node"), F.lit(0.0).alias("z")), "node", "left")
+        .select("node", F.when(F.col("z").isNull(), 1.0).otherwise(0.0).alias("dang"))
         .repartition(num_partitions, "node")
         .persist()
     )
-    dangling = nodes.join(
-        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).persist()
-    return ew, nodes, dangling, num_partitions
+    return ew, nodes, num_partitions
 
 
 def pagerank(
@@ -76,28 +77,34 @@ def pagerank(
     """PageRank over ``edges(src, dst)``.
 
     ``fixed_iterations`` runs exactly that many synchronous iterations
-    with no convergence checks (used for unrolled-SQL oracle parity);
+    with no convergence stop (used for unrolled-SQL oracle parity);
     otherwise iterate to L-inf < ``tol`` or ``max_iter``.
     ``checkpoint_dir`` enables durable resumable checkpoints + lineage.
     """
     spark = edges.sparkSession
-    ew, nodes, dangling, P = _prepare(edges, num_partitions)
+    ew, nodes, P = _prepare(edges, num_partitions)
     n = nodes.count()
     if n == 0:
         return PageRankResult(
             spark.createDataFrame([], "node long, rank double"), 0, True, 0.0
         )
 
-    ranks0 = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    state = {"delta": float("inf")}
+    # state: (node, rank, dang); dang is static but riding it in the
+    # state frame keeps each iteration a single self-contained join tree
+    ranks0 = nodes.select("node", F.lit(1.0 / n).alias("rank"), "dang")
+    carry: dict = {"dmass": None, "delta": float("inf")}
 
     def step(ranks: DataFrame, k: int):
-        dangling_mass = (
-            ranks.join(dangling, "node", "left_semi").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
+        if carry["dmass"] is None:
+            # only on (re)start: dangling mass of the carried-in state
+            carry["dmass"] = (
+                ranks.where(F.col("dang") > 0).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
+        base = (1.0 - alpha) / n + alpha * carry["dmass"] / n
+
         contribs_in = ew.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            ranks.select(F.col("node").alias("src"), "rank"), "src"
         ).select("src", "dst", (F.col("rank") / F.col("outdeg")).alias("c"))
         if salt_buckets:
             # explicit two-level salted aggregation for extreme hub dst:
@@ -112,43 +119,51 @@ def pagerank(
             )
         else:
             contribs = contribs_in.groupBy("dst").agg(F.sum("c").alias("contrib"))
-        base = (1.0 - alpha) / n + alpha * dangling_mass / n
+
+        obs = Observation()
         new_ranks = (
             nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .join(ranks.select("node", F.col("rank").alias("_old")), "node")
             .select(
                 "node",
                 (
-                    F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    F.lit(base)
+                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
+                "dang",
+                "_old",
             )
+            .observe(
+                obs,
+                F.sum(F.col("rank") * F.col("dang")).alias("dmass"),
+                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+            )
+            .select("node", "rank", "dang")
         )
-        return new_ranks, {"dangling_mass": dangling_mass}
+        return new_ranks, {"base": base}, obs
 
-    if fixed_iterations is not None:
-        converged_fn = None
-        max_it = fixed_iterations
-    else:
-        max_it = max_iter
+    def stop(obs_metrics: dict, k: int) -> bool:
+        carry["dmass"] = obs_metrics.get("dmass", carry["dmass"]) or 0.0
+        carry["delta"] = obs_metrics.get("delta", float("inf"))
+        if fixed_iterations is not None:
+            return False
+        return carry["delta"] < tol
 
-        def converged_fn(old: DataFrame, new: DataFrame, k: int) -> bool:
-            state["delta"] = (
-                new.join(old.select("node", F.col("rank").alias("old")), "node")
-                .agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-                .collect()[0][0]
-            )
-            return state["delta"] < tol
-
-    ranks, iters, done = iterate(
+    max_it = fixed_iterations if fixed_iterations is not None else max_iter
+    state, iters, done = iterate(
         spark,
         ranks0,
         step,
         max_iter=max_it,
         checkpoint_dir=checkpoint_dir,
-        converged=converged_fn,
         run_id=run_id,
+        stop=stop,
     )
     ew.unpersist()
-    dangling.unpersist()
+    nodes.unpersist()
     return PageRankResult(
-        ranks, iters, done or fixed_iterations is not None, float(state["delta"])
+        state.select("node", "rank"),
+        iters,
+        done or fixed_iterations is not None,
+        float(carry["delta"]),
     )

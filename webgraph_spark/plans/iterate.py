@@ -15,13 +15,17 @@ properties BVGraph.java:2554-2650). In Spark the concerns map to:
   output file (= per partition of the durable artifact): row count plus
   an order-insensitive BIT_XOR(xxhash64(*)) checksum — verifiable
   without re-reading history, stored in ``<base>/_lineage``.
+- **one job per iteration**: convergence statistics (L-inf delta,
+  changed-row counts, dangling mass) ride on the materializing action
+  as ``Observation`` metrics instead of separate aggregate jobs — at
+  hub-skew scale an extra full-table scan per iteration is real money.
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 
 class CheckpointManager:
@@ -67,7 +71,8 @@ class CheckpointManager:
     # ----------------------------------------------------------- save
     def save(self, df: DataFrame, iteration: int, metrics: dict | None = None) -> DataFrame:
         """Write iteration state, append lineage rows, return the re-read
-        (lineage-truncated, durable) DataFrame."""
+        (lineage-truncated, durable) DataFrame. The write IS the
+        materializing action — attached Observations fire here."""
         path = self._iter_path(iteration)
         t0 = time.time()
         df.write.mode("overwrite").parquet(path)
@@ -105,41 +110,54 @@ def iterate(
     step,
     max_iter: int,
     checkpoint_dir: str | None = None,
-    converged=None,
     run_id: str = "run",
-    start_iteration: int | None = None,
+    stop=None,
 ):
     """Generic driver loop shared by the iterative algorithms.
 
-    ``step(state, k) -> (new_state, metrics_dict)``;
-    ``converged(old_state, new_state, k) -> bool`` (optional).
-    With ``checkpoint_dir``, resumes from the last complete iteration.
+    ``step(state, k) -> (new_state, metrics_dict, observation_or_None)``
+    — attach convergence statistics to ``new_state`` via
+    ``pyspark.sql.Observation`` so they ride the materializing action
+    (ONE Spark job per iteration, no separate aggregate jobs).
+
+    ``stop(obs_metrics: dict, k) -> bool`` decides convergence from the
+    observed metrics. With ``checkpoint_dir``, state is durable and the
+    loop resumes from the last complete iteration.
+
     Returns (final_state, iterations_done, converged_flag).
     """
     mgr = CheckpointManager(spark, checkpoint_dir, run_id) if checkpoint_dir else None
     k0 = 0
     state = state0
-    if mgr is not None and start_iteration is None:
+    if mgr is not None:
         got = mgr.latest()
         if got is not None:
             k0, state = got
-    state = state.persist()
-    state.count()
+    if k0 == 0:
+        state = state.localCheckpoint(eager=True)
 
     done = False
     k = k0
     for k in range(k0 + 1, max_iter + 1):
-        new_state, metrics = step(state, k)
+        new_state, metrics, obs = step(state, k)
         if mgr is not None:
-            new_state = mgr.save(new_state, k, metrics)
+            new_state = mgr.save(new_state, k, metrics)  # action: write
         else:
-            new_state = new_state.persist().localCheckpoint(eager=True)
-        new_state = new_state.persist()
-        new_state.count()
-        if converged is not None and converged(state, new_state, k):
-            done = True
-        state.unpersist()
+            # persist THEN eagerly localCheckpoint: one action total
+            # (the checkpoint job materializes through the cache and the
+            # Observation fires on it). The persist is load-bearing, not
+            # an optimization: Spark 4's localCheckpoint rewrites
+            # LogicalRDD stats from the source plan, and join-product
+            # sizeInBytes estimates COMPOUND across nested checkpoints
+            # (BigInt digits double per iteration -> minutes of driver
+            # CPU by iteration ~25); the InMemoryRelation in between
+            # caps the stats and resets that growth every iteration.
+            cached = new_state.persist()
+            new_state = cached.localCheckpoint(eager=True)
+            cached.unpersist()
+        obs_metrics = dict(obs.get) if obs is not None else {}
         state = new_state
-        if done:
+        if stop is not None and stop(obs_metrics, k):
+            done = True
             break
     return state, k, done

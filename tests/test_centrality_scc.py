@@ -1,0 +1,107 @@
+"""Geometric centralities, distance CDF, SCC (Tarjan oracle + coloring)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from webgraph_spark.algos.centrality import (
+    distance_cdf,
+    geometric_centralities,
+    multi_source_bfs,
+)
+from webgraph_spark.algos.scc import (
+    scc_coloring,
+    scc_components_spark_oracle,
+    scc_numpy,
+)
+from webgraph_spark.datagen.graphs import (
+    directed_cycle,
+    erdos_renyi,
+    erdos_renyi_numpy,
+    two_cliques_bridge,
+)
+
+
+def _bfs_numpy(adj: np.ndarray, s: int) -> np.ndarray:
+    n = adj.shape[0]
+    dist = np.full(n, -1)
+    dist[s] = 0
+    frontier = [s]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for v in frontier:
+            for w in np.nonzero(adj[v])[0]:
+                if dist[w] == -1:
+                    dist[w] = d
+                    nxt.append(int(w))
+        frontier = nxt
+    return dist
+
+
+def test_multi_source_bfs_vs_numpy(spark):
+    n, p, seed = 40, 0.08, 11
+    g = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    sources = [0, 5, 17]
+    got = {
+        (r.source, r.node): r.dist
+        for r in multi_source_bfs(g, sources).collect()
+    }
+    for s in sources:
+        dist = _bfs_numpy(adj, s)
+        want = {(s, v): int(dist[v]) for v in range(n) if dist[v] >= 0}
+        got_s = {k: v for k, v in got.items() if k[0] == s}
+        assert got_s == want, f"source {s}"
+
+
+def test_geometric_centralities_cycle(spark):
+    n = 6
+    res = {r.source: r for r in geometric_centralities(directed_cycle(spark, n)).collect()}
+    # on C_n every node reaches all others; sum_d = n(n-1)/2
+    sum_d = n * (n - 1) / 2
+    harm = sum(1.0 / d for d in range(1, n))
+    for v in range(n):
+        assert res[v].reachable == n
+        assert abs(res[v].closeness - 1.0 / sum_d) < 1e-12
+        assert abs(res[v].harmonic - harm) < 1e-12
+        assert abs(res[v].lin - n * n / sum_d) < 1e-12
+
+
+def test_distance_cdf(spark):
+    g = directed_cycle(spark, 5)
+    cdf = {r.dist: (r.n_pairs, r.cum_pairs) for r in distance_cdf(g, [0]).collect()}
+    # from source 0: one node at each distance 0..4
+    assert cdf == {d: (1, d + 1) for d in range(5)}
+
+
+def test_scc_numpy_tarjan():
+    # two 3-cycles joined by a one-way bridge -> 2 SCCs
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+    comp = scc_numpy(edges, 6)
+    assert comp[0] == comp[1] == comp[2]
+    assert comp[3] == comp[4] == comp[5]
+    assert comp[0] != comp[3]
+
+
+@pytest.mark.parametrize("n,p,seed", [(30, 0.08, 41), (50, 0.05, 42)])
+def test_scc_coloring_matches_tarjan(spark, n, p, seed):
+    g = erdos_renyi(spark, n, p, seed=seed)
+    want = scc_components_spark_oracle(g)  # {node: scc_id}
+    got = {r.node: r.scc for r in scc_coloring(g, max_rounds=100).collect()}
+    assert set(got) == set(want)
+    # compare as partitions (ids differ)
+    def parts(lbl):
+        groups = {}
+        for v, c in lbl.items():
+            groups.setdefault(c, set()).add(v)
+        return {frozenset(s) for s in groups.values()}
+
+    assert parts(got) == parts(want)
+
+
+def test_scc_cycle_single(spark):
+    got = scc_coloring(directed_cycle(spark, 8)).collect()
+    assert len({r.scc for r in got}) == 1 and len(got) == 8

@@ -58,13 +58,13 @@ def connected_components(
         from pyspark.sql import Observation
 
         msgs = (
-            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            sym.join(labels.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
         obs = Observation()
         new_labels = (
-            labels.join(msgs, "node", "left")
+            labels.join(msgs.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 F.col("component").alias("_old"),
@@ -86,15 +86,18 @@ def connected_components(
     def stop(obs_metrics: dict, k: int) -> bool:
         return obs_metrics.get("changed", 1) == 0
 
-    labels, it, done = iterate(
-        spark,
-        labels0,
-        step,
-        max_iter=max_iter,
-        checkpoint_dir=checkpoint_dir,
-        run_id=run_id,
-        stop=stop,
-    )
+    from ..plans.iterate import iteration_confs
+
+    with iteration_confs(spark):
+        labels, it, done = iterate(
+            spark,
+            labels0,
+            step,
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            stop=stop,
+        )
     sym.unpersist()
     return ComponentsResult(labels, it, done)
 

@@ -112,35 +112,38 @@ def hyperball(
         )
         return est.agg(F.sum("e")).collect()[0][0]
 
+    from ..plans.iterate import iteration_confs
+
     state = counters0.localCheckpoint(eager=True)
     nf = [float(estimate_nf(state))]
 
     converged = False
     prev_fp = None
     t = 0
-    for t in range(1, max_t + 1):
-        succ = e.join(
-            state.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "reg", "val")
-        merged = (
-            state.unionByName(succ)
-            .groupBy("node", "reg")
-            .agg(F.max("val").alias("val"))
-        )
-        obs = Observation()
-        out = merged.observe(
-            obs, F.sum("val").alias("sv"), F.count("*").alias("cnt")
-        )
-        cached = out.persist()
-        state = cached.localCheckpoint(eager=True)
-        cached.unpersist()
-        fp = (obs.get.get("sv"), obs.get.get("cnt"))
-        if fp == prev_fp:
-            converged = True
-            t -= 1  # this round changed no register
-            break
-        prev_fp = fp
-        nf.append(float(estimate_nf(state)))
+    with iteration_confs(spark):
+        for t in range(1, max_t + 1):
+            succ = e.join(
+                state.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst"
+            ).select(F.col("src").alias("node"), "reg", "val")
+            merged = (
+                state.unionByName(succ)
+                .groupBy("node", "reg")
+                .agg(F.max("val").alias("val"))
+            )
+            obs = Observation()
+            out = merged.observe(
+                obs, F.sum("val").alias("sv"), F.count("*").alias("cnt")
+            )
+            cached = out.persist()
+            state = cached.localCheckpoint(eager=True)
+            cached.unpersist()
+            fp = (obs.get.get("sv"), obs.get.get("cnt"))
+            if fp == prev_fp:
+                converged = True
+                t -= 1  # this round changed no register
+                break
+            prev_fp = fp
+            nf.append(float(estimate_nf(state)))
     e.unpersist()
     nodes.unpersist()
     return HyperBallResult(nf, state, t, converged)

@@ -58,7 +58,7 @@ def label_propagation(
         from pyspark.sql import Observation
 
         counts = (
-            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            sym.join(labels.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -69,7 +69,7 @@ def label_propagation(
         )
         obs = Observation()
         new_labels = (
-            labels.join(best, "node", "left")
+            labels.join(best.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 F.col("label").alias("_old"),
@@ -88,15 +88,18 @@ def label_propagation(
     def stop(obs_metrics: dict, k: int) -> bool:
         return obs_metrics.get("changed", 1) == 0
 
-    labels, it, done = iterate(
-        spark,
-        labels0,
-        step,
-        max_iter=max_iter,
-        checkpoint_dir=checkpoint_dir,
-        run_id=run_id,
-        stop=stop,
-    )
+    from ..plans.iterate import iteration_confs
+
+    with iteration_confs(spark):
+        labels, it, done = iterate(
+            spark,
+            labels0,
+            step,
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            stop=stop,
+        )
     sym.unpersist()
     return LabelPropResult(labels, it, done)
 

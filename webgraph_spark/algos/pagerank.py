@@ -32,7 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from ..plans.iterate import iterate
+from ..plans.iterate import iterate, iteration_confs
 
 
 @dataclass
@@ -103,8 +103,13 @@ def pagerank(
             )
         base = (1.0 - alpha) / n + alpha * carry["dmass"] / n
 
+        # shuffle_hash hint: ranks are co-partitioned with ew on the join
+        # key; without the hint the planner broadcast-joins the rank side
+        # at small scale, rebuilding a multi-MB broadcast EVERY iteration
+        # (and a broadcast would be impossible at 10^10 nodes anyway)
         contribs_in = ew.join(
-            ranks.select(F.col("node").alias("src"), "rank"), "src"
+            ranks.select(F.col("node").alias("src"), "rank").hint("shuffle_hash"),
+            "src",
         ).select("src", "dst", (F.col("rank") / F.col("outdeg")).alias("c"))
         if salt_buckets:
             # explicit two-level salted aggregation for extreme hub dst:
@@ -122,8 +127,15 @@ def pagerank(
 
         obs = Observation()
         new_ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
-            .join(ranks.select("node", F.col("rank").alias("_old")), "node")
+            nodes.join(
+                contribs.withColumnRenamed("dst", "node").hint("shuffle_hash"),
+                "node",
+                "left",
+            )
+            .join(
+                ranks.select("node", F.col("rank").alias("_old")).hint("shuffle_hash"),
+                "node",
+            )
             .select(
                 "node",
                 (
@@ -150,15 +162,16 @@ def pagerank(
         return carry["delta"] < tol
 
     max_it = fixed_iterations if fixed_iterations is not None else max_iter
-    state, iters, done = iterate(
-        spark,
-        ranks0,
-        step,
-        max_iter=max_it,
-        checkpoint_dir=checkpoint_dir,
-        run_id=run_id,
-        stop=stop,
-    )
+    with iteration_confs(spark):
+        state, iters, done = iterate(
+            spark,
+            ranks0,
+            step,
+            max_iter=max_it,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            stop=stop,
+        )
     ew.unpersist()
     nodes.unpersist()
     return PageRankResult(

@@ -24,8 +24,42 @@ properties BVGraph.java:2554-2650). In Spark the concerns map to:
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+
+@contextmanager
+def iteration_confs(spark: SparkSession):
+    """Pin loop-friendly confs for the duration of an iterative job.
+
+    - AQE off: the loop's partitioning is chosen explicitly; adaptive
+      re-planning adds per-iteration driver latency (~25% measured at
+      1M edges) for no benefit on a fixed-shape recurrence.
+    - auto-broadcast off: iteration state is co-partitioned with the
+      edge table; the planner would otherwise rebuild a multi-MB
+      broadcast of the state EVERY iteration at small-to-mid scale
+      (explicit F.broadcast hints remain honored).
+    """
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 class CheckpointManager:

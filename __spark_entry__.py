@@ -273,6 +273,34 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def q_closeness_sample(spark, sf_dir):
+    from webgraph_spark.algos.centrality import geometric_centralities
+
+    e = _edges(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in e.where(F.col("src") < td.OFF_ORDER)
+        .select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(5)
+        .collect()
+    ]
+    out = geometric_centralities(e, srcs)
+    return out.select(
+        "source",
+        F.col("reachable").cast("long").alias("reachable"),
+        F.round("closeness", 9).alias("closeness"),
+        F.round("harmonic", 9).alias("harmonic"),
+    )
+
+
+def q_scc_dag(spark, sf_dir):
+    from webgraph_spark.algos.scc import scc_coloring
+
+    return scc_coloring(_edges(spark, sf_dir), max_rounds=30)
+
+
 # --------------------------------------------------- non-SQL (rows-only)
 
 def q_pagerank_converged(spark, sf_dir):
@@ -317,6 +345,15 @@ def q_transcript_graph(spark, sf_dir):
     return res.ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def q_hyperball_nf(spark, sf_dir):
+    from webgraph_spark.algos.hyperball import hyperball
+
+    res = hyperball(_edges(spark, sf_dir), log2m=5, max_t=10)
+    return spark.createDataFrame(
+        [(t, float(v)) for t, v in enumerate(res.nf)], "t long, nf double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -330,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_compose_cust_part": q_compose,
         "graph_quotient_nation": q_quotient_nation,
         "csr_roundtrip": q_csr_roundtrip,
+        "graph_closeness_sample": q_closeness_sample,
+        "graph_scc_dag": q_scc_dag,
         "docs_text_stats": q_text_stats,
         "docs_token_totals": q_token_totals,
         "docs_by_lang": q_docs_by_lang,
@@ -347,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh_top5": q_ann_lsh_top5,
         "multimodal_features": q_multimodal_features,
         "transcript_graph_pagerank": q_transcript_graph,
+        "graph_hyperball_nf": q_hyperball_nf,
     }
 
 
@@ -485,6 +525,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_compose_cust_part": td.compose_sql(),
         "graph_quotient_nation": td.quotient_nation_sql(),
         "csr_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "graph_closeness_sample": td.closeness_sql(n_sources=5),
+        "graph_scc_dag": td.scc_dag_sql(),
         "docs_text_stats": _text_stats_sql(),
         "docs_token_totals": f"""SELECT
   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END) AS BIGINT) AS ws_tokens,

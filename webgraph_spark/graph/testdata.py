@@ -189,6 +189,50 @@ v{k} AS (SELECT DISTINCT e.dst AS node, {k} AS dist
     )
 
 
+def closeness_sql(n_sources: int = 5, max_depth: int = 4, round_to: int = 9) -> str:
+    """Multi-source exact geometric centralities. The TPC-H graph is a
+    4-layer DAG (customer -> order -> part -> supplier), so BFS
+    saturates within ``max_depth`` rounds and the unrolled SQL is exact."""
+    parts = [EDGES_CTE]
+    parts.append(f"""
+srcs AS (SELECT o_custkey AS source FROM orders GROUP BY o_custkey
+         ORDER BY source LIMIT {n_sources})""")
+    parts.append("""
+v0 AS (SELECT source, source AS node, 0 AS dist FROM srcs)""")
+    for k in range(1, max_depth + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT source, node FROM v{j}" for j in range(k)
+        )
+        parts.append(f"""
+v{k} AS (SELECT DISTINCT f.source, e.dst AS node, {k} AS dist
+         FROM edges e JOIN v{k - 1} f ON e.src = f.node
+         WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p
+                           WHERE p.source = f.source AND p.node = e.dst))""")
+    all_v = " UNION ALL ".join(
+        f"SELECT source, node, dist FROM v{j}" for j in range(max_depth + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+dists AS ({all_v}),
+agg AS (
+  SELECT source, COUNT(*) AS reached, SUM(dist) AS sum_d,
+         SUM(1.0 / dist) AS harm
+  FROM dists WHERE dist > 0 GROUP BY source
+)
+SELECT s.source,
+       CAST(COALESCE(a.reached, 0) + 1 AS BIGINT) AS reachable,
+       ROUND(CASE WHEN a.sum_d IS NULL THEN 0.0 ELSE 1.0 / a.sum_d END, {round_to}) AS closeness,
+       ROUND(COALESCE(a.harm, 0.0), {round_to}) AS harmonic
+FROM srcs s LEFT JOIN agg a ON s.source = a.source"""
+    )
+
+
+def scc_dag_sql() -> str:
+    """The TPC-H link graph is acyclic, so every SCC is a singleton."""
+    return f"WITH {EDGES_CTE}, {NODES_CTE} SELECT node, node AS scc FROM nodes"
+
+
 def degree_dist_sql(direction: str = "out") -> str:
     col = "src" if direction == "out" else "dst"
     return f"""WITH {EDGES_CTE}

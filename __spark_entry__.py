@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph, top-20 with
     node-kind decoding (driver smoke check)."""
     edges = td.tpch_edges(spark, SF_DEFAULT)
-    res = pagerank(edges, tol=1e-6, max_iter=60)
+    res = pagerank(edges, tol=1e-6, max_iter=60, num_partitions=16)
     kind = (
         F.when(F.col("node") < td.OFF_ORDER, F.lit("customer"))
         .when(F.col("node") < td.OFF_PART, F.lit("order"))
@@ -100,17 +100,17 @@ def q_graph_stats(spark, sf_dir):
 
 
 def q_pagerank5(spark, sf_dir):
-    res = pagerank(_edges(spark, sf_dir), fixed_iterations=5)
+    res = pagerank(_edges(spark, sf_dir), fixed_iterations=5, num_partitions=16)
     return res.ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
 def q_cc8(spark, sf_dir):
-    res = connected_components(_edges(spark, sf_dir), max_iter=8)
+    res = connected_components(_edges(spark, sf_dir), max_iter=8, num_partitions=16)
     return res.labels.select("node", "component")
 
 
 def q_lp3(spark, sf_dir):
-    res = label_propagation(_edges(spark, sf_dir), max_iter=3)
+    res = label_propagation(_edges(spark, sf_dir), max_iter=3, num_partitions=16)
     return res.labels.select("node", "label")
 
 
@@ -122,7 +122,7 @@ def q_triangles(spark, sf_dir):
 def q_bfs3(spark, sf_dir):
     e = _edges(spark, sf_dir)
     src = e.where(F.col("src") < td.OFF_ORDER).agg(F.min("src")).collect()[0][0]
-    res = bfs(e, [int(src)], max_rounds=3)
+    res = bfs(e, [int(src)], max_rounds=3, num_partitions=16)
     return res.distances.select("node", F.col("dist").cast("long").alias("dist"))
 
 
@@ -304,12 +304,12 @@ def q_scc_dag(spark, sf_dir):
 # --------------------------------------------------- non-SQL (rows-only)
 
 def q_pagerank_converged(spark, sf_dir):
-    res = pagerank(_edges(spark, sf_dir), tol=1e-6, max_iter=100)
+    res = pagerank(_edges(spark, sf_dir), tol=1e-6, max_iter=100, num_partitions=16)
     return res.ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
 def q_cc_converged(spark, sf_dir):
-    res = connected_components(_edges(spark, sf_dir), max_iter=50)
+    res = connected_components(_edges(spark, sf_dir), max_iter=50, num_partitions=16)
     return res.labels
 
 
@@ -341,14 +341,14 @@ def q_transcript_graph(spark, sf_dir):
 
     tr = generate_transcripts(spark, n_convs=100)
     edges = simple_edges(extract_edges(tr, build_node_dictionary(tr)))
-    res = pagerank(edges, fixed_iterations=10)
+    res = pagerank(edges, fixed_iterations=10, num_partitions=16)
     return res.ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
 def q_hyperball_nf(spark, sf_dir):
     from webgraph_spark.algos.hyperball import hyperball
 
-    res = hyperball(_edges(spark, sf_dir), log2m=5, max_t=10)
+    res = hyperball(_edges(spark, sf_dir), log2m=5, max_t=10, num_partitions=16)
     return spark.createDataFrame(
         [(t, float(v)) for t, v in enumerate(res.nf)], "t long, nf double"
     )

@@ -77,7 +77,21 @@ def main():
     t0 = time.time()
     unpack_csr(packed).count()
     queries["csr_unpack"] = round(time.time() - t0, 3)
+
+    # ---- CSR-consuming PageRank (numpy message kernel), 5 iterations
+    from webgraph_spark.algos.pagerank_csr import pagerank_csr
+
+    t0 = time.time()
+    pr_csr = pagerank_csr(packed, fixed_iterations=5)
+    pr_csr.ranks.count()
+    queries["pagerank_csr_5iter"] = round(time.time() - t0, 3)
     packed.unpersist()
+
+    # ---- edge-table PageRank, same 5 iterations (comparison point)
+    t0 = time.time()
+    pr_edge5 = pagerank(edges, fixed_iterations=5)
+    pr_edge5.ranks.count()
+    queries["pagerank_edge_5iter"] = round(time.time() - t0, 3)
 
     # ---- connected components (hash-min to fixpoint)
     from webgraph_spark.algos.components import connected_components

@@ -147,3 +147,12 @@ def test_line_graph(spark):
         (ids[(1, 2)], ids[(2, 0)]),
         (ids[(2, 0)], ids[(0, 1)]),
     }
+
+
+def test_dot_export(spark):
+    from webgraph_spark.operators.export import to_dot
+
+    g = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    dot = to_dot(g, "fixture")
+    assert dot.startswith("digraph fixture {")
+    assert "0 -> 1;" in dot and "1 -> 2;" in dot

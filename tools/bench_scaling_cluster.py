@@ -1,0 +1,103 @@
+"""Scaling evidence on a REAL multi-executor cluster (standalone, localhost).
+
+The north rule's criterion is throughput scaling from N to 4N
+*executors*. A single local[k] JVM conflates thread scaling with GC and
+memory-bandwidth contention, so this harness starts from a Spark
+standalone cluster (master + one 32-core worker on localhost — started
+out-of-band, see BENCH/BASELINE.md) and submits the SAME PageRank job
+with --total-executor-cores 4 (1 executor x 4 cores) and 16
+(4 executors x 4 cores), reading the same stored parquet edge table.
+
+Throughput is measured over the steady-state iteration loop (5 fixed
+synchronous iterations; every iteration does identical work) — setup
+(ingest/persist/degree join) is a one-time cost reported separately.
+
+Usage: python tools/bench_scaling_cluster.py  (assumes master at
+spark://127.0.0.1:7077 and /tmp/scaling_edges parquet present).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+total_cores = int(sys.argv[1]); iters = int(sys.argv[2]); path = sys.argv[3]
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+spark = (SparkSession.builder.appName(f"scale{{total_cores}}")
+    .config("spark.sql.shuffle.partitions", str(max(total_cores, 4)))
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from webgraph_spark.algos.pagerank import pagerank, _prepare
+from webgraph_spark.plans.iterate import iteration_confs
+
+t_setup = time.time()
+edges = spark.read.parquet(path)
+n_edges = edges.count()
+# run one throwaway fixed iteration to materialize ew/nodes caches and
+# JIT-warm the executors, then time the steady-state loop
+warm = pagerank(edges, fixed_iterations=1)
+warm.ranks.count()
+t_setup = time.time() - t_setup
+
+t0 = time.time()
+res = pagerank(edges, fixed_iterations=iters)
+res.ranks.count()
+t_loop = time.time() - t0
+print(json.dumps({{
+    "total_cores": total_cores, "n_edges": n_edges, "iters": iters,
+    "setup_sec": round(t_setup, 1), "loop_sec": round(t_loop, 1),
+    "per_iter": round(t_loop / iters, 2),
+    "edges_per_sec": round(n_edges * iters / t_loop, 1)}}))
+spark.stop()
+"""
+
+
+def run_level(total_cores: int, iters: int, path: str, master: str) -> dict:
+    script = "/tmp/cluster_scaling_runner.py"
+    with open(script, "w") as f:
+        f.write(RUNNER.format(repo=REPO))
+    zip_path = "/tmp/webgraph_spark_pkg.zip"
+    subprocess.run(
+        ["zip", "-qr", zip_path, "webgraph_spark"], cwd=REPO, check=True
+    )
+    out = subprocess.run(
+        [
+            "spark-submit", "--master", master,
+            "--executor-cores", "4", "--executor-memory", "20g",
+            "--driver-memory", "8g",
+            "--total-executor-cores", str(total_cores),
+            "--conf", "spark.local.dir=/dev/shm/sparktmp",
+            "--py-files", zip_path,
+            script, str(total_cores), str(iters), path,
+        ],
+        capture_output=True, text=True, timeout=7200,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"level {total_cores} failed: {out.stderr[-3000:]}")
+    return json.loads(lines[-1])
+
+
+def main():
+    master = os.environ.get("SCALING_MASTER", "spark://127.0.0.1:7077")
+    path = os.environ.get("SCALING_EDGES_PATH", "/tmp/scaling_edges")
+    iters = int(os.environ.get("SCALING_ITERS", "5"))
+    os.makedirs("/dev/shm/sparktmp", exist_ok=True)
+    hi = run_level(16, iters, path, master)
+    lo = run_level(4, iters, path, master)
+    eff = round(hi["edges_per_sec"] / lo["edges_per_sec"] / 4.0, 3)
+    summary = {"low": lo, "high": hi, "scaling_efficiency_1to4_executors": eff}
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH", "cluster_scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

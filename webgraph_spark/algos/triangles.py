@@ -43,8 +43,15 @@ def _oriented(edges: DataFrame) -> DataFrame:
 def triangle_count(edges: DataFrame) -> int:
     """Exact number of triangles in the symmetrized simple graph."""
     o = _oriented(edges).persist()
+    # skew guard: a max-degree hub appears as dst in millions of oriented
+    # arcs but has NO outgoing oriented arcs (it lost every degree
+    # comparison), so arcs ending in such sinks can never extend to a
+    # wedge — semi-join them away BEFORE the join instead of shipping
+    # them into one straggler partition
+    mid_candidates = o.select(F.col("src").alias("dst")).distinct()
+    e1 = o.join(mid_candidates, "dst", "left_semi")
     wedges = (
-        o.alias("e1")
+        e1.alias("e1")
         .join(
             o.select(F.col("src").alias("mid"), F.col("dst").alias("w")).alias("e2"),
             F.col("e1.dst") == F.col("mid"),
@@ -67,8 +74,10 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     (local clustering numerator). Same plan, but each closed wedge
     credits its three corners via an explode-free triple union."""
     o = _oriented(edges).persist()
+    mid_candidates = o.select(F.col("src").alias("dst")).distinct()
+    e1 = o.join(mid_candidates, "dst", "left_semi")
     wedges = (
-        o.alias("e1")
+        e1.alias("e1")
         .join(
             o.select(F.col("src").alias("mid"), F.col("dst").alias("w")).alias("e2"),
             F.col("e1.dst") == F.col("mid"),

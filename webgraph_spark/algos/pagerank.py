@@ -125,16 +125,17 @@ def pagerank(
         else:
             contribs = contribs_in.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
+        # fold the old rank into the state frame: the state row set IS the
+        # node set, so one left join against contribs replaces the former
+        # nodes-join + old-rank-join pair (2 joins/iter instead of 3 — the
+        # state-side hash build was the dominant per-iteration fixed cost)
         obs = Observation()
         new_ranks = (
-            nodes.join(
+            ranks.withColumnRenamed("rank", "_old")
+            .join(
                 contribs.withColumnRenamed("dst", "node").hint("shuffle_hash"),
                 "node",
                 "left",
-            )
-            .join(
-                ranks.select("node", F.col("rank").alias("_old")).hint("shuffle_hash"),
-                "node",
             )
             .select(
                 "node",

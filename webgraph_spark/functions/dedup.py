@@ -147,19 +147,26 @@ def ngram_jaccard(
     shingle: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs:
-    (id_a, id_b, jaccard). Intersection via the exploded shingle table
-    (no array cross-products on the driver)."""
+    (id_a, id_b, jaccard). Pairs with no common shingle are omitted
+    (LSH candidates always share at least a band, so in the intended
+    pipeline every candidate appears).
+
+    Scale shape: the intersection is DRIVEN FROM ``pairs`` — join each
+    side's shingles by document id, then match on (id_b, shingle) — so
+    total work is bounded by |pairs| x shingles/doc. A shingle-keyed
+    self-join (sh JOIN sh ON s) would instead blow up quadratically on
+    any boilerplate shingle shared by many documents (10^6 docs sharing
+    one shingle -> 10^12 intermediate rows) before any pair filter can
+    apply; that shape is deliberately avoided here."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle))).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    # shingle-equijoin restricted to the candidate pair list
     both = (
-        sh.select(F.col("id").alias("id_a"), "s")
-        .join(sh.select(F.col("id").alias("id_b"), "s"), "s")
-        .where(F.col("id_a") < F.col("id_b"))
-        .join(pairs, ["id_a", "id_b"], "left_semi")
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -83,3 +83,52 @@ def test_effective_diameter_interpolation():
     d = effective_diameter(nf, 0.9)
     assert 1.0 < d < 2.0
     assert effective_diameter([5.0], 0.9) == 0.0
+
+
+def test_hyperball_centralities_2rsd_9of10(spark):
+    """HyperBall harmonic/closeness-sum vs exact GeometricCentralities,
+    the reference's own acceptance: within 2x theoretical RSD in >= 9 of
+    10 seeded runs (HyperBallTest.java:78-80 posture), on one ER graph."""
+    from webgraph_spark.algos.centrality import geometric_centralities
+    import pyspark.sql.functions as F
+
+    n, p = 50, 0.06
+    g = erdos_renyi(spark, n, p, seed=7).persist()
+    exact = (
+        geometric_centralities(g)
+        .agg(
+            F.sum("harmonic").alias("h"),
+            F.sum("reachable").alias("nf"),
+        )
+        .collect()[0]
+    )
+    log2m = 6
+    rsd = 1.04 / (2 ** (log2m / 2))
+    ok_h = ok_nf = 0
+    for seed in range(10):
+        res = hyperball(g, log2m=log2m, max_t=30, seed=100 + seed)
+        got = res.centralities().agg(
+            F.sum("harmonic").alias("h"), F.sum("reachable").alias("nf")
+        ).collect()[0]
+        if abs(got["h"] - exact["h"]) <= 2 * rsd * exact["h"]:
+            ok_h += 1
+        if abs(got["nf"] - exact["nf"]) <= 2 * rsd * exact["nf"]:
+            ok_nf += 1
+    g.unpersist()
+    assert ok_h >= 9, f"harmonic sum within 2xRSD only {ok_h}/10"
+    assert ok_nf >= 9, f"reachable sum within 2xRSD only {ok_nf}/10"
+
+
+def test_hyperball_discount_matches_harmonic(spark):
+    """A custom discount f(t)=1/t must reproduce the built-in harmonic
+    accumulator exactly (HyperBall.java:227-250 extension surface)."""
+    import pyspark.sql.functions as F
+
+    g = erdos_renyi(spark, 40, 0.08, seed=3)
+    res = hyperball(g, log2m=5, max_t=20, seed=5, discounts={"invd": lambda t: 1.0 / t})
+    diff = (
+        res.state.select(
+            F.max(F.abs(F.col("harmonic") - F.col("disc_invd"))).alias("d")
+        ).collect()[0]["d"]
+    )
+    assert diff < 1e-9

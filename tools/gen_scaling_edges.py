@@ -21,7 +21,18 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaling_edges_100m"
     from webgraph_spark.session import get_spark
 
-    spark = get_spark("gen_scaling_edges", master="local[32]", shuffle_partitions=64)
+    # 64g driver heap (local mode: driver == executor) and no auto-broadcast:
+    # at 3.2M convs the node-dictionary join side is ~1 GB serialized and a
+    # broadcast hash table of it OOMs the default 8g heap
+    spark = get_spark(
+        "gen_scaling_edges",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.driver.memory": "64g",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     from bench import build_transcript_graph
 

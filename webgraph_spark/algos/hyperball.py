@@ -1,37 +1,38 @@
-"""HyperBall: approximate neighbourhood function via per-node HLL counters.
+"""HyperBall: approximate neighbourhood function + geometric centralities
+via per-node HLL counters.
 
 Reference: algo/HyperBall.java:80-137 — each node keeps a HyperLogLog
 counter of its ball; iteration t merges every node's counter with its
 successors' counters by register-wise max (HyperBall.java:907-914);
 NF(t) = sum of per-node estimates; stop when no counter changed
-(``modified() == 0`` contract, HyperBall.java:134-137).
+(``modified() == 0`` contract, HyperBall.java:134-137). Per-iteration
+ball-size deltas feed the discounted centralities exactly as in
+HyperBall.java:960-967 (harmonic / closeness / Lin / custom discount
+functions, HyperBall.java:227-250).
 
-Spark-first representation — **sparse long-form registers**, no Python
-in the loop:
+Spark-first representation — **packed wide-column registers**:
 
-    counters(node: long, reg: int, val: int)   -- only registers > 0
+    state(node: long, r0..r{m-1}: tinyint, est/harmonic/sumdist: double)
 
-- init: one row per node — classic HLL add of hash(node): register
-  ``h mod m``, value ``rho(h div m)`` (HyperBall.java:639 init seeds
-  each counter with its own node);
-- iteration: ``edges JOIN counters ON dst`` emits successor registers
-  to each src; union own registers; ``groupBy(node, reg).max(val)`` IS
-  the register-wise max — one shuffle per iteration, all JVM;
-- convergence: register values only grow, so (sum(val), count(*)) is a
-  monotone fingerprint — observed on the materializing action; stable
-  fingerprint == no register changed (the reference's modified()==0);
-- estimate: standard HLL with small-range correction (zero registers
-  counted as m - nnz per node).
-
-The sparse form is also the systolic optimization's friend: early
-iterations carry few rows; a ``changed`` frontier filter can restrict
-the join (HyperBall.java:885 systolic mode) — not needed for
-correctness and omitted here.
+- the m registers are m tinyint COLUMNS, so the register-wise max IS
+  ``groupBy(node).agg(max(r0)..max(r_{m-1}))`` — all JVM, whole-stage
+  codegen, with map-side partial aggregation collapsing hub fan-in.
+  (A long-form (node, reg, val) encoding costs ~m x more shuffle rows;
+  an array<binary> encoding forces Python into the loop. Measured: the
+  wide form beats the sparse long form — see BENCH/BASELINE.md.)
+- the centrality accumulators ride the SAME aggregation: message rows
+  carry null accumulators, the state row carries the real ones, and
+  ``max`` ignores nulls — so one shuffle per iteration, no extra join;
+- NF(t) and the convergence fingerprint (sum of all registers — the
+  register file only grows, so a stable sum means no register changed)
+  are Observations on the materializing action: ONE Spark job per
+  iteration, no separate estimate pass.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
@@ -46,12 +47,59 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
+_SIGN_MASK = 0x7FFFFFFFFFFFFFFF
+
+
 @dataclass
 class HyperBallResult:
     nf: list[float]  # nf[t] = approx #pairs within distance t (t=0..T)
-    counters: DataFrame  # final (node, reg, val)
+    state: DataFrame  # (node, r0..r{m-1}, est, harmonic, sumdist, disc_*)
     iterations: int
     converged: bool
+    log2m: int
+
+    @property
+    def counters(self) -> DataFrame:  # back-compat alias
+        return self.state
+
+    def centralities(self) -> DataFrame:
+        """Per-node geometric centralities from the accumulated deltas
+        (HyperBall.java:960-967): reachable ~ |ball|, harmonic = sum
+        delta(t)/t, closeness = 1/sum(t*delta(t)), lin = |ball|^2 *
+        closeness (1.0 for nodes reaching nothing — the reference's
+        convention for isolated nodes)."""
+        disc = [c for c in self.state.columns if c.startswith("disc_")]
+        return self.state.select(
+            "node",
+            F.col("est").alias("reachable"),
+            "harmonic",
+            F.when(F.col("sumdist") > 0, 1.0 / F.col("sumdist"))
+            .otherwise(0.0)
+            .alias("closeness"),
+            F.when(
+                F.col("sumdist") > 0, F.col("est") * F.col("est") / F.col("sumdist")
+            )
+            .otherwise(1.0)
+            .alias("lin"),
+            *disc,
+        )
+
+
+def _estimate_expr(m: int, reg_cols: list[str]):
+    """Standard HLL estimate with small-range (linear counting)
+    correction, as one JVM expression tree over the register columns."""
+    z = None
+    nnz = None
+    for c in reg_cols:
+        term = F.pow(F.lit(2.0), -F.col(c).cast("double"))
+        one = F.when(F.col(c) > 0, 1).otherwise(0)
+        z = term if z is None else z + term
+        nnz = one if nnz is None else nnz + one
+    e_raw = F.lit(_alpha(m) * m * m) / z
+    return F.when(
+        (e_raw < 2.5 * m) & (nnz < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - nnz)),
+    ).otherwise(e_raw)
 
 
 def hyperball(
@@ -60,12 +108,22 @@ def hyperball(
     max_t: int = 64,
     num_partitions: int | None = None,
     seed: int = 31,
+    discounts: dict[str, Callable[[int], float]] | None = None,
 ) -> HyperBallResult:
-    """Approximate neighbourhood function of the directed graph."""
+    """Approximate neighbourhood function + centralities of the directed
+    graph. ``discounts`` adds one accumulator column ``disc_<name>`` per
+    custom discount function f: acc += delta(t) * f(t)
+    (HyperBall discount-function extension surface, HyperBall.java:227-250).
+    """
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if not 2 <= log2m <= 8:
+        raise ValueError("log2m must be in [2, 8] (wide-column register file)")
     m = 1 << log2m
+    reg_cols = [f"r{j}" for j in range(m)]
+    discounts = discounts or {}
+    acc_cols = ["est", "harmonic", "sumdist"] + [f"disc_{k}" for k in discounts]
 
     e = edges.select("src", "dst").distinct().repartition(num_partitions, "dst").persist()
     nodes = (
@@ -76,77 +134,110 @@ def hyperball(
     )
     n = nodes.count()
     if n == 0:
-        return HyperBallResult([], spark.createDataFrame([], "node long, reg int, val int"), 0, True)
+        e.unpersist()
+        nodes.unpersist()
+        empty = spark.createDataFrame([], "node long")
+        return HyperBallResult([], empty, 0, True, log2m)
 
-    # classic HLL add: h = hash64(node); reg = h mod m; val = rho(h >> log2m)
-    # rho = 1 + leading zeros within the remaining 63-log2m bit budget;
-    # highest-set-bit position via length of the base-2 string repr
-    h = F.abs(F.xxhash64(F.col("node"), F.lit(seed)))
-    rest = F.shiftright(h, log2m)
+    # classic HLL add of hash(node) (HyperBall.java:639 seeds each counter
+    # with its own node): reg = h mod m (pmod — abs() would fold the sign
+    # bit and break on Long.MIN_VALUE), rho = 1 + leading zeros of the
+    # sign-masked remaining 63-log2m bits (highest-set-bit position via
+    # the base-2 string length)
+    h = F.xxhash64(F.col("node"), F.lit(seed))
+    rest = F.shiftright(h.bitwiseAND(F.lit(_SIGN_MASK)), log2m)
     budget = 63 - log2m
     rho = F.when(rest == F.lit(0), F.lit(budget + 1)).otherwise(
         F.lit(budget + 1) - F.length(F.conv(rest.cast("string"), 10, 2))
     )
-    counters0 = nodes.select(
-        "node",
-        (h % m).cast("int").alias("reg"),
-        rho.cast("int").alias("val"),
+    reg = F.pmod(h, F.lit(m)).cast("int")
+    init_regs = [
+        F.when(reg == j, rho).otherwise(0).cast("byte").alias(c)
+        for j, c in enumerate(reg_cols)
+    ]
+    est0 = _estimate_expr(m, reg_cols)
+    state0 = (
+        nodes.select("node", *init_regs)
+        .select(
+            "node",
+            *reg_cols,
+            est0.alias("est"),
+            F.lit(0.0).alias("harmonic"),
+            F.lit(0.0).alias("sumdist"),
+            *[F.lit(0.0).alias(f"disc_{k}") for k in discounts],
+        )
     )
-
-    def estimate_nf(counters: DataFrame) -> float:
-        per_node = counters.groupBy("node").agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("val"))).alias("z_nz"),
-            F.count("*").alias("nnz"),
-        )
-        am = _alpha(m)
-        e_raw = F.lit(am * m * m) / (F.col("z_nz") + (m - F.col("nnz")))
-        # small-range correction: linear counting while zero registers
-        # remain and the raw estimate is below 2.5 m (standard HLL)
-        est = per_node.select(
-            F.when(
-                (e_raw < 2.5 * m) & (F.col("nnz") < m),
-                F.lit(float(m)) * F.log(F.lit(float(m)) / (m - F.col("nnz"))),
-            )
-            .otherwise(e_raw)
-            .alias("e")
-        )
-        return est.agg(F.sum("e")).collect()[0][0]
 
     from ..plans.iterate import iteration_confs
 
-    state = counters0.localCheckpoint(eager=True)
-    nf = [float(estimate_nf(state))]
+    # persist-then-localCheckpoint: see plans/iterate.py — the persist is
+    # load-bearing (caps Spark 4 LogicalRDD stats growth)
+    def _materialize(df: DataFrame) -> DataFrame:
+        cached = df.persist()
+        out = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        return out
+
+    state = _materialize(state0)
+    nf = [float(state.agg(F.sum("est")).collect()[0][0])]
+
+    null_accs = [F.lit(None).cast("double").alias(c) for c in acc_cols]
+    reg_total = None
+    for c in reg_cols:
+        t_ = F.col(c).cast("long")
+        reg_total = t_ if reg_total is None else reg_total + t_
 
     converged = False
     prev_fp = None
     t = 0
     with iteration_confs(spark):
         for t in range(1, max_t + 1):
-            succ = e.join(
-                state.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst"
-            ).select(F.col("src").alias("node"), "reg", "val")
+            msgs = e.join(
+                state.select(F.col("node").alias("dst"), *reg_cols).hint(
+                    "shuffle_hash"
+                ),
+                "dst",
+            ).select(F.col("src").alias("node"), *reg_cols, *null_accs)
             merged = (
-                state.unionByName(succ)
-                .groupBy("node", "reg")
-                .agg(F.max("val").alias("val"))
+                state.unionByName(msgs)
+                .groupBy("node")
+                .agg(
+                    *[F.max(c).alias(c) for c in reg_cols],
+                    *[F.max(c).alias(c) for c in acc_cols],
+                )
             )
+            est_new = _estimate_expr(m, reg_cols)
+            delta = est_new - F.col("est")
             obs = Observation()
-            out = merged.observe(
-                obs, F.sum("val").alias("sv"), F.count("*").alias("cnt")
+            new_state = merged.select(
+                "node",
+                *reg_cols,
+                est_new.alias("est"),
+                (F.col("harmonic") + delta / t).alias("harmonic"),
+                (F.col("sumdist") + delta * t).alias("sumdist"),
+                *[
+                    (F.col(f"disc_{k}") + delta * F.lit(float(fn(t)))).alias(
+                        f"disc_{k}"
+                    )
+                    for k, fn in discounts.items()
+                ],
+            ).observe(
+                obs,
+                F.sum(reg_total).alias("sv"),
+                F.sum("est").alias("nf"),
             )
-            cached = out.persist()
-            state = cached.localCheckpoint(eager=True)
-            cached.unpersist()
-            fp = (obs.get.get("sv"), obs.get.get("cnt"))
+            state = _materialize(new_state)
+            got = obs.get
+            fp = got.get("sv")
             if fp == prev_fp:
                 converged = True
                 t -= 1  # this round changed no register
                 break
             prev_fp = fp
-            nf.append(float(estimate_nf(state)))
+            nf.append(float(got.get("nf")))
     e.unpersist()
     nodes.unpersist()
-    return HyperBallResult(nf, state, t, converged)
+    return HyperBallResult(nf, state, t, converged, log2m)
 
 
 def effective_diameter(nf: list[float], quantile: float = 0.9) -> float:

@@ -163,3 +163,19 @@ def test_neighbourhood_function_cycle(spark):
     nf = neighbourhood_function_exact(g, max_t=5)
     # NF(t) = n * (t+1) until saturation at n^2
     assert nf[0] == 5 and nf[1] == 10 and nf[4] == 25
+
+
+def test_cc_lp_keep_self_loop_only_nodes(spark):
+    """A node appearing ONLY in a self-loop is still a node: CC labels it
+    as its own component, LP keeps its own label (round-1 advice: the
+    engine used to drop it while a plain-endpoint oracle keeps it)."""
+    from webgraph_spark.algos.components import connected_components
+    from webgraph_spark.algos.labelprop import label_propagation
+
+    g = spark.createDataFrame(
+        [(0, 1), (1, 0), (7, 7)], "src long, dst long"
+    )
+    cc = {r.node: r.component for r in connected_components(g).labels.collect()}
+    assert cc == {0: 0, 1: 0, 7: 7}
+    lp = {r.node: r.label for r in label_propagation(g, max_iter=3).labels.collect()}
+    assert set(lp) == {0, 1, 7} and lp[7] == 7

@@ -105,3 +105,23 @@ def test_scc_coloring_matches_tarjan(spark, n, p, seed):
 def test_scc_cycle_single(spark):
     got = scc_coloring(directed_cycle(spark, 8)).collect()
     assert len({r.scc for r in got}) == 1 and len(got) == 8
+
+
+def test_scc_coloring_many_small_sccs_few_rounds(spark):
+    """1000 3-cycles chained by one-way bridges: the per-color batched
+    backward BFS must peel ALL of them together — max_rounds=10 would
+    fail loudly (RuntimeError) under one-pivot-per-round peeling."""
+    edges = []
+    for i in range(1000):
+        b = 3 * i
+        edges += [(b, b + 1), (b + 1, b + 2), (b + 2, b)]
+        if i:
+            edges.append((b - 1, b))  # DAG bridge between consecutive cycles
+    g = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.scc for r in scc_coloring(g, max_rounds=10).collect()}
+    assert len(got) == 3000
+    comps = {}
+    for v, c in got.items():
+        comps.setdefault(c, set()).add(v)
+    assert len(comps) == 1000
+    assert all(s == {min(s), min(s) + 1, min(s) + 2} for s in comps.values())

@@ -43,12 +43,17 @@ def connected_components(
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from ..operators.transforms import no_loops
+
+    # node set from ALL edge endpoints (a node appearing only in a
+    # self-loop is still a node and labels itself); self-loops are then
+    # dropped from the propagation edges — they can never change a min
     sym = edges.select("src", "dst") if assume_symmetric else symmetrize(edges)
-    sym = sym.repartition(num_partitions, "src").persist()
+    sym = no_loops(sym).repartition(num_partitions, "src").persist()
 
     labels0 = (
-        sym.select(F.col("src").alias("node"))
-        .unionByName(sym.select(F.col("dst").alias("node")))
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("component"))
         .repartition(num_partitions, "node")

@@ -42,9 +42,12 @@ def label_propagation(
     sym = edges.select("src", "dst") if assume_symmetric else symmetrize(edges)
     sym = no_loops(sym).repartition(num_partitions, "src").persist()
 
+    # node set from ALL edge endpoints: a node appearing only in a
+    # self-loop keeps its own label (isolated-node semantics) rather
+    # than silently vanishing from the output
     labels0 = (
-        sym.select(F.col("src").alias("node"))
-        .unionByName(sym.select(F.col("dst").alias("node")))
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )

@@ -1,4 +1,4 @@
-"""Strongly connected components — fixture-scale implementations.
+"""Strongly connected components.
 
 The reference computes SCCs with an iterative Tarjan DFS
 (algo/StronglyConnectedComponents.java:54-66) and cross-checks it in
@@ -8,16 +8,20 @@ distributed core. Two implementations are provided:
 
 - ``scc_numpy``: iterative Tarjan on collected edges — the exact
   oracle, fixture scale only (the reference's own posture);
-- ``scc_coloring``: the distributed forward/backward-reachability
-  coloring algorithm (Orzan/Schudy family) built from the engine's BFS
-  primitive — correct at any scale, O(diameter * #components-ish)
-  rounds, practical when a few large SCCs dominate (web graphs).
+- ``scc_coloring``: the distributed FW-BW *coloring* algorithm
+  (Orzan/Schudy family): every outer round (1) trims source/sink
+  singletons to exhaustion, (2) colors every live node with the MAX
+  node id that reaches it (forward max-propagation to fixpoint), then
+  (3) peels ONE SCC PER COLOR CLASS simultaneously — a single batched
+  backward BFS keyed by color, restricted to same-color nodes, from
+  every pivot at once. Expected O(log n) outer rounds; thousands of
+  small SCCs peel together instead of one pivot per round.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def scc_numpy(edges_rows: list[tuple[int, int]], n: int) -> np.ndarray:
@@ -82,76 +86,133 @@ def scc_components_spark_oracle(edges: DataFrame) -> dict[int, int]:
     return {v: int(comp[remap[v]]) for v in nodes}
 
 
-def scc_coloring(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
-    """Distributed SCC by iterated forward-backward reachability:
+def _ckpt(df: DataFrame) -> DataFrame:
+    cached = df.persist()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
 
-    repeat: color every node with the max node id that reaches it
-    (forward propagation); an SCC is the set of nodes with color c that
-    can reach c going backward. Peels one batch of SCCs per round —
-    efficient when large SCCs dominate. Returns (node, scc)."""
-    from ..algos.bfs import bfs
 
+def scc_coloring(
+    edges: DataFrame, max_rounds: int = 50, max_inner: int = 10_000
+) -> DataFrame:
+    """Distributed SCC via FW-BW coloring. Returns (node, scc); scc
+    labels are representative node ids. Raises RuntimeError if
+    ``max_rounds`` outer rounds exhaust before every node is assigned
+    (a silently partial labeling is never returned)."""
     spark = edges.sparkSession
-    e_all = edges.select("src", "dst").distinct().persist()
+    from ..plans.iterate import iteration_confs
+
+    e_all = _ckpt(edges.select("src", "dst").distinct())
     remaining = e_all
-    nodes = (
+    live = _ckpt(
         e_all.select(F.col("src").alias("node"))
         .unionByName(e_all.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     assigned = spark.createDataFrame([], "node long, scc long")
-    live = nodes
-    for _ in range(max_rounds):
-        if live.isEmpty():
-            break
-        # trim: live nodes with no out-arcs or no in-arcs among the
-        # remaining edges are singleton SCCs (standard trimming — peels
-        # the long tail so pivot rounds only handle non-trivial SCCs)
-        srcs = remaining.select(F.col("src").alias("node")).distinct()
-        dsts = remaining.select(F.col("dst").alias("node")).distinct()
-        trivial = (
-            live.join(srcs, "node", "left_anti")
-            .unionByName(live.join(dsts, "node", "left_anti"))
-            .distinct()
-            .select("node", F.col("node").alias("scc"))
+
+    def drop_assigned(batch: DataFrame):
+        nonlocal live, remaining
+        live = _ckpt(live.join(batch.select("node"), "node", "left_anti"))
+        remaining = _ckpt(
+            remaining.join(
+                batch.select(F.col("node").alias("src")), "src", "left_anti"
+            ).join(batch.select(F.col("node").alias("dst")), "dst", "left_anti")
         )
-        if not trivial.isEmpty():
-            trivial = trivial.localCheckpoint(eager=True)
-            assigned = assigned.unionByName(trivial).localCheckpoint(eager=True)
-            live = live.join(trivial.select("node"), "node", "left_anti").localCheckpoint(
-                eager=True
-            )
-            remaining = (
-                remaining.join(
-                    trivial.select(F.col("node").alias("src")), "src", "left_anti"
+
+    with iteration_confs(spark):
+        for _ in range(max_rounds):
+            if live.isEmpty():
+                break
+            # ---- 1) trim source/sink singletons to exhaustion: a live
+            # node with no out-arc or no in-arc among remaining edges is
+            # its own SCC; peeling exposes more, so iterate
+            while True:
+                srcs = remaining.select(F.col("src").alias("node")).distinct()
+                dsts = remaining.select(F.col("dst").alias("node")).distinct()
+                trivial = _ckpt(
+                    live.join(srcs, "node", "left_anti")
+                    .unionByName(live.join(dsts, "node", "left_anti"))
+                    .distinct()
+                    .select("node", F.col("node").alias("scc"))
                 )
-                .join(trivial.select(F.col("node").alias("dst")), "dst", "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            continue
-        # pivot = max live node id; SCC(pivot) = fwd-reach ∩ bwd-reach
-        pivot = live.agg(F.max("node")).collect()[0][0]
-        fwd = bfs(remaining, [int(pivot)]).distances.select("node")
-        bwd = bfs(
-            remaining.select(
+                if trivial.isEmpty():
+                    break
+                assigned = _ckpt(assigned.unionByName(trivial))
+                drop_assigned(trivial)
+            if live.isEmpty():
+                break
+
+            # ---- 2) color every node with the max node id that reaches
+            # it (forward max-propagation to fixpoint, changed-count as
+            # an Observation on the materializing action)
+            colors = _ckpt(live.select("node", F.col("node").alias("color")))
+            for _k in range(max_inner):
+                msgs = (
+                    remaining.join(
+                        colors.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.max("color").alias("mx"))
+                )
+                obs = Observation()
+                new_colors = (
+                    colors.join(msgs.hint("shuffle_hash"), "node", "left")
+                    .select(
+                        "node",
+                        F.col("color").alias("_old"),
+                        F.greatest(
+                            F.col("color"), F.coalesce("mx", F.col("color"))
+                        ).alias("color"),
+                    )
+                    .observe(
+                        obs,
+                        F.sum(
+                            F.when(F.col("color") != F.col("_old"), 1).otherwise(0)
+                        ).alias("changed"),
+                    )
+                    .select("node", "color")
+                )
+                colors = _ckpt(new_colors)
+                if obs.get.get("changed", 1) == 0:
+                    break
+
+            # ---- 3) one batched backward BFS from ALL pivots at once
+            # (pivot of color class c is node c itself), restricted to
+            # same-color nodes: SCC(c) = {v : color(v)=c, v reaches c}
+            rev = remaining.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
-            ),
-            [int(pivot)],
-        ).distances.select("node")
-        scc = fwd.join(bwd, "node", "inner").select(
-            "node", F.lit(int(pivot)).alias("scc")
-        )
-        scc = scc.localCheckpoint(eager=True)
-        assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
-        live = live.join(scc.select("node"), "node", "left_anti").localCheckpoint(
-            eager=True
-        )
-        remaining = (
-            remaining.join(scc.select(F.col("node").alias("src")), "src", "left_anti")
-            .join(scc.select(F.col("node").alias("dst")), "dst", "left_anti")
-            .localCheckpoint(eager=True)
+            )
+            frontier = _ckpt(
+                colors.where(F.col("node") == F.col("color")).select("color", "node")
+            )
+            visited = frontier
+            for _k in range(max_inner):
+                nxt = _ckpt(
+                    rev.join(frontier.withColumnRenamed("node", "src"), "src")
+                    .select("color", F.col("dst").alias("node"))
+                    .distinct()
+                    # stay inside the color class (valid: any node on a
+                    # backward path from a color-c node to c is in SCC(c))
+                    .join(colors.withColumnRenamed("color", "c2"), "node")
+                    .where(F.col("c2") == F.col("color"))
+                    .select("color", "node")
+                    .join(visited, ["color", "node"], "left_anti")
+                )
+                if nxt.isEmpty():
+                    break
+                visited = _ckpt(visited.unionByName(nxt))
+                frontier = nxt
+            sccs = _ckpt(visited.select("node", F.col("color").alias("scc")))
+            assigned = _ckpt(assigned.unionByName(sccs))
+            drop_assigned(sccs)
+
+    if not live.isEmpty():
+        raise RuntimeError(
+            f"scc_coloring did not converge within max_rounds={max_rounds}; "
+            "increase max_rounds (a partial labeling is never returned)"
         )
     e_all.unpersist()
-    nodes.unpersist()
     return assigned

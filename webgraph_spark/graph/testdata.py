@@ -112,10 +112,9 @@ r{k} AS (SELECT n.node,
 
 def cc_sql(rounds: int = 8) -> str:
     """Unrolled k-round hash-min connected components."""
-    parts = [EDGES_CTE, SYM_CTE]
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
     parts.append("""
-l0 AS (SELECT node, node AS component FROM (
-  SELECT src AS node FROM sym UNION SELECT dst FROM sym) t)""")
+l0 AS (SELECT node, node AS component FROM nodes)""")
     for k in range(1, rounds + 1):
         prev = f"l{k - 1}"
         parts.append(f"""
@@ -130,10 +129,9 @@ l{k} AS (SELECT l.node,
 
 def lp_sql(rounds: int = 3) -> str:
     """Unrolled k-round synchronous label propagation, min tie-break."""
-    parts = [EDGES_CTE, SYM_CTE]
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
     parts.append("""
-l0 AS (SELECT node, node AS label FROM (
-  SELECT src AS node FROM sym UNION SELECT dst FROM sym) t)""")
+l0 AS (SELECT node, node AS label FROM nodes)""")
     for k in range(1, rounds + 1):
         prev = f"l{k - 1}"
         parts.append(f"""

@@ -28,10 +28,16 @@ RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 total_cores = int(sys.argv[1]); iters = int(sys.argv[2]); path = sys.argv[3]
+import os
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
+# FIXED partition count at every level: both cluster sizes execute the
+# identical 64-task decomposition (what a real job does when executors
+# scale against the same data), and the per-partition shuffled-hash-join
+# build stays ~1M rows regardless of core count
+parts = int(os.environ.get("SCALING_PARTITIONS", "64"))
 spark = (SparkSession.builder.appName(f"scale{{total_cores}}")
-    .config("spark.sql.shuffle.partitions", str(max(total_cores, 4)))
+    .config("spark.sql.shuffle.partitions", str(parts))
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from webgraph_spark.algos.pagerank import pagerank, _prepare

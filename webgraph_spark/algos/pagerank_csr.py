@@ -108,7 +108,14 @@ def pagerank_csr(
             counts = np.frombuffer(row["counts"], dtype=np.int64)
             srcs = np.frombuffer(row["srcs"], dtype=np.int64)
             pos = np.searchsorted(rnode, srcs)
-            rank_per_list = rrank[pos]  # srcs ⊆ rank nodes by construction
+            # srcs ⊆ rank nodes by construction — but fail LOUDLY if a
+            # rank row ever goes missing (routing bug / corrupt block)
+            # instead of crediting a neighboring node's rank
+            if len(srcs) and (pos >= len(rnode)).any():
+                raise ValueError("pagerank_csr: src beyond rank-state range")
+            if len(srcs) and (rnode[pos] != srcs).any():
+                raise ValueError("pagerank_csr: rank rows missing for block srcs")
+            rank_per_list = rrank[pos]
             contrib_per_edge = np.repeat(rank_per_list / counts, counts)
             u, inv = np.unique(dst, return_inverse=True)
             acc = np.zeros(len(u), dtype=np.float64)
@@ -135,16 +142,15 @@ def pagerank_csr(
             rb.groupBy("block_id")
         ).applyInPandas(gen_msgs, schema="dst long, c double")
         contribs = msgs.groupBy("dst").agg(F.sum("c").alias("contrib"))
+        # fold the old rank into the state frame (one left join instead
+        # of nodes-join + old-rank-join — same shape as algos.pagerank)
         obs = Observation()
         new_ranks = (
-            nodes.join(
+            ranks.withColumnRenamed("rank", "_old")
+            .join(
                 contribs.withColumnRenamed("dst", "node").hint("shuffle_hash"),
                 "node",
                 "left",
-            )
-            .join(
-                ranks.select("node", F.col("rank").alias("_old")).hint("shuffle_hash"),
-                "node",
             )
             .select(
                 "node",
@@ -176,6 +182,7 @@ def pagerank_csr(
             spark, ranks0, step, max_iter=max_it, stop=stop, run_id="pagerank_csr"
         )
     nodes.unpersist()
+    blocks.unpersist()
     return PageRankResult(
         state.select("node", "rank"),
         iters,

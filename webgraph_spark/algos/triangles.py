@@ -95,5 +95,10 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
         .unionAll(closed.select(F.col("w").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
+        # materialize through the caches so they can be released here
+        # (the count path unpersists; this path used to leak both)
+        .localCheckpoint(eager=True)
     )
+    closed.unpersist()
+    o.unpersist()
     return per

@@ -57,6 +57,12 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+# namespace for turn nodes the batch dictionary has not seen yet: far
+# above any dense id, so streamed placeholder ids can never collide with
+# dictionary ids (they are remapped when the dictionary is rebuilt)
+UNSEEN_TURN_NS = 1 << 62
+
+
 def incremental_edge_append(
     transcript_stream: DataFrame,
     node_dict: DataFrame,
@@ -64,19 +70,38 @@ def incremental_edge_append(
     checkpoint: str,
 ):
     """foreachBatch ingest: each micro-batch of transcript turns becomes
-    turn->tool arcs appended to the durable edge table. The node
-    dictionary for tools is broadcast per batch; turn nodes use the
-    deterministic (conv_id, turn_idx) keys so the mapping is stable
-    across batches."""
+    turn->tool arcs appended to the durable edge table.
+
+    Both endpoints resolve through the SAME dense node dictionary
+    (graph.edges.build_node_dictionary): tools by name (broadcast —
+    small), turns by (conv_id, turn_idx). Turns not yet in the
+    dictionary get a namespaced hash id (>= UNSEEN_TURN_NS) so the two
+    id spaces cannot overlap; streamed arcs for known turns join back
+    to the batch graph directly."""
+    from ..graph.edges import KIND_TOOL, KIND_TURN
+
+    tool_ids = node_dict.where(F.col("kind") == KIND_TOOL).select(
+        "tool", F.col("node_id").alias("dst")
+    )
+    turn_ids = node_dict.where(F.col("kind") == KIND_TURN).select(
+        "conv_id", "turn_idx", F.col("node_id").alias("turn_node")
+    )
 
     def sink(batch: DataFrame, batch_id: int):
         refs = batch.where(F.col("tool").isNotNull()).select(
             "conv_id", "turn_idx", "tool"
         )
-        arcs = refs.join(F.broadcast(node_dict), "tool").select(
-            F.xxhash64("conv_id", "turn_idx").alias("src"),
-            F.col("node_id").alias("dst"),
-            F.lit(batch_id).alias("batch_id"),
+        hash_id = F.lit(UNSEEN_TURN_NS) + F.pmod(
+            F.xxhash64("conv_id", "turn_idx"), F.lit(UNSEEN_TURN_NS - 1)
+        )
+        arcs = (
+            refs.join(F.broadcast(tool_ids), "tool")
+            .join(turn_ids, ["conv_id", "turn_idx"], "left")
+            .select(
+                F.coalesce(F.col("turn_node"), hash_id).alias("src"),
+                "dst",
+                F.lit(batch_id).alias("batch_id"),
+            )
         )
         arcs.write.mode("append").parquet(out_path)
 

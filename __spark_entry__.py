@@ -301,22 +301,28 @@ def q_scc_dag(spark, sf_dir):
     return scc_coloring(_edges(spark, sf_dir), max_rounds=30)
 
 
-# --------------------------------------------------- non-SQL (rows-only)
+# ----------------------------------------- converged / approximate queries
 
 def q_pagerank_converged(spark, sf_dir):
-    res = pagerank(_edges(spark, sf_dir), tol=1e-6, max_iter=100, num_partitions=16)
+    """To convergence (L-inf < 1e-6) within 35 iterations; the oracle
+    unrolls the same recurrence WITH the delta rule, so both engines
+    stop at the identical iteration."""
+    res = pagerank(_edges(spark, sf_dir), tol=1e-6, max_iter=35, num_partitions=16)
     return res.ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
 def q_cc_converged(spark, sf_dir):
-    res = connected_components(_edges(spark, sf_dir), max_iter=50, num_partitions=16)
+    """Hash-min to fixpoint within 30 rounds. Early stop fires only at
+    the fixpoint, so the state equals the full 30-round unroll exactly
+    whether or not convergence happened earlier."""
+    res = connected_components(_edges(spark, sf_dir), max_iter=30, num_partitions=16)
     return res.labels
 
 
 def q_ann_lsh_top5(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10)
-    return cosine_topk_lsh(emb, queries, k=5)
+    return cosine_topk_lsh(emb, queries, k=5, dim=64)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -324,34 +330,110 @@ def q_multimodal_features(spark, sf_dir):
 
     media = synthesize_media(spark, n=48)
     feats = extract_features(media, dim=16)
+    # checksum = sum_k feature[k] * (k+1), rounded — the md5-derived
+    # payloads make the whole decode->feature chain oracle-replicable
+    idx = F.sequence(F.lit(1), F.size("feature"))
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("feature"), idx, lambda v, i: v.cast("double") * i.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
     return feats.select(
-        "media_id", "kind", "ok", F.size("feature").alias("dim")
+        "media_id",
+        "kind",
+        "ok",
+        F.size("feature").cast("long").alias("dim"),
+        F.round(checksum, 6).alias("checksum"),
     )
 
 
 def q_transcript_graph(spark, sf_dir):
-    """The input_hint pipeline end-to-end (rows-only: transcripts are
-    engine-generated, not a DuckDB view)."""
-    from webgraph_spark.datagen.transcripts import generate_transcripts
+    """The input_hint pipeline end-to-end over a transcripts table
+    derived deterministically from the events view (conv_id/turn_idx/
+    role/text/tool/ts): node dictionary -> edges -> 10-iteration
+    PageRank. Fully oracle-checked — the SQL twin replicates the
+    dictionary (dense rank over the same total order), the three arc
+    kinds, and the unrolled recurrence."""
+    from pyspark.sql import Window
     from webgraph_spark.graph.edges import (
         build_node_dictionary,
         extract_edges,
         simple_edges,
     )
 
-    tr = generate_transcripts(spark, n_convs=100)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string")).alias("text"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        "ts",
+    )
     edges = simple_edges(extract_edges(tr, build_node_dictionary(tr)))
     res = pagerank(edges, fixed_iterations=10, num_partitions=16)
     return res.ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+HB_LOG2M = 5
+HB_SEED = 31
+HB_RSD = 1.04 / (2 ** (HB_LOG2M / 2))
+
+
 def q_hyperball_nf(spark, sf_dir):
+    """(t, nf_exact, est_ok): exact NF via one batched all-sources BFS,
+    plus the HyperBall estimate's acceptance flag |est/exact - 1| <=
+    2 x RSD at every t (the reference's own tolerance,
+    HyperBallTest.java:78-80). Deterministic: fixed seed."""
+    from webgraph_spark.algos.centrality import nf_exact
     from webgraph_spark.algos.hyperball import hyperball
 
-    res = hyperball(_edges(spark, sf_dir), log2m=5, max_t=10, num_partitions=16)
-    return spark.createDataFrame(
-        [(t, float(v)) for t, v in enumerate(res.nf)], "t long, nf double"
+    e = _edges(spark, sf_dir)
+    res = hyperball(e, log2m=HB_LOG2M, max_t=10, num_partitions=16, seed=HB_SEED)
+    exact = nf_exact(e)
+    nf = res.nf
+
+    def est_at(t: int) -> float:
+        return nf[t] if t < len(nf) else nf[-1]
+
+    rows = [(int(r.t), int(r.nf_exact)) for r in exact.collect()]
+    out = [
+        (t, x, bool(abs(est_at(t) / x - 1.0) <= 2 * HB_RSD)) for t, x in rows
+    ]
+    return spark.createDataFrame(out, "t long, nf_exact long, est_ok boolean")
+
+
+def q_harmonic_approx(spark, sf_dir):
+    """Exact all-nodes harmonic/closeness centralities (batched BFS,
+    per-node rows — oracle-checked in SQL), with HyperBall's estimate
+    acceptance (|est_sum/exact_sum - 1| <= 2 x RSD, the reference's own
+    tolerance) riding as a deterministic flag column the oracle expects
+    to be true. Per-node values are rounded per row (hundreds of terms
+    each), never as one global float sum — hash-stable across engines."""
+    from webgraph_spark.algos.centrality import geometric_centralities
+    from webgraph_spark.algos.hyperball import hyperball
+
+    e = _edges(spark, sf_dir)
+    cents = geometric_centralities(e).persist()
+    exact_sum = cents.agg(F.sum("harmonic")).collect()[0][0]
+    res = hyperball(e, log2m=HB_LOG2M, max_t=10, num_partitions=16, seed=HB_SEED)
+    got_sum = res.centralities().agg(F.sum("harmonic")).collect()[0][0]
+    ok = abs(got_sum - exact_sum) <= 2 * HB_RSD * exact_sum
+    out = cents.select(
+        "source",
+        F.col("reachable").cast("long").alias("reachable"),
+        F.round("harmonic", 6).alias("harmonic"),
+        F.round("closeness", 9).alias("closeness"),
+        F.lit(bool(ok)).alias("est_within_2rsd"),
     )
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -380,13 +462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_counts": q_emb_label_counts,
         "events_hourly": q_events_hourly,
         "events_sessions": q_event_sessions,
-        # rows-only (no SQL oracle): iterative-to-convergence + approximate
         "graph_pagerank_converged": q_pagerank_converged,
         "graph_cc_converged": q_cc_converged,
         "emb_ann_lsh_top5": q_ann_lsh_top5,
         "multimodal_features": q_multimodal_features,
         "transcript_graph_pagerank": q_transcript_graph,
         "graph_hyperball_nf": q_hyperball_nf,
+        "graph_harmonic_approx": q_harmonic_approx,
     }
 
 
@@ -481,6 +563,107 @@ FROM documents"""
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def _ann_lsh_sql(n_planes: int = 8, n_tables: int = 4, seed: int = 777, dim: int = 64) -> str:
+    """Bit-replicating twin of cosine_topk_lsh: the Rademacher plane
+    entries are md5-derived on the Python side and baked into BOTH plans
+    as literals; bucket bits compare the identical left-to-right float64
+    fold, so candidate sets match exactly."""
+    from webgraph_spark.functions.similarity import _hyperplanes
+
+    def dot_signed(plane) -> str:
+        lits = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i]), (a, b) -> a + b)"
+        )
+
+    bt = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = " + ".join(
+            f"(CASE WHEN ({dot_signed(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        bt.append(
+            f"bt{t} AS (SELECT vec_id, ({bucket}) AS bucket FROM embeddings)"
+        )
+    cand_unions = " UNION ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        f"FROM bt{t} c JOIN bt{t} q ON c.bucket = q.bucket "
+        f"WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id"
+        for t in range(n_tables)
+    )
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b)"
+    )
+    qnorm = (
+        "sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    enorm = (
+        "sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    return f"""WITH {", ".join(bt)},
+cand AS ({cand_unions}),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(({dot}) / (({qnorm}) * ({enorm})), 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 5"""
+
+
+def _multimodal_sql(n: int = 48, dim: int = 16) -> str:
+    """Twin of synthesize_media + _fake_decode + the checksum query: the
+    payload is ascii(md5 hex) so the byte values are reproducible, and
+    the centered/normalized float32 feature chain is replicated with the
+    same element order."""
+    return f"""WITH ids AS (SELECT unnest(range(0, {n})) AS media_id),
+m AS (SELECT media_id,
+        CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 'image'
+             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        md5('media:' || CAST(media_id AS VARCHAR)) AS hx
+      FROM ids),
+b AS (SELECT media_id, kind,
+        list_transform(range(1, {dim + 1}),
+                       i -> CAST(ascii(substr(hx, CAST(i AS INT), 1)) AS DOUBLE)) AS arr
+      FROM m),
+c AS (SELECT media_id, kind, arr,
+        list_reduce(arr, (a, b) -> a + b) / {dim} AS mu FROM b),
+v AS (SELECT media_id, kind,
+        list_transform(arr, x -> x - mu) AS cv FROM c),
+nn AS (SELECT media_id, kind, cv,
+        sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS nrm
+       FROM v),
+f AS (SELECT media_id, kind,
+        list_transform(cv, x -> CAST(x / nrm AS FLOAT)) AS feat FROM nn)
+SELECT media_id, kind, TRUE AS ok, CAST({dim} AS BIGINT) AS dim,
+       ROUND(list_reduce(list_transform(range(1, {dim + 1}),
+             i -> CAST(feat[CAST(i AS INT)] AS DOUBLE) * CAST(i AS DOUBLE)),
+             (a, b) -> a + b), 6) AS checksum
+FROM f"""
+
+
+def _hyperball_nf_sql() -> str:
+    return (
+        "SELECT t, nf_exact, TRUE AS est_ok FROM ("
+        + td.nf_exact_sql(max_depth=4)
+        + ") x"
+    )
+
+
 def _cosine_sql() -> str:
     dot = (
         "list_reduce(list_transform(range(1, len(q.embedding) + 1), "
@@ -568,4 +751,14 @@ SELECT user_id,
        CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM x GROUP BY user_id""",
+        # --- converged / approximate queries (round-2 oracles) ---
+        "graph_pagerank_converged": td.pagerank_converged_sql(
+            max_iters=35, tol=1e-6, round_to=9
+        ),
+        "graph_cc_converged": td.cc_sql(rounds=30),
+        "emb_ann_lsh_top5": _ann_lsh_sql(),
+        "multimodal_features": _multimodal_sql(n=48, dim=16),
+        "transcript_graph_pagerank": td.transcript_pipeline_sql(iters=10),
+        "graph_hyperball_nf": _hyperball_nf_sql(),
+        "graph_harmonic_approx": td.harmonic_all_sql(max_depth=4),
     }

@@ -156,3 +156,74 @@ def test_dot_export(spark):
     dot = to_dot(g, "fixture")
     assert dot.startswith("digraph fixture {")
     assert "0 -> 1;" in dot and "1 -> 2;" in dot
+
+
+def test_gray_code_permutation_bijection_and_determinism(spark):
+    from webgraph_spark.operators.transforms import gray_code_permutation
+    from webgraph_spark.datagen.graphs import erdos_renyi
+
+    g = erdos_renyi(spark, 60, 0.08, seed=5)
+    remapped, perm = gray_code_permutation(g)
+    rows = perm.collect()
+    nodes = {r.node for r in rows}
+    targets = sorted(r.target for r in rows)
+    assert targets == list(range(len(rows)))  # dense bijection
+    assert remapped.count() == g.select("src", "dst").distinct().count()
+    # deterministic across runs
+    _, perm2 = gray_code_permutation(g)
+    assert sorted((r.node, r.target) for r in perm2.collect()) == sorted(
+        (r.node, r.target) for r in rows
+    )
+
+
+def test_gray_groups_sorts_group_major(spark):
+    from webgraph_spark.operators.transforms import gray_code_permutation
+    import pyspark.sql.functions as F
+
+    g = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 4)], "src long, dst long"
+    )
+    groups = spark.createDataFrame(
+        [(n, n % 2) for n in range(6)], "node long, group long"
+    )
+    _, perm = gray_code_permutation(g, groups=groups)
+    got = {r.node: r.target for r in perm.collect()}
+    evens = sorted(got[n] for n in (0, 2, 4))
+    odds = sorted(got[n] for n in (1, 3, 5))
+    assert max(evens) < min(odds)  # group-major blocks
+
+
+def test_ordering_compresses_gamma_bits(spark):
+    """Gray / lexicographic / degree orderings must beat a random
+    relabeling on the gamma-coded bits/link of the packed graph — the
+    reference's compression-ordering headline (Transform.java:2383-2580,
+    BVGraph properties bits/link)."""
+    from webgraph_spark.operators.csr import gamma_bits_per_link, pack_csr
+    from webgraph_spark.operators.transforms import (
+        gray_code_permutation,
+        lexicographical_permutation,
+        random_permutation,
+    )
+    from webgraph_spark.datagen.transcripts import TranscriptSpec, generate_transcripts
+    from webgraph_spark.graph.edges import build_node_dictionary, extract_edges, simple_edges
+
+    tr = generate_transcripts(
+        spark, n_convs=300, spec=TranscriptSpec(seed=3, max_turns=15, n_tools=40)
+    )
+    edges = simple_edges(extract_edges(tr, build_node_dictionary(tr))).persist()
+
+    def bits(e):
+        return gamma_bits_per_link(pack_csr(e, num_blocks=8)).collect()[0][
+            "bits_per_link"
+        ]
+
+    rnd, _ = random_permutation(edges, seed=99)
+    gray, _ = gray_code_permutation(edges)
+    lex, _ = lexicographical_permutation(edges)
+    b_rnd, b_gray, b_lex, b_conv = bits(rnd), bits(gray), bits(lex), bits(edges)
+    edges.unpersist()
+    # the conversation-clustered dictionary order and both adjacency-row
+    # orderings all beat random
+    assert b_gray < b_rnd, (b_gray, b_rnd)
+    assert b_lex < b_rnd, (b_lex, b_rnd)
+    assert b_conv < b_rnd, (b_conv, b_rnd)

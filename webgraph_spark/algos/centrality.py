@@ -98,6 +98,28 @@ def geometric_centralities(
     )
 
 
+def nf_exact(edges: DataFrame) -> DataFrame:
+    """Exact neighbourhood function: (t, nf_exact) with nf_exact =
+    #pairs (x, y), x possibly = y, at distance <= t — ONE batched
+    multi-source BFS from every node (NeighbourhoodFunction.java:44-49
+    semantics without the per-source driver loop). All-pairs closure:
+    test/oracle scale, the same split the reference makes."""
+    nodes = (
+        edges.select(F.col("src").alias("source"))
+        .unionByName(edges.select(F.col("dst").alias("source")))
+        .distinct()
+    )
+    dists = multi_source_bfs(edges, nodes)
+    hist = dists.groupBy("dist").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        F.col("dist").cast("long").alias("t"),
+        F.sum("c").over(w).cast("long").alias("nf_exact"),
+    )
+
+
 def distance_cdf(edges: DataFrame, sample_sources: list[int]) -> DataFrame:
     """Sampled distance CDF: (dist, n_pairs, cum_pairs) over the sampled
     sources (SampleDistanceCumulativeDistributionFunction analog)."""

@@ -25,16 +25,19 @@ FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, ok boolean, 
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payloads + metadata)."""
-    from ..datagen.rng import key_hash
+    """Deterministic fake media table (binary payloads + metadata).
+
+    Payload bytes are the ASCII codes of md5('media:<i>') hex repeated
+    4x (128 bytes) — engine-portable, so the whole decode->feature chain
+    has a bit-replicable ANSI-SQL oracle (``seed`` kept for signature
+    stability; payloads are id-determined)."""
+    import hashlib
 
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
-        h = int(key_hash(seed, np.array([i]))[0])
-        rng = np.random.RandomState(h % (2**31))
         kind = kinds[i % 3]
-        payload = rng.bytes(128 + (h % 256))
+        payload = (hashlib.md5(f"media:{i}".encode()).hexdigest() * 4).encode()
         rows.append(
             (
                 i,

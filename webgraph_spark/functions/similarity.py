@@ -84,8 +84,22 @@ def cosine_topk(
 # --------------------------------------------------- LSH (hyperplane signs)
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+    """Rademacher (+-1) hyperplanes derived from the engine-portable md5
+    hash of "hp:<seed>:<plane>:<coord>" — sign-LSH with +-1 entries is a
+    standard random-projection family, and deriving the entries from md5
+    (instead of a numpy RNG) makes every bucket id bit-replicable in an
+    ANSI-SQL oracle (the signs are baked into the plan as literals on
+    both sides)."""
+    import hashlib
+
+    planes = np.empty((n_planes, dim), dtype=np.float64)
+    for j in range(n_planes):
+        for i in range(dim):
+            h = int(
+                hashlib.md5(f"hp:{seed}:{j}:{i}".encode()).hexdigest()[:15], 16
+            )
+            planes[j, i] = 1.0 if h % 2 == 0 else -1.0
+    return planes
 
 
 def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
@@ -107,14 +121,17 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 777,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >= 1 of
     ``n_tables`` hyperplane tables; exact cosine ranks candidates.
 
     The scale path: corpus bucket keys are computed once per table
-    (JVM fold), the join key is (table, bucket) — no crossJoin.
+    (JVM fold), the join key is (table, bucket) — no crossJoin. Pass
+    ``dim`` explicitly at scale (sniffing it costs a driver action).
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     cands = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)

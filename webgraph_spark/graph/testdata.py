@@ -25,7 +25,7 @@ OFF_SUPP = 30_000_000
 OFF_NATION = 40_000_000
 
 EDGES_CTE = f"""
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT o_custkey AS src, {OFF_ORDER} + o_orderkey AS dst FROM orders
     UNION ALL
@@ -36,12 +36,12 @@ edges AS (
 )"""
 
 NODES_CTE = """
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
 )"""
 
 SYM_CTE = """
-sym AS (
+sym AS MATERIALIZED (
   SELECT src, dst FROM edges WHERE src <> dst
   UNION
   SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
@@ -77,36 +77,218 @@ def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- SQL generators
 
-def pagerank_sql(iters: int = 5, alpha: float = 0.85, round_to: int = 9) -> str:
-    """Unrolled k-iteration PageRank with uniform dangling redistribution
-    — the recurrence of algos.pagerank with fixed_iterations=k."""
-    parts = [EDGES_CTE, NODES_CTE]
+def _pagerank_body(iters: int, alpha: float) -> list[str]:
+    """The unrolled recurrence CTEs, assuming ``edges``/``nodes`` exist."""
+    parts = []
     parts.append("""
-outdeg AS (SELECT src, COUNT(*) AS c FROM edges GROUP BY src)""")
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM edges GROUP BY src)""")
     parts.append("""
-dangling AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outdeg))""")
+dangling AS MATERIALIZED (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outdeg))""")
     parts.append("""
 nn AS (SELECT COUNT(*) AS n FROM nodes)""")
     parts.append("""
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""")
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""")
     for k in range(1, iters + 1):
         prev = f"r{k - 1}"
         parts.append(f"""
-dm{k} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM {prev} r
+dm{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM {prev} r
           JOIN dangling d ON r.node = d.node)""")
         parts.append(f"""
-c{k} AS (SELECT e.dst AS node, SUM(r.rank / o.c) AS contrib
+c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / o.c) AS contrib
          FROM edges e JOIN {prev} r ON e.src = r.node
          JOIN outdeg o ON o.src = e.src GROUP BY e.dst)""")
         parts.append(f"""
-r{k} AS (SELECT n.node,
+r{k} AS MATERIALIZED (SELECT n.node,
          (1.0 - {alpha}) / (SELECT n FROM nn)
          + {alpha} * ((SELECT m FROM dm{k}) / (SELECT n FROM nn)
                        + COALESCE(c.contrib, 0.0)) AS rank
          FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""")
+    return parts
+
+
+def pagerank_sql(iters: int = 5, alpha: float = 0.85, round_to: int = 9) -> str:
+    """Unrolled k-iteration PageRank with uniform dangling redistribution
+    — the recurrence of algos.pagerank with fixed_iterations=k."""
+    parts = [EDGES_CTE, NODES_CTE] + _pagerank_body(iters, alpha)
     return (
         "WITH " + ",".join(parts)
         + f"\nSELECT node, ROUND(rank, {round_to}) AS rank FROM r{iters}"
+    )
+
+
+TRANSCRIPT_EDGES_CTES = """
+tr AS MATERIALIZED (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         CASE WHEN event_id % 3 = 0 THEN event_type ELSE NULL END AS tool
+  FROM events
+),
+turn_nodes AS (SELECT DISTINCT 0 AS kind, conv_id, turn_idx,
+                      CAST(NULL AS VARCHAR) AS tool FROM tr),
+tool_nodes AS (SELECT DISTINCT 1 AS kind, CAST(NULL AS VARCHAR) AS conv_id,
+                      CAST(NULL AS INT) AS turn_idx, tool
+               FROM tr WHERE tool IS NOT NULL),
+dict AS MATERIALIZED (
+  SELECT kind, conv_id, turn_idx, tool,
+         ROW_NUMBER() OVER (ORDER BY kind ASC, conv_id ASC NULLS FIRST,
+                            turn_idx ASC NULLS FIRST, tool ASC NULLS FIRST) - 1
+           AS node_id
+  FROM (SELECT * FROM turn_nodes UNION ALL SELECT * FROM tool_nodes) alln
+),
+turn_ids AS MATERIALIZED (SELECT conv_id, turn_idx, node_id FROM dict WHERE kind = 0),
+tool_ids AS MATERIALIZED (SELECT tool, node_id AS tool_id FROM dict WHERE kind = 1),
+refs AS MATERIALIZED (SELECT conv_id, turn_idx, tool FROM tr WHERE tool IS NOT NULL),
+seq AS (
+  SELECT a.node_id AS src, b.node_id AS dst
+  FROM turn_ids a JOIN turn_ids b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+),
+turn_tool AS (
+  SELECT t.node_id AS src, k.tool_id AS dst
+  FROM refs r
+  JOIN turn_ids t ON r.conv_id = t.conv_id AND r.turn_idx = t.turn_idx
+  JOIN tool_ids k ON r.tool = k.tool
+),
+first_use AS (SELECT conv_id, tool, MIN(turn_idx) AS turn_idx
+              FROM refs GROUP BY conv_id, tool),
+tool_turn AS (
+  SELECT k.tool_id AS src, t.node_id AS dst
+  FROM first_use f
+  JOIN turn_ids t ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+  JOIN tool_ids k ON f.tool = k.tool
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT * FROM seq UNION ALL SELECT * FROM turn_tool
+    UNION ALL SELECT * FROM tool_turn) e
+  WHERE src <> dst
+)"""
+
+
+def transcript_pipeline_sql(iters: int = 10, alpha: float = 0.85, round_to: int = 9) -> str:
+    """SQL twin of the full input_hint pipeline: events-derived
+    transcripts -> dense node dictionary (rank over the same total
+    order as util.ids.assign_dense_ids) -> seq/turn_tool/tool_turn arcs
+    (graph.edges.extract_edges) -> simple_edges -> unrolled PageRank."""
+    parts = [TRANSCRIPT_EDGES_CTES, NODES_CTE] + _pagerank_body(iters, alpha)
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, ROUND(rank, {round_to}) AS rank FROM r{iters}"
+    )
+
+
+def harmonic_all_sql(max_depth: int = 4) -> str:
+    """Exact per-node geometric centralities from ALL sources (unrolled
+    closure on the DAG) + the literal acceptance flag the engine's
+    HyperBall estimate asserts against."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append("""
+v0 AS MATERIALIZED (SELECT node AS source, node, 0 AS dist FROM nodes)""")
+    for k in range(1, max_depth + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT source, node FROM v{j}" for j in range(k)
+        )
+        parts.append(f"""
+v{k} AS MATERIALIZED (SELECT DISTINCT f.source, e.dst AS node, {k} AS dist
+         FROM edges e JOIN v{k - 1} f ON e.src = f.node
+         WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p
+                           WHERE p.source = f.source AND p.node = e.dst))""")
+    all_v = " UNION ALL ".join(
+        f"SELECT source, node, dist FROM v{j}" for j in range(max_depth + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+dists AS ({all_v}),
+agg AS (
+  SELECT source, COUNT(*) AS reached, SUM(dist) AS sum_d,
+         SUM(1.0 / dist) AS harm
+  FROM dists WHERE dist > 0 GROUP BY source
+)
+SELECT n.node AS source,
+       CAST(COALESCE(a.reached, 0) + 1 AS BIGINT) AS reachable,
+       ROUND(COALESCE(a.harm, 0.0), 6) AS harmonic,
+       ROUND(CASE WHEN a.sum_d IS NULL THEN 0.0 ELSE 1.0 / a.sum_d END, 9) AS closeness,
+       TRUE AS est_within_2rsd
+FROM nodes n LEFT JOIN agg a ON n.node = a.source"""
+    )
+
+
+def pagerank_converged_sql(
+    max_iters: int = 35, tol: float = 1e-6, alpha: float = 0.85, round_to: int = 9
+) -> str:
+    """Unrolled PageRank WITH the convergence rule: per-iteration L-inf
+    deltas are computed alongside the ranks, and the result is the rank
+    table of the FIRST iteration whose delta < tol (or of ``max_iters``
+    if none converged) — exactly the state algos.pagerank(tol, max_iter=
+    max_iters) returns, since its early stop fires on the same rule."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append("""
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM edges GROUP BY src)""")
+    parts.append("""
+dangling AS MATERIALIZED (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outdeg))""")
+    parts.append("""
+nn AS (SELECT COUNT(*) AS n FROM nodes)""")
+    parts.append("""
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""")
+    for k in range(1, max_iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(f"""
+dm{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM {prev} r
+          JOIN dangling d ON r.node = d.node)""")
+        parts.append(f"""
+c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / o.c) AS contrib
+         FROM edges e JOIN {prev} r ON e.src = r.node
+         JOIN outdeg o ON o.src = e.src GROUP BY e.dst)""")
+        parts.append(f"""
+r{k} AS MATERIALIZED (SELECT n.node,
+         (1.0 - {alpha}) / (SELECT n FROM nn)
+         + {alpha} * ((SELECT m FROM dm{k}) / (SELECT n FROM nn)
+                       + COALESCE(c.contrib, 0.0)) AS rank
+         FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""")
+        parts.append(f"""
+d{k} AS MATERIALIZED (SELECT MAX(ABS(a.rank - b.rank)) AS d
+         FROM r{k} a JOIN r{k - 1} b ON a.node = b.node)""")
+    delta_rows = ", ".join(f"({k}, (SELECT d FROM d{k}))" for k in range(1, max_iters + 1))
+    parts.append(f"""
+pick AS (SELECT COALESCE(MIN(k), {max_iters}) AS k
+         FROM (VALUES {delta_rows}) t(k, d) WHERE d < {tol})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT node, ROUND(rank, {round_to}) AS rank FROM r{k} "
+        f"WHERE (SELECT k FROM pick) = {k}"
+        for k in range(1, max_iters + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + sel
+
+
+def nf_exact_sql(max_depth: int = 4) -> str:
+    """Exact neighbourhood function NF(t) = #pairs (u,v) with
+    d(u,v) <= t, by unrolled all-sources BFS closure (the TPC-H link
+    graph is a {max_depth}-layer DAG, so the closure saturates)."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append("""
+v0 AS MATERIALIZED (SELECT node AS source, node, 0 AS dist FROM nodes)""")
+    for k in range(1, max_depth + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT source, node FROM v{j}" for j in range(k)
+        )
+        parts.append(f"""
+v{k} AS MATERIALIZED (SELECT DISTINCT f.source, e.dst AS node, {k} AS dist
+         FROM edges e JOIN v{k - 1} f ON e.src = f.node
+         WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p
+                           WHERE p.source = f.source AND p.node = e.dst))""")
+    all_v = " UNION ALL ".join(
+        f"SELECT dist FROM v{j}" for j in range(max_depth + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+hist AS (SELECT dist, COUNT(*) AS c FROM ({all_v}) d GROUP BY dist),
+ts AS (SELECT unnest(range(0, {max_depth + 1})) AS t)
+SELECT t, CAST(SUM(h.c) AS BIGINT) AS nf_exact
+FROM ts JOIN hist h ON h.dist <= ts.t
+WHERE ts.t <= (SELECT MAX(dist) FROM hist)
+GROUP BY t"""
     )
 
 
@@ -114,14 +296,14 @@ def cc_sql(rounds: int = 8) -> str:
     """Unrolled k-round hash-min connected components."""
     parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
     parts.append("""
-l0 AS (SELECT node, node AS component FROM nodes)""")
+l0 AS MATERIALIZED (SELECT node, node AS component FROM nodes)""")
     for k in range(1, rounds + 1):
         prev = f"l{k - 1}"
         parts.append(f"""
-m{k} AS (SELECT s.dst AS node, MIN(l.component) AS mn
+m{k} AS MATERIALIZED (SELECT s.dst AS node, MIN(l.component) AS mn
          FROM sym s JOIN {prev} l ON s.src = l.node GROUP BY s.dst)""")
         parts.append(f"""
-l{k} AS (SELECT l.node,
+l{k} AS MATERIALIZED (SELECT l.node,
          LEAST(l.component, COALESCE(m.mn, l.component)) AS component
          FROM {prev} l LEFT JOIN m{k} m ON l.node = m.node)""")
     return "WITH " + ",".join(parts) + f"\nSELECT node, component FROM l{rounds}"
@@ -131,20 +313,20 @@ def lp_sql(rounds: int = 3) -> str:
     """Unrolled k-round synchronous label propagation, min tie-break."""
     parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
     parts.append("""
-l0 AS (SELECT node, node AS label FROM nodes)""")
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""")
     for k in range(1, rounds + 1):
         prev = f"l{k - 1}"
         parts.append(f"""
-cnt{k} AS (SELECT s.dst AS node, l.label, COUNT(*) AS cnt
+cnt{k} AS MATERIALIZED (SELECT s.dst AS node, l.label, COUNT(*) AS cnt
            FROM sym s JOIN {prev} l ON s.src = l.node GROUP BY s.dst, l.label)""")
         parts.append(f"""
-b{k} AS (SELECT node, label FROM (
+b{k} AS MATERIALIZED (SELECT node, label FROM (
            SELECT node, label,
                   ROW_NUMBER() OVER (PARTITION BY node
                                      ORDER BY cnt DESC, label ASC) AS rn
            FROM cnt{k}) t WHERE rn = 1)""")
         parts.append(f"""
-l{k} AS (SELECT l.node, COALESCE(b.label, l.label) AS label
+l{k} AS MATERIALIZED (SELECT l.node, COALESCE(b.label, l.label) AS label
          FROM {prev} l LEFT JOIN b{k} b ON l.node = b.node)""")
     return "WITH " + ",".join(parts) + f"\nSELECT node, label FROM l{rounds}"
 
@@ -173,11 +355,11 @@ def bfs_sql(rounds: int = 3) -> str:
     """Unrolled BFS from the minimum customer node (directed arcs)."""
     parts = [EDGES_CTE]
     parts.append("""
-v0 AS (SELECT (SELECT MIN(o_custkey) FROM orders) AS node, 0 AS dist)""")
+v0 AS MATERIALIZED (SELECT (SELECT MIN(o_custkey) FROM orders) AS node, 0 AS dist)""")
     for k in range(1, rounds + 1):
         prev_all = " UNION ALL ".join(f"SELECT node FROM v{j}" for j in range(k))
         parts.append(f"""
-v{k} AS (SELECT DISTINCT e.dst AS node, {k} AS dist
+v{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS node, {k} AS dist
          FROM edges e JOIN v{k - 1} f ON e.src = f.node
          WHERE e.dst NOT IN ({prev_all}))""")
     sel = " UNION ALL ".join(f"SELECT node, dist FROM v{j}" for j in range(rounds + 1))
@@ -196,13 +378,13 @@ def closeness_sql(n_sources: int = 5, max_depth: int = 4, round_to: int = 9) -> 
 srcs AS (SELECT o_custkey AS source FROM orders GROUP BY o_custkey
          ORDER BY source LIMIT {n_sources})""")
     parts.append("""
-v0 AS (SELECT source, source AS node, 0 AS dist FROM srcs)""")
+v0 AS MATERIALIZED (SELECT source, source AS node, 0 AS dist FROM srcs)""")
     for k in range(1, max_depth + 1):
         prev_all = " UNION ALL ".join(
             f"SELECT source, node FROM v{j}" for j in range(k)
         )
         parts.append(f"""
-v{k} AS (SELECT DISTINCT f.source, e.dst AS node, {k} AS dist
+v{k} AS MATERIALIZED (SELECT DISTINCT f.source, e.dst AS node, {k} AS dist
          FROM edges e JOIN v{k - 1} f ON e.src = f.node
          WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p
                            WHERE p.source = f.source AND p.node = e.dst))""")
@@ -241,7 +423,7 @@ GROUP BY degree"""
 
 def graph_stats_sql() -> str:
     return f"""WITH {EDGES_CTE}, {NODES_CTE},
-outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
 SELECT (SELECT COUNT(*) FROM nodes) AS nodes,
        (SELECT COUNT(*) FROM edges) AS arcs,
        (SELECT COUNT(*) FROM edges WHERE src = dst) AS loops,

@@ -192,6 +192,45 @@ def successors(blocks: DataFrame, node: int) -> list[int]:
     return []
 
 
+def gamma_bits_per_link(blocks: DataFrame) -> DataFrame:
+    """Entropy-model storage cost of the pack under γ coding — the
+    ordering-sensitive bits/link figure of BVGraph's properties output
+    (BVGraph.java:2561-2650; γ length 2*floor(log2(x+1))+1). Firsts are
+    costed as γ(int2nat(first - src)) (Fast.int2nat zig-zag,
+    BVGraph.java:2198), gaps as γ(gap). Node orderings that shrink gaps
+    (Gray / lexicographic / degree / host-blocked, Transform.java:
+    2383-2580) show directly in this number, while the raw int64 block
+    buffers stay fixed-width (entropy coding is delegated to Parquet).
+    Returns one row: (gamma_bits, n_arcs, bits_per_link)."""
+
+    def gamma_len(x: np.ndarray) -> int:
+        # gamma code length of non-negative ints: 2*floor(log2(x+1))+1
+        if len(x) == 0:
+            return 0
+        return int((2 * np.floor(np.log2(x + 1.0)) + 1).sum())
+
+    def cost(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bits = np.int64(0)
+            arcs = np.int64(0)
+            for _, row in pdf.iterrows():
+                srcs = np.frombuffer(row["srcs"], dtype=np.int64)
+                firsts = np.frombuffer(row["firsts"], dtype=np.int64)
+                gaps = np.frombuffer(row["gaps"], dtype=np.int64)
+                d = firsts - srcs
+                int2nat = np.where(d >= 0, 2 * d, -2 * d - 1)
+                bits += gamma_len(int2nat) + gamma_len(gaps)
+                arcs += int(row["n_arcs"])
+            yield pd.DataFrame({"gamma_bits": [int(bits)], "n_arcs": [int(arcs)]})
+
+    per_part = blocks.mapInPandas(cost, schema="gamma_bits long, n_arcs long")
+    return per_part.agg(
+        F.sum("gamma_bits").alias("gamma_bits"),
+        F.sum("n_arcs").alias("n_arcs"),
+        (F.sum("gamma_bits") / F.sum("n_arcs")).alias("bits_per_link"),
+    )
+
+
 def csr_stats(blocks: DataFrame) -> DataFrame:
     """Accounting invariants per block + storage bytes (the
     bits-per-link bookkeeping of BVGraph properties,

@@ -206,6 +206,91 @@ def degree_ordered_permutation(
     return map_nodes(edges, perm), perm
 
 
+_GRAY_BIG = 1 << 62
+
+
+def _succ_key(edges: DataFrame, gray: bool) -> DataFrame:
+    """(node, _key) where _key is an array<long> whose LEXICOGRAPHIC
+    order equals the Gray-code (or plain lexicographic) order of the
+    node's adjacency-matrix row.
+
+    Gray trick: the binary rank of a Gray codeword is its prefix-XOR;
+    for a sorted successor list the prefix-XOR bit vector is the
+    alternating interval indicator [s1,s2) 1, [s2,s3) 0, ... — whose lex
+    order is exactly the array order of [-s1, s2, -s3, s4, ...] closed
+    by a parity sentinel (+BIG after an odd count: tail of ones, any
+    continuation sorts lower; -BIG after an even count: tail of zeros,
+    any continuation sorts higher). So the whole permutation is ONE
+    distributed sort on an array column — no bit-matrix materialized."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lists = (
+        edges.select("src", "dst")
+        .distinct()
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("_succ"))
+    )
+    with_lists = nodes.join(lists, "node", "left").select(
+        "node", F.coalesce("_succ", F.array().cast("array<long>")).alias("_succ")
+    )
+    if gray:
+        body = F.zip_with(
+            F.col("_succ"),
+            F.sequence(F.lit(0), F.size("_succ") - 1),
+            lambda x, i: F.when(i % 2 == 0, -x).otherwise(x),
+        )
+        sentinel = F.when(
+            F.size("_succ") % 2 == 1, F.lit(_GRAY_BIG)
+        ).otherwise(F.lit(-_GRAY_BIG))
+    else:
+        body = F.col("_succ")
+        sentinel = F.lit(_GRAY_BIG)
+    key = F.when(F.size("_succ") == 0, F.array(sentinel)).otherwise(
+        F.concat(body, F.array(sentinel))
+    )
+    return with_lists.select("node", key.alias("_key"))
+
+
+def gray_code_permutation(
+    edges: DataFrame, groups: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Gray-code compression ordering (Transform.grayCodePermutation,
+    Transform.java:2383-2434): relabel nodes so adjacency rows appear in
+    Gray-code order — rows differing in few bits become neighbours, which
+    shrinks successor gaps. With ``groups`` (node, group) the sort is
+    group-major — the hostByHostGrayCodePermutation analog
+    (Transform.java:2455-2516). Returns (remapped_edges, permutation)."""
+    from ..util.ids import assign_dense_ids
+
+    keyed = _succ_key(edges, gray=True)
+    if groups is not None:
+        keyed = keyed.join(groups.select("node", "group"), "node", "left").select(
+            "node", F.coalesce("group", F.lit(-1)).alias("_g"), "_key"
+        )
+        perm = assign_dense_ids(keyed, ["_g", "_key", "node"], id_col="target")
+    else:
+        perm = assign_dense_ids(keyed, ["_key", "node"], id_col="target")
+    perm = perm.select("node", "target")
+    return map_nodes(edges, perm), perm
+
+
+def lexicographical_permutation(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Lexicographic-by-adjacency-row ordering
+    (Transform.lexicographicalPermutation, Transform.java:2518-2580):
+    nodes with equal/shared successor prefixes become adjacent. Same
+    one-sort shape as the Gray ordering, plain array key."""
+    from ..util.ids import assign_dense_ids
+
+    keyed = _succ_key(edges, gray=False)
+    perm = assign_dense_ids(keyed, ["_key", "node"], id_col="target").select(
+        "node", "target"
+    )
+    return map_nodes(edges, perm), perm
+
+
 # -------------------------------------------------------------- subgraphs
 
 def induced_subgraph(

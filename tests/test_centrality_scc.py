@@ -125,3 +125,45 @@ def test_scc_coloring_many_small_sccs_few_rounds(spark):
         comps.setdefault(c, set()).add(v)
     assert len(comps) == 1000
     assert all(s == {min(s), min(s) + 1, min(s) + 2} for s in comps.values())
+
+
+def test_betweenness_path_graph_exact(spark):
+    """Directed path 0->1->2->3->4: BC(v) = #(s,t) shortest paths
+    through v = (v)*(4-v) for interior nodes."""
+    from webgraph_spark.algos.betweenness import betweenness
+
+    g = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
+    got = {r.node: r.betweenness for r in betweenness(g).collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+
+
+@pytest.mark.parametrize("n,p,seed", [(40, 0.08, 13), (60, 0.05, 14), (50, 0.07, 15)])
+def test_betweenness_matches_brandes_oracle(spark, n, p, seed):
+    """Spark batched Brandes == independent numpy Brandes on ER graphs
+    (the reference's dual-implementation test posture)."""
+    from webgraph_spark.algos.betweenness import betweenness, betweenness_numpy
+
+    g = erdos_renyi(spark, n, p, seed=seed)
+    rows = [(r.src, r.dst) for r in g.collect()]
+    present = sorted({s for s, _ in rows} | {d for _, d in rows})
+    remap = {v: i for i, v in enumerate(present)}
+    want = betweenness_numpy([(remap[s], remap[d]) for s, d in rows], len(present))
+    got = {r.node: r.betweenness for r in betweenness(g).collect()}
+    assert set(got) == set(present)
+    for v in present:
+        assert abs(got[v] - want[remap[v]]) < 1e-9, f"node {v}"
+
+
+def test_linear_geometric_matches_harmonic(spark):
+    """coeff=1/d must reproduce geometric_centralities' harmonic exactly
+    (LinearGeometricCentrality.java:44-66 generic surface)."""
+    from webgraph_spark.algos.betweenness import linear_geometric_centrality
+
+    g = erdos_renyi(spark, 50, 0.06, seed=21)
+    want = {r.source: r.harmonic for r in geometric_centralities(g).collect()}
+    got = {
+        r.source: r.centrality
+        for r in linear_geometric_centrality(g, lambda d: 1.0 / d).collect()
+    }
+    for v, h in want.items():
+        assert abs(got.get(v, 0.0) - h) < 1e-9

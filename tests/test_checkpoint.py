@@ -82,3 +82,32 @@ def test_cc_resume(spark, tmp_path):
     a = {r.node: r.component for r in resumed.labels.collect()}
     b = {r.node: r.component for r in straight.labels.collect()}
     assert a == b
+
+
+def test_storage_layer_format_detection(spark):
+    """The table-format layer picks Iceberg when its runtime is on the
+    classpath, parquet otherwise — the substitution is explicit."""
+    from webgraph_spark.sources.storage import iceberg_available, preferred_format
+
+    avail = iceberg_available(spark)
+    assert preferred_format(spark) == ("iceberg" if avail else "parquet")
+
+
+def test_iceberg_roundtrip_when_available(spark, tmp_path):
+    """Round-trips a state table through the Iceberg path. SKIPPED in
+    this sandbox: no iceberg-spark-runtime jar ships with the container
+    (see README 'Table formats'); the parquet fallback is what every
+    other checkpoint test exercises."""
+    import pytest
+    from webgraph_spark.sources.storage import (
+        iceberg_available,
+        read_state,
+        write_state,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime not on the classpath in this container")
+    df = spark.range(10).selectExpr("id AS node", "CAST(id AS DOUBLE) AS rank")
+    p = str(tmp_path / "ice_state")
+    assert write_state(df, p) == "iceberg"
+    assert read_state(spark, p).count() == 10

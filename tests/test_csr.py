@@ -122,3 +122,19 @@ def test_pagerank_csr_converges(spark):
     assert res.converged
     total = sum(r.rank for r in res.ranks.collect())
     assert abs(total - 1.0) < 1e-9
+
+
+def test_csr_labelled_roundtrip(spark):
+    """Labels ride the CSR pack as a parallel per-arc array
+    (ArcLabelledImmutableGraph analog): round trip preserves
+    (src, dst, weight); duplicate arcs keep the min label."""
+    from webgraph_spark.operators.csr import pack_csr, unpack_csr
+
+    rows = [(0, 1, 10), (0, 3, 30), (1, 2, 7), (0, 1, 99), (2, 0, 5), (2, 4, 4)]
+    g = spark.createDataFrame(rows, "src long, dst long, weight long")
+    packed = pack_csr(g, num_blocks=2, label_col="weight")
+    back = sorted(
+        (r.src, r.dst, r.weight)
+        for r in unpack_csr(packed, label_col="weight").collect()
+    )
+    assert back == [(0, 1, 10), (0, 3, 30), (1, 2, 7), (2, 0, 5), (2, 4, 4)]

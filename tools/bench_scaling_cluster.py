@@ -36,9 +36,13 @@ import pyspark.sql.functions as F
 # scale against the same data), and the per-partition shuffled-hash-join
 # build stays ~1M rows regardless of core count
 parts = int(os.environ.get("SCALING_PARTITIONS", "64"))
-spark = (SparkSession.builder.appName(f"scale{{total_cores}}")
-    .config("spark.sql.shuffle.partitions", str(parts))
-    .getOrCreate())
+builder = (SparkSession.builder.appName(f"scale{{total_cores}}")
+    .config("spark.sql.shuffle.partitions", str(parts)))
+if os.environ.get("SCALING_EVENTLOG"):
+    os.makedirs("/tmp/spark-events", exist_ok=True)
+    builder = (builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", "/tmp/spark-events"))
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 from webgraph_spark.algos.pagerank import pagerank, _prepare
 from webgraph_spark.plans.iterate import iteration_confs

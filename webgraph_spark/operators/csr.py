@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, functions as F
 
 CSR_SCHEMA = (
     "block_id long, node_lo long, node_hi long, n_lists long, n_arcs long, "
-    "srcs binary, counts binary, firsts binary, gaps binary"
+    "srcs binary, counts binary, firsts binary, gaps binary, labels binary"
 )
 
 
@@ -82,12 +82,18 @@ def pack_csr(
     edges: DataFrame,
     num_blocks: int | None = None,
     bounds: list[int] | None = None,
+    label_col: str | None = None,
 ) -> DataFrame:
-    """Pack ``edges(src, dst)`` into the CSR block table.
+    """Pack ``edges(src, dst[, label])`` into the CSR block table.
 
     Upholds the ImmutableGraph invariant: successor lists are strictly
     increasing (duplicates collapse; the reference encoder throws on
     repeats, BVGraph.java:2201 — we dedupe, matching distinct()).
+
+    ``label_col`` (int64) rides as a parallel per-arc array in the same
+    (src, dst) order — the ArcLabelledImmutableGraph analog
+    (BitStreamArcLabelledImmutableGraph.java: labels stored alongside the
+    successor stream). Duplicate (src, dst) keep the MIN label.
     """
     spark = edges.sparkSession
     if bounds is None:
@@ -95,18 +101,27 @@ def pack_csr(
             num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         bounds = arc_balanced_bounds(edges, num_blocks)
 
-    tagged = edges.select("src", "dst").withColumn("block_id", _block_expr(bounds))
+    cols = ["src", "dst"] + ([label_col] if label_col else [])
+    tagged = edges.select(*cols).withColumn("block_id", _block_expr(bounds))
 
     def pack(key, pdf):
         block_id = int(key[0])
         src = pdf["src"].to_numpy(np.int64)
         dst = pdf["dst"].to_numpy(np.int64)
-        order = np.lexsort((dst, src))
+        lab = pdf[label_col].to_numpy(np.int64) if label_col else None
+        order = (
+            np.lexsort((lab, dst, src)) if lab is not None else np.lexsort((dst, src))
+        )
         src, dst = src[order], dst[order]
+        if lab is not None:
+            lab = lab[order]
         # dedupe (src,dst) pairs — strictly increasing successor lists
+        # (first kept = min label when labelled, by the lexsort above)
         keep = np.ones(len(src), dtype=bool)
         keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
         src, dst = src[keep], dst[keep]
+        if lab is not None:
+            lab = lab[keep]
         srcs, starts, counts = np.unique(src, return_index=True, return_counts=True)
         firsts = dst[starts]
         # gaps: dst[i] - dst[i-1] - 1 within each list (BVGraph.java:2202)
@@ -125,6 +140,7 @@ def pack_csr(
                 "counts": [counts.astype(np.int64).tobytes()],
                 "firsts": [firsts.tobytes()],
                 "gaps": [gaps.astype(np.int64).tobytes()],
+                "labels": [lab.tobytes() if lab is not None else b""],
             }
         )
 
@@ -153,17 +169,23 @@ def _decode_block(row) -> tuple[np.ndarray, np.ndarray]:
     return src, dst
 
 
-def unpack_csr(blocks: DataFrame) -> DataFrame:
-    """CSR block table -> edge DataFrame (round-trip inverse)."""
+def unpack_csr(blocks: DataFrame, label_col: str | None = None) -> DataFrame:
+    """CSR block table -> edge DataFrame (round-trip inverse). Pass
+    ``label_col`` to surface the packed per-arc labels."""
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 src, dst = _decode_block(row)
-                if len(src):
-                    yield pd.DataFrame({"src": src, "dst": dst})
+                if not len(src):
+                    continue
+                out = {"src": src, "dst": dst}
+                if label_col:
+                    out[label_col] = np.frombuffer(row["labels"], dtype=np.int64)
+                yield pd.DataFrame(out)
 
-    return blocks.mapInPandas(unpack, schema="src long, dst long")
+    schema = "src long, dst long" + (f", {label_col} long" if label_col else "")
+    return blocks.mapInPandas(unpack, schema=schema)
 
 
 def successors(blocks: DataFrame, node: int) -> list[int]:

@@ -66,9 +66,14 @@ class CheckpointManager:
     """Manages ``<base_dir>/iter_<k>`` state snapshots + a lineage table."""
 
     def __init__(self, spark: SparkSession, base_dir: str, run_id: str = "run"):
+        from ..sources.storage import preferred_format
+
         self.spark = spark
         self.base_dir = base_dir.rstrip("/")
         self.run_id = run_id
+        # Iceberg when the runtime is on the classpath, parquet otherwise
+        # (explicit substitution — see sources/storage.py + README)
+        self.table_format = preferred_format(spark)
         jvm = spark.sparkContext._jvm
         self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
         self._Path = jvm.org.apache.hadoop.fs.Path
@@ -83,36 +88,42 @@ class CheckpointManager:
 
     # --------------------------------------------------------- resume
     def completed_iterations(self) -> list[int]:
+        from ..sources.storage import state_complete
+
         base = self._Path(self.base_dir)
         if not self._fs.exists(base):
             return []
         out = []
         for st in self._fs.listStatus(base):
             name = st.getPath().getName()
-            if name.startswith("iter_") and self._exists(
-                f"{self.base_dir}/{name}/_SUCCESS"
+            if name.startswith("iter_") and state_complete(
+                self._fs, self._Path, f"{self.base_dir}/{name}", self.table_format
             ):
                 out.append(int(name[5:]))
         return sorted(out)
 
     def latest(self) -> tuple[int, DataFrame] | None:
+        from ..sources.storage import read_state
+
         done = self.completed_iterations()
         if not done:
             return None
         k = done[-1]
-        return k, self.spark.read.parquet(self._iter_path(k))
+        return k, read_state(self.spark, self._iter_path(k), self.table_format)
 
     # ----------------------------------------------------------- save
     def save(self, df: DataFrame, iteration: int, metrics: dict | None = None) -> DataFrame:
         """Write iteration state, append lineage rows, return the re-read
         (lineage-truncated, durable) DataFrame. The write IS the
         materializing action — attached Observations fire here."""
+        from ..sources.storage import read_state, write_state
+
         path = self._iter_path(iteration)
         t0 = time.time()
-        df.write.mode("overwrite").parquet(path)
+        write_state(df, path, self.table_format)
         t_write_ms = int((time.time() - t0) * 1000)
 
-        reread = self.spark.read.parquet(path)
+        reread = read_state(self.spark, path, self.table_format)
         cols = [F.col(c) for c in reread.columns]
         per_file = (
             reread.groupBy(F.input_file_name().alias("file"))

@@ -160,6 +160,32 @@ def q_csr_roundtrip(spark, sf_dir):
     return unpack_csr(pack_csr(e, num_blocks=8)).select("src", "dst")
 
 
+def _gamma_row(edges, spark):
+    from webgraph_spark.operators.csr import gamma_bits_per_link
+
+    return gamma_bits_per_link(pack_csr(edges, num_blocks=8)).select(
+        F.col("gamma_bits").cast("long").alias("gamma_bits"),
+        F.col("n_arcs").cast("long").alias("n_arcs"),
+        F.round("bits_per_link", 6).alias("bits_per_link"),
+    )
+
+
+def q_gamma_bits(spark, sf_dir):
+    """Entropy-model bits/link of the CSR pack in natural node order
+    (BVGraph properties bits/link bookkeeping)."""
+    return _gamma_row(_edges(spark, sf_dir), spark)
+
+
+def q_gray_gamma_bits(spark, sf_dir):
+    """Same, after the Gray-code compression ordering — the oracle
+    replicates the permutation itself (prefix-XOR array key, dense rank)
+    so the relabeled gap structure is checked bit-for-bit."""
+    from webgraph_spark.operators.transforms import gray_code_permutation
+
+    g, _ = gray_code_permutation(_edges(spark, sf_dir))
+    return _gamma_row(g, spark)
+
+
 # ------------------------------------------------------------- documents
 
 def _docs(spark, sf_dir):
@@ -449,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_compose_cust_part": q_compose,
         "graph_quotient_nation": q_quotient_nation,
         "csr_roundtrip": q_csr_roundtrip,
+        "graph_gamma_bits": q_gamma_bits,
+        "graph_gray_gamma_bits": q_gray_gamma_bits,
         "graph_closeness_sample": q_closeness_sample,
         "graph_scc_dag": q_scc_dag,
         "docs_text_stats": q_text_stats,
@@ -708,6 +736,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_compose_cust_part": td.compose_sql(),
         "graph_quotient_nation": td.quotient_nation_sql(),
         "csr_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "graph_gamma_bits": td.gamma_bits_sql(),
+        "graph_gray_gamma_bits": td.gray_gamma_bits_sql(),
         "graph_closeness_sample": td.closeness_sql(n_sources=5),
         "graph_scc_dag": td.scc_dag_sql(),
         "docs_text_stats": _text_stats_sql(),

@@ -132,3 +132,18 @@ def test_hyperball_discount_matches_harmonic(spark):
         ).collect()[0]["d"]
     )
     assert diff < 1e-9
+
+
+def test_anf_combine_and_jackknife():
+    from webgraph_spark.algos.hyperball import combine_nfs, jackknife_nf, nf_statistics
+
+    nfs = [[10.0, 50.0, 100.0], [10.0, 54.0, 104.0], [10.0, 52.0]]
+    mean = combine_nfs(nfs)
+    assert mean[0] == 10.0 and abs(mean[1] - 52.0) < 1e-9
+    assert abs(mean[2] - (100.0 + 104.0 + 52.0) / 3) < 1e-9
+    m, se = jackknife_nf(nfs[:2])
+    assert abs(m[1] - 52.0) < 1e-9 and se[1] > 0
+    stats = nf_statistics([10.0, 55.0, 100.0])
+    # pmf over dist 1,2 = (45, 45)/90 -> mean 1.5, var 0.25, spid 1/6
+    assert abs(stats["avg_distance"] - 1.5) < 1e-9
+    assert abs(stats["spid"] - 0.25 / 1.5) < 1e-9

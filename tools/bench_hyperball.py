@@ -1,0 +1,112 @@
+"""Packed (wide-column) vs sparse (long-form) HyperBall register state.
+
+The round-1 implementation kept HLL registers as sparse (node, reg, val)
+rows: at convergence that is n x m rows and every iteration shuffles
+|E| x avg_regs message rows. The round-2 packed form keeps the m
+registers as m tinyint COLUMNS — groupBy(node).agg(max(r0)..max(r_m-1))
+— cutting shuffle rows by ~m x. This harness times both on the same
+transcript graph; the sparse baseline below is a faithful inline copy of
+the round-1 loop (kept ONLY for this measurement).
+
+Usage: python tools/bench_hyperball.py [n_convs] [max_t]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Observation, functions as F
+
+
+def hyperball_sparse(edges, log2m=5, max_t=8, num_partitions=32, seed=31):
+    """Round-1 sparse long-form loop (bench baseline only)."""
+    from webgraph_spark.plans.iterate import iteration_confs
+
+    spark = edges.sparkSession
+    m = 1 << log2m
+    e = edges.select("src", "dst").distinct().repartition(num_partitions, "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    h = F.xxhash64(F.col("node"), F.lit(seed))
+    rest = F.shiftright(h.bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)), log2m)
+    budget = 63 - log2m
+    rho = F.when(rest == F.lit(0), F.lit(budget + 1)).otherwise(
+        F.lit(budget + 1) - F.length(F.conv(rest.cast("string"), 10, 2))
+    )
+    counters0 = nodes.select(
+        "node", F.pmod(h, F.lit(m)).cast("int").alias("reg"), rho.cast("int").alias("val")
+    )
+    state = counters0.localCheckpoint(eager=True)
+    prev_fp = None
+    with iteration_confs(spark):
+        for t in range(1, max_t + 1):
+            succ = e.join(
+                state.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst"
+            ).select(F.col("src").alias("node"), "reg", "val")
+            merged = (
+                state.unionByName(succ)
+                .groupBy("node", "reg")
+                .agg(F.max("val").alias("val"))
+            )
+            obs = Observation()
+            out = merged.observe(obs, F.sum("val").alias("sv"), F.count("*").alias("cnt"))
+            cached = out.persist()
+            state = cached.localCheckpoint(eager=True)
+            cached.unpersist()
+            fp = (obs.get.get("sv"), obs.get.get("cnt"))
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+    e.unpersist()
+    nodes.unpersist()
+    return t
+
+
+def main():
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    max_t = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    from bench import build_transcript_graph
+    from webgraph_spark.algos.hyperball import hyperball
+    from webgraph_spark.session import get_spark
+
+    spark = get_spark("bench_hyperball", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = build_transcript_graph(spark, n_convs).persist()
+    n_edges = edges.count()
+
+    t0 = time.time()
+    res = hyperball(edges, log2m=5, max_t=max_t, seed=31)
+    t_packed = time.time() - t0
+
+    t0 = time.time()
+    iters_sparse = hyperball_sparse(edges, log2m=5, max_t=max_t, seed=31)
+    t_sparse = time.time() - t0
+
+    import json
+
+    print(
+        json.dumps(
+            {
+                "n_edges": n_edges,
+                "max_t": max_t,
+                "packed_sec": round(t_packed, 1),
+                "packed_iters": res.iterations,
+                "sparse_sec": round(t_sparse, 1),
+                "sparse_iters": iters_sparse,
+                "speedup": round(t_sparse / t_packed, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

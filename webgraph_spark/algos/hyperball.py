@@ -240,6 +240,65 @@ def hyperball(
     return HyperBallResult(nf, state, t, converged, log2m)
 
 
+def combine_nfs(nfs: list[list[float]]) -> list[float]:
+    """Pointwise mean of several NF runs
+    (ApproximateNeighbourhoodFunctions.combine, line 25-30 analog).
+    Shorter runs are extended with their last (saturated) value."""
+    if not nfs:
+        return []
+    T = max(len(nf) for nf in nfs)
+    ext = [nf + [nf[-1]] * (T - len(nf)) for nf in nfs]
+    return [sum(nf[t] for nf in ext) / len(ext) for t in range(T)]
+
+
+def jackknife_nf(nfs: list[list[float]]):
+    """Leave-one-out jackknife over NF runs: returns (mean, stderr)
+    pointwise lists (ApproximateNeighbourhoodFunctions.jackknife)."""
+    import math
+
+    n = len(nfs)
+    if n < 2:
+        raise ValueError("jackknife needs >= 2 runs")
+    T = max(len(nf) for nf in nfs)
+    ext = [nf + [nf[-1]] * (T - len(nf)) for nf in nfs]
+    mean = [sum(nf[t] for nf in ext) / n for t in range(T)]
+    loo = [
+        [
+            (mean[t] * n - ext[i][t]) / (n - 1)
+            for t in range(T)
+        ]
+        for i in range(n)
+    ]
+    stderr = [
+        math.sqrt(
+            (n - 1) / n * sum((loo[i][t] - mean[t]) ** 2 for i in range(n))
+        )
+        for t in range(T)
+    ]
+    return mean, stderr
+
+
+def nf_statistics(nf: list[float]) -> dict:
+    """Derived distance statistics from an NF curve (the reference's
+    four-degrees-of-separation outputs): average distance, SPID
+    (variance-to-mean ratio of the distance distribution — < 1 means a
+    'proper' web-like graph), and the 90% effective diameter."""
+    if len(nf) < 2:
+        return {"avg_distance": 0.0, "spid": 0.0, "effective_diameter": 0.0}
+    # distance pmf from NF increments over reachable pairs (dist >= 1)
+    total = nf[-1] - nf[0]
+    if total <= 0:
+        return {"avg_distance": 0.0, "spid": 0.0, "effective_diameter": 0.0}
+    pmf = [(nf[t] - nf[t - 1]) / total for t in range(1, len(nf))]
+    mean = sum(t * p for t, p in zip(range(1, len(nf)), pmf))
+    var = sum((t - mean) ** 2 * p for t, p in zip(range(1, len(nf)), pmf))
+    return {
+        "avg_distance": mean,
+        "spid": var / mean if mean > 0 else 0.0,
+        "effective_diameter": effective_diameter(nf, 0.9),
+    }
+
+
 def effective_diameter(nf: list[float], quantile: float = 0.9) -> float:
     """Interpolated effective diameter from an NF curve
     (NeighbourhoodFunction.effectiveDiameter analog, used by

@@ -413,6 +413,72 @@ def scc_dag_sql() -> str:
     return f"WITH {EDGES_CTE}, {NODES_CTE} SELECT node, node AS scc FROM nodes"
 
 
+_GRAY_BIG_SQL = 1 << 62
+
+_GAMMA_TAIL = """
+lists AS (SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+            LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+          FROM edges),
+vals AS (SELECT CASE WHEN rn = 1
+                     THEN (CASE WHEN dst - src >= 0 THEN 2 * (dst - src)
+                           ELSE -2 * (dst - src) - 1 END)
+                     ELSE dst - prev - 1 END AS v
+         FROM lists),
+bits AS (SELECT CAST(2 * FLOOR(LOG2(v + 1)) + 1 AS BIGINT) AS b FROM vals)
+SELECT CAST(SUM(b) AS BIGINT) AS gamma_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_arcs,
+       ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_link
+FROM bits"""
+
+
+def gamma_bits_sql() -> str:
+    """Twin of operators.csr.gamma_bits_per_link over the natural-order
+    pack: gamma(int2nat(first - src)) + gamma(gaps)."""
+    return f"WITH {EDGES_CTE},{_GAMMA_TAIL}"
+
+
+def gray_gamma_bits_sql() -> str:
+    """Twin of gray_code_permutation + gamma_bits_per_link: rebuilds the
+    prefix-XOR Gray array key (transforms._succ_key) in SQL, dense-ranks
+    it, relabels the arcs, and costs the result under the gamma model."""
+    return f"""WITH {EDGES_CTE}, {NODES_CTE},
+succ AS MATERIALIZED (SELECT src AS node, list_sort(list(dst)) AS s
+                      FROM (SELECT DISTINCT src, dst FROM edges) e GROUP BY src),
+keyed AS (
+  SELECT n.node, COALESCE(s.s, CAST([] AS BIGINT[])) AS s
+  FROM nodes n LEFT JOIN succ s ON n.node = s.node),
+gkey AS (
+  SELECT node,
+         list_append(
+           list_transform(range(1, len(s) + 1),
+                          i -> CASE WHEN i % 2 = 1 THEN -s[i] ELSE s[i] END),
+           CASE WHEN len(s) % 2 = 1 THEN {_GRAY_BIG_SQL}
+                ELSE -{_GRAY_BIG_SQL} END) AS k
+  FROM keyed),
+perm AS MATERIALIZED (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY k, node) - 1 AS target FROM gkey),
+edges2 AS MATERIALIZED (
+  SELECT DISTINCT ps.target AS src, pd.target AS dst
+  FROM edges e
+  JOIN perm ps ON e.src = ps.node
+  JOIN perm pd ON e.dst = pd.node),
+lists AS (SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+            LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+          FROM edges2),
+vals AS (SELECT CASE WHEN rn = 1
+                     THEN (CASE WHEN dst - src >= 0 THEN 2 * (dst - src)
+                           ELSE -2 * (dst - src) - 1 END)
+                     ELSE dst - prev - 1 END AS v
+         FROM lists),
+bits AS (SELECT CAST(2 * FLOOR(LOG2(v + 1)) + 1 AS BIGINT) AS b FROM vals)
+SELECT CAST(SUM(b) AS BIGINT) AS gamma_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_arcs,
+       ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_link
+FROM bits"""
+
+
 def degree_dist_sql(direction: str = "out") -> str:
     col = "src" if direction == "out" else "dst"
     return f"""WITH {EDGES_CTE}

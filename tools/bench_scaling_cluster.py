@@ -44,24 +44,31 @@ if os.environ.get("SCALING_EVENTLOG"):
         .config("spark.eventLog.dir", "/tmp/spark-events"))
 spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
-from webgraph_spark.algos.pagerank import pagerank, _prepare
+from webgraph_spark.algos.pagerank import pagerank, pagerank_fused, _prepare
 from webgraph_spark.plans.iterate import iteration_confs
+
+chain = int(os.environ.get("SCALING_CHAIN", "5"))
+mode = os.environ.get("SCALING_MODE", "fused")
+pr = (lambda e, it: pagerank_fused(e, fixed_iterations=it, chain=chain)) if mode == "fused" \
+    else (lambda e, it: pagerank(e, fixed_iterations=it))
 
 t_setup = time.time()
 edges = spark.read.parquet(path)
 n_edges = edges.count()
-# run one throwaway fixed iteration to materialize ew/nodes caches and
-# JIT-warm the executors, then time the steady-state loop
-warm = pagerank(edges, fixed_iterations=1)
+# run one throwaway chain to materialize ew/nodes caches and JIT-warm
+# the executors, then time the steady-state loop
+warm = pr(edges, chain if mode == "fused" else 1)
 warm.ranks.count()
 t_setup = time.time() - t_setup
 
 t0 = time.time()
-res = pagerank(edges, fixed_iterations=iters)
+res = pr(edges, iters)
 res.ranks.count()
 t_loop = time.time() - t0
+iters = res.iterations  # chain rounding may execute a few more
 print(json.dumps({{
     "total_cores": total_cores, "n_edges": n_edges, "iters": iters,
+    "mode": mode, "chain": chain,
     "setup_sec": round(t_setup, 1), "loop_sec": round(t_loop, 1),
     "per_iter": round(t_loop / iters, 2),
     "edges_per_sec": round(n_edges * iters / t_loop, 1)}}))

@@ -63,6 +63,197 @@ def _prepare(edges: DataFrame, num_partitions: int | None):
     return ew, nodes, num_partitions
 
 
+def pagerank_fused(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    chain: int = 4,
+    num_partitions: int | None = None,
+    salt_buckets: int | None = None,
+    fixed_iterations: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str = "pagerank_fused",
+) -> PageRankResult:
+    """Job-fused power iteration: ``chain`` iterations per Spark job.
+
+    The synchronous loop in :func:`pagerank` pays a fixed per-iteration
+    cost (job scheduling, checkpoint/cache memcpy of the full state,
+    observation round-trip) that dominates wall time whenever per-core
+    compute per iteration is small — the measured Amdahl term behind the
+    round-1 scaling-efficiency miss (BENCH/BASELINE.md §4). Fusion
+    divides that fixed cost by ``chain`` by materializing state only at
+    chain boundaries; every inner iteration is ONE co-partitioned join +
+    ONE groupBy shuffle, all pipelined inside a single Spark job.
+
+    What makes fusion possible: :func:`pagerank` needs the dangling mass
+    of iteration k as a *scalar* to build iteration k+1's teleport base,
+    forcing one materialization per iteration. This variant iterates the
+    **leaked-mass** recurrence instead::
+
+        s  <-  alpha * A^T D^{-1} s  +  (1 - alpha)/n      (no dangling term)
+
+    and normalizes to sum 1 at the end. With uniform teleport and
+    uniform dangling redistribution the normalized fixpoint is
+    *identical* to the dangling-redistribution PageRank: writing
+    sigma = sum(s*) and d the dangling indicator, the fixpoint of the
+    leaked recurrence satisfies alpha * d^T s* = (1-alpha)(1-sigma),
+    which is exactly the condition for s*/sigma to be the fixpoint of
+    the full recurrence (verified in tests against :func:`pagerank` and
+    the numpy oracle at 1e-6).  Per-iteration trajectories differ, so
+    the unrolled-SQL oracle path keeps :func:`pagerank`; at convergence
+    (the north rule's criterion) both agree allclose.
+
+    State is the contribution frame ``c`` with ``s(v) = base + alpha*c(v)``
+    (``base = (1-alpha)/n``; missing row = 0), so the inner recurrence
+    needs no full node vector: edges LEFT-join ``c`` on src and nodes
+    absent from ``c`` contribute ``base`` automatically. Durable
+    checkpoints/lineage happen per chain boundary (``chain=1`` restores
+    exact per-iteration durability).
+    """
+    spark = edges.sparkSession
+    ew, nodes, P = _prepare(edges, num_partitions)
+    n = nodes.count()
+    if n == 0:
+        return PageRankResult(
+            spark.createDataFrame([], "node long, rank double"), 0, True, 0.0
+        )
+    base = (1.0 - alpha) / n
+
+    def one_iter(c: DataFrame) -> DataFrame:
+        # ew is persisted hash-partitioned on src; c is hash-partitioned
+        # on its own key from the previous groupBy/materialization — the
+        # join is exchange-free, so each fused iteration's ONLY shuffle
+        # is the groupBy(dst) with map-side partial aggregation.
+        msgs = ew.join(
+            c.select(F.col("node").alias("src"), "contrib").hint("shuffle_hash"),
+            "src",
+            "left",
+        ).select(
+            "dst",
+            (
+                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)))
+                / F.col("outdeg")
+            ).alias("m"),
+        )
+        if salt_buckets:
+            agg = (
+                msgs.groupBy(
+                    "dst", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("_s")
+                )
+                .agg(F.sum("m").alias("m"))
+                .groupBy("dst")
+                .agg(F.sum("m").alias("contrib"))
+            )
+        else:
+            agg = msgs.groupBy("dst").agg(F.sum("m").alias("contrib"))
+        return agg.select(F.col("dst").alias("node"), "contrib")
+
+    # c0 = 1/n on every node  =>  s0 = base + alpha/n = 1/n exactly
+    c0 = nodes.select("node", F.lit(1.0 / n).alias("contrib"))
+    carry: dict = {"sigma": None, "delta": float("inf")}
+
+    def step(state: DataFrame, k: int):
+        c = state.select("node", "contrib")
+        for _ in range(chain):
+            c = one_iter(c)
+        # chain-boundary delta: full-outer against the chain's input
+        # (both sides hash-partitioned on node — exchange-free join).
+        # Support can only grow (to nodes with indeg>0 plus carried
+        # zero-rows), so coalesce(contrib, 0) on both sides is exact.
+        obs = Observation()
+        joined = (
+            c.join(
+                state.select("node", F.col("contrib").alias("_old")), "node", "full"
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("contrib"), F.lit(0.0)).alias("contrib"),
+                F.coalesce(F.col("_old"), F.lit(0.0)).alias("_old"),
+            )
+            .observe(
+                obs,
+                F.sum("contrib").alias("csum"),
+                F.max(F.abs(F.col("contrib") - F.col("_old"))).alias("dc"),
+                F.max("contrib").alias("cmax"),
+            )
+        )
+        # _old rides the materialized state: the stop rule's exact-delta
+        # refinement aggregates over it without recomputing the chain
+        return joined, {"chain": chain}, obs
+
+    def stop(obs_metrics: dict, k: int, state: DataFrame) -> bool:
+        csum = obs_metrics.get("csum", 0.0) or 0.0
+        dc = obs_metrics.get("dc", float("inf"))
+        cmax = obs_metrics.get("cmax", 0.0) or 0.0
+        sigma_new = (1.0 - alpha) + alpha * csum
+        sigma_old = carry["sigma"] if carry["sigma"] is not None else sigma_new
+        s_max = base + alpha * cmax
+        # |s_n/sig_n - s_o/sig_o| <= |s_n-s_o|/sig_n + s_max*|sig_n-sig_o|/(sig_n*sig_o)
+        bound = (alpha * (dc if dc is not None else float("inf"))) / sigma_new + (
+            s_max * abs(sigma_new - sigma_old) / (sigma_new * sigma_old)
+        )
+        if "_old" in state.columns and fixed_iterations is None:
+            # the sigma-drift term makes the closed-form bound loose
+            # (~2x extra iterations measured); replace it with the EXACT
+            # normalized chain-boundary delta — one sub-second aggregate
+            # over the just-materialized state (no chain recompute)
+            bound = (
+                state.agg(
+                    F.max(
+                        F.abs(
+                            (F.lit(base) + F.lit(alpha) * F.col("contrib"))
+                            / F.lit(sigma_new)
+                            - (F.lit(base) + F.lit(alpha) * F.col("_old"))
+                            / F.lit(sigma_old)
+                        )
+                    )
+                ).collect()[0][0]
+                or 0.0
+            )
+        carry["sigma"] = sigma_new
+        carry["delta"] = bound
+        if fixed_iterations is not None:
+            return False
+        return bound < tol
+
+    if fixed_iterations is not None:
+        n_chains = (fixed_iterations + chain - 1) // chain
+    else:
+        n_chains = (max_iter + chain - 1) // chain
+    with iteration_confs(spark):
+        state, chains_done, done = iterate(
+            spark,
+            c0,
+            step,
+            max_iter=n_chains,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            stop=stop,
+        )
+    sigma = carry["sigma"] if carry["sigma"] is not None else 1.0
+    ranks = (
+        nodes.join(state.hint("shuffle_hash"), "node", "left")
+        .select(
+            "node",
+            (
+                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)))
+                / F.lit(sigma)
+            ).alias("rank"),
+        )
+    )
+    # materialize the result BEFORE dropping the inputs it derives from
+    ranks = ranks.localCheckpoint(eager=True)
+    ew.unpersist()
+    nodes.unpersist()
+    return PageRankResult(
+        ranks,
+        chains_done * chain,
+        done or fixed_iterations is not None,
+        float(carry["delta"]),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     alpha: float = 0.85,

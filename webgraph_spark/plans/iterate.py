@@ -166,11 +166,17 @@ def iterate(
     (ONE Spark job per iteration, no separate aggregate jobs).
 
     ``stop(obs_metrics: dict, k) -> bool`` decides convergence from the
-    observed metrics. With ``checkpoint_dir``, state is durable and the
-    loop resumes from the last complete iteration.
+    observed metrics; a 3-arg ``stop(obs_metrics, k, state)`` also
+    receives the just-MATERIALIZED state (durable or localCheckpointed)
+    so convergence rules may run a cheap follow-up aggregate on it
+    without recomputing the step. With ``checkpoint_dir``, state is
+    durable and the loop resumes from the last complete iteration.
 
     Returns (final_state, iterations_done, converged_flag).
     """
+    import inspect
+
+    stop_arity = len(inspect.signature(stop).parameters) if stop is not None else 0
     mgr = CheckpointManager(spark, checkpoint_dir, run_id) if checkpoint_dir else None
     k0 = 0
     state = state0
@@ -202,7 +208,9 @@ def iterate(
             cached.unpersist()
         obs_metrics = dict(obs.get) if obs is not None else {}
         state = new_state
-        if stop is not None and stop(obs_metrics, k):
+        if stop is not None and (
+            stop(obs_metrics, k, state) if stop_arity >= 3 else stop(obs_metrics, k)
+        ):
             done = True
             break
     return state, k, done

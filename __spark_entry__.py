@@ -160,6 +160,28 @@ def q_csr_roundtrip(spark, sf_dir):
     return unpack_csr(pack_csr(e, num_blocks=8)).select("src", "dst")
 
 
+def q_ef_roundtrip(spark, sf_dir):
+    """Elias–Fano second physical format: store -> load -> same arc set
+    (EFGraph.store/load, EFGraph.java:283-420)."""
+    from webgraph_spark.operators.ef import pack_ef, unpack_ef
+
+    e = _edges(spark, sf_dir)
+    return unpack_ef(pack_ef(e, num_blocks=8)).select("src", "dst")
+
+
+def q_ef_bits(spark, sf_dir):
+    """Exact Elias–Fano storage cost of the pack; the oracle recomputes
+    the closed form sum(k*l + (max>>l) + k) analytically in SQL."""
+    from webgraph_spark.operators.ef import ef_bits_per_link, pack_ef
+
+    e = _edges(spark, sf_dir)
+    return ef_bits_per_link(pack_ef(e, num_blocks=8)).select(
+        F.col("ef_bits").cast("long").alias("ef_bits"),
+        F.col("n_arcs").cast("long").alias("n_arcs"),
+        F.round("bits_per_link", 6).alias("bits_per_link"),
+    )
+
+
 def _gamma_row(edges, spark):
     from webgraph_spark.operators.csr import gamma_bits_per_link
 
@@ -475,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_compose_cust_part": q_compose,
         "graph_quotient_nation": q_quotient_nation,
         "csr_roundtrip": q_csr_roundtrip,
+        "ef_roundtrip": q_ef_roundtrip,
+        "ef_bits": q_ef_bits,
         "graph_gamma_bits": q_gamma_bits,
         "graph_gray_gamma_bits": q_gray_gamma_bits,
         "graph_closeness_sample": q_closeness_sample,
@@ -736,6 +760,25 @@ def oracle_sql() -> dict[str, str]:
         "graph_compose_cust_part": td.compose_sql(),
         "graph_quotient_nation": td.quotient_nation_sql(),
         "csr_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "ef_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "ef_bits": f"""WITH {td.EDGES_CTE},
+dedup AS (SELECT DISTINCT src, dst FROM edges),
+uni AS (SELECT MAX(dst) + 1 AS u FROM dedup),
+lists AS (
+  SELECT src, COUNT(*) AS k, MAX(dst) AS maxd FROM dedup GROUP BY src
+),
+per AS (
+  SELECT k, maxd,
+    CASE WHEN u <= k THEN 0
+         ELSE GREATEST(0, CAST(FLOOR(LOG2(CAST(u AS DOUBLE) / k)) AS BIGINT))
+    END AS l
+  FROM lists, uni
+)
+SELECT CAST(SUM(k * l + (maxd >> l) + k) AS BIGINT) AS ef_bits,
+       CAST(SUM(k) AS BIGINT) AS n_arcs,
+       ROUND(CAST(SUM(k * l + (maxd >> l) + k) AS DOUBLE) / SUM(k), 6) AS bits_per_link
+FROM per
+""",
         "graph_gamma_bits": td.gamma_bits_sql(),
         "graph_gray_gamma_bits": td.gray_gamma_bits_sql(),
         "graph_closeness_sample": td.closeness_sql(n_sources=5),

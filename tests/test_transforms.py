@@ -227,3 +227,24 @@ def test_ordering_compresses_gamma_bits(spark):
     assert b_gray < b_rnd, (b_gray, b_rnd)
     assert b_lex < b_rnd, (b_lex, b_rnd)
     assert b_conv < b_rnd, (b_conv, b_rnd)
+
+
+def test_mask_arcs(spark):
+    from webgraph_spark.operators.transforms import mask_arcs
+
+    g = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )
+    mask = spark.createDataFrame([(0, 2), (2, 0), (5, 5)], "src long, dst long")
+    got = sorted((r.src, r.dst) for r in mask_arcs(g, mask).collect())
+    assert got == [(0, 1), (1, 2)]
+
+
+def test_intervals_to_arcs(spark):
+    from webgraph_spark.operators.transforms import intervals_to_arcs
+
+    iv = spark.createDataFrame(
+        [(0, 3, 5), (1, 7, 7), (2, 9, 8)], "src long, lo long, hi long"
+    )
+    got = sorted((r.src, r.dst) for r in intervals_to_arcs(iv).collect())
+    assert got == [(0, 3), (0, 4), (0, 5), (1, 7)]

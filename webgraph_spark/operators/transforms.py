@@ -105,6 +105,30 @@ def union_labelled(
     return both.groupBy("src", "dst").agg(agg)
 
 
+def mask_arcs(edges: DataFrame, mask: DataFrame) -> DataFrame:
+    """Per-list successor masking: drop every arc present in ``mask``
+    (MaskedIntIterator — the reference filters successor lists against a
+    mask iterator inside its merged/filtered graph views; here the mask
+    is itself an arc table and the subtraction is one left-anti join,
+    which Spark executes as a co-partitioned hash anti-join)."""
+    return edges.join(mask.select("src", "dst"), ["src", "dst"], "left_anti")
+
+
+def intervals_to_arcs(intervals: DataFrame) -> DataFrame:
+    """Expand ``(src, lo, hi)`` inclusive successor intervals into arcs
+    (IntIntervalSequenceIterator — BVGraph's intervalization stores runs
+    of consecutive successors as [lo, hi] pairs; the decode is
+    ``explode(sequence(lo, hi))``, entirely JVM-side). Degenerate rows
+    with hi < lo yield no arcs, matching an empty interval."""
+    return (
+        intervals.where(F.col("hi") >= F.col("lo"))
+        .select(
+            "src",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dst"),
+        )
+    )
+
+
 def compose(g0: DataFrame, g1: DataFrame) -> DataFrame:
     """Boolean matrix product: arc (x,z) iff exists y with (x,y) in g0 and
     (y,z) in g1 (Transform.compose, Transform.java:2101-2112). The core

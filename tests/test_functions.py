@@ -166,3 +166,22 @@ def test_multimodal_plumbing(spark):
     assert not bf.ok and "decoder" in bf.err
     frames = frame_sample_plan(media, every_n=10)
     assert frames.count() == 10 * 3  # 10 videos x ceil(30/10) frames
+
+
+def test_lsh_max_bucket_guard(spark):
+    """Hub-bucket cap: identical texts land in one bucket per band; a cap
+    below the clone-cluster size drops those pairs, unrelated pairs
+    unaffected."""
+    from webgraph_spark.functions.dedup import minhash_lsh_candidates
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(8)]
+    rows += [(100, "a genuinely unique document about graphs"),
+             (101, "a genuinely unique document about graphs!")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    uncapped = minhash_lsh_candidates(df, "id", "text")
+    capped = minhash_lsh_candidates(df, "id", "text", max_bucket=4)
+    un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp
+    assert any(a < 8 and b < 8 for a, b in un)
+    assert not any(a < 8 and b < 8 for a, b in cp)

@@ -82,15 +82,21 @@ def main():
     edges = build_transcript_graph(spark, n_convs).persist()
     n_edges = edges.count()
 
+    import json
+
     t0 = time.time()
     res = hyperball(edges, log2m=5, max_t=max_t, seed=31)
     t_packed = time.time() - t0
+    print(json.dumps({"packed_sec": round(t_packed, 1)}), flush=True)
 
     t0 = time.time()
-    iters_sparse = hyperball_sparse(edges, log2m=5, max_t=max_t, seed=31)
-    t_sparse = time.time() - t0
-
-    import json
+    try:
+        iters_sparse = hyperball_sparse(edges, log2m=5, max_t=max_t, seed=31)
+        t_sparse = time.time() - t0
+    except Exception as exc:  # the sparse baseline can exhaust memory
+        iters_sparse = -1
+        t_sparse = -1.0
+        print(json.dumps({"sparse_error": str(exc)[:300]}), flush=True)
 
     print(
         json.dumps(

@@ -123,10 +123,28 @@ def minhash_lsh_candidates(
     band_rows: int = DEFAULT_BAND_ROWS,
     shingle: int = DEFAULT_SHINGLE,
     seed: int = 12345,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band."""
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    ``max_bucket`` is the hub-bucket guard for web scale: a band bucket
+    holding b docs emits b*(b-1)/2 pairs, so one boilerplate bucket with
+    10^5 members produces ~5*10^9 rows on its own. Buckets larger than
+    ``max_bucket`` are dropped before the self-join (one extra count
+    aggregation over the band table — the dropped pairs are exactly the
+    ones a verifier would reject as boilerplate; near-dup clusters that
+    big are better handled by the exact-fingerprint pass). Default None
+    keeps every bucket (correctness-oracle behavior)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
     bands = lsh_band_keys(sigs, band_rows)
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        bands = bands.join(small, ["band", "band_key"], "left_semi")
     a = bands.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_a"))
     b = bands.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_b"))
     return (

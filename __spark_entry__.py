@@ -373,6 +373,18 @@ def q_ann_lsh_top5(spark, sf_dir):
     return cosine_topk_lsh(emb, queries, k=5, dim=64)
 
 
+def q_ann_recall5(spark, sf_dir):
+    """Recall@5 of the LSH candidate path vs the exact top-5 — the
+    approximation-quality gate (sketches are accepted by measured error
+    vs ground truth, HyperBallTest.java:78-80). tests/test_functions.py
+    asserts the recall floor; here the exact value is oracle-matched."""
+    from webgraph_spark.functions.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ann_recall(emb, queries, k=5, dim=64)
+
+
 def q_multimodal_features(spark, sf_dir):
     from webgraph_spark.functions.multimodal import extract_features, synthesize_media
 
@@ -517,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_converged": q_pagerank_converged,
         "graph_cc_converged": q_cc_converged,
         "emb_ann_lsh_top5": q_ann_lsh_top5,
+        "emb_ann_recall5": q_ann_recall5,
         "multimodal_features": q_multimodal_features,
         "transcript_graph_pagerank": q_transcript_graph,
         "graph_hyperball_nf": q_hyperball_nf,
@@ -768,9 +781,12 @@ lists AS (
   SELECT src, COUNT(*) AS k, MAX(dst) AS maxd FROM dedup GROUP BY src
 ),
 per AS (
+  -- l = floor(log2(u/k)) via INTEGER arithmetic (bit length of u//k),
+  -- matching the engine's (u // k).bit_length() - 1: no float-ulp
+  -- disagreement near exact powers of two
   SELECT k, maxd,
     CASE WHEN u <= k THEN 0
-         ELSE GREATEST(0, CAST(FLOOR(LOG2(CAST(u AS DOUBLE) / k)) AS BIGINT))
+         ELSE length(bin(u // k)) - 1
     END AS l
   FROM lists, uni
 )
@@ -830,6 +846,15 @@ FROM x GROUP BY user_id""",
         ),
         "graph_cc_converged": td.cc_sql(rounds=30),
         "emb_ann_lsh_top5": _ann_lsh_sql(),
+        "emb_ann_recall5": f"""WITH ex AS (
+  SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1
+), ap AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM ({_ann_lsh_sql()}) t2
+)
+SELECT COUNT(*) AS exact_pairs,
+       CAST(COALESCE(SUM(ap.hit), 0) AS BIGINT) AS hits,
+       ROUND(CAST(COALESCE(SUM(ap.hit), 0) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "multimodal_features": _multimodal_sql(n=48, dim=16),
         "transcript_graph_pagerank": td.transcript_pipeline_sql(iters=10),
         "graph_hyperball_nf": _hyperball_nf_sql(),

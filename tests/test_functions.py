@@ -145,6 +145,60 @@ def test_cosine_lsh_recall(spark):
     assert hits >= 8  # out of 15
 
 
+def _planted_emb(spark, n_clusters=25, copies=5, dim=32, noise=0.12, seed=11):
+    """Near-duplicate clusters: each base vector is repeated with small
+    gaussian noise (pairwise sim ~>= 0.95) — the regime hyperplane LSH
+    exists for (near-dup detection). On ISOTROPIC random data recall@k
+    is meaningless: the top-k 'neighbours' sit ~2.5 sigma inside the
+    bulk cosine distribution, so no sublinear method can find them —
+    the acceptance gate below therefore measures planted structure."""
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n_clusters, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(copies):
+            v = base[c] + noise * rng.standard_normal(dim) / np.sqrt(dim)
+            rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf)
+
+
+def test_ann_recall_gate_planted(spark):
+    """Statistical acceptance of the ANN path (HyperBallTest.java:78-80
+    posture): recall@4 >= 0.9 against the exact scorer on planted
+    near-duplicate data, with default LSH parameters + multiprobe."""
+    from webgraph_spark.functions.similarity import ann_recall
+
+    df = _planted_emb(spark)
+    q = df.where(F.col("vec_id") % 5 == 0)  # first member of each cluster
+    row = ann_recall(df, q, k=4, dim=32, multiprobe=1).collect()[0]
+    assert row["exact_pairs"] == 25 * 4
+    assert row["recall_at_k"] >= 0.9, row["recall_at_k"]
+
+
+def test_multiprobe_improves_recall(spark):
+    """Hamming-1 multiprobe explodes only the broadcast query side and
+    must dominate the plain candidate set (superset by construction)."""
+    df = _planted_emb(spark, n_clusters=10, copies=4)
+    q = df.where(F.col("vec_id") < 3)
+    plain = cosine_topk_lsh(df, q, k=3, dim=32, n_tables=2).toPandas()
+    probed = cosine_topk_lsh(df, q, k=3, dim=32, n_tables=2, multiprobe=1).toPandas()
+    exact = cosine_topk(df, q, k=3).toPandas()
+
+    def hits(approx):
+        h = 0
+        for qid in approx["query_id"].unique():
+            e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            h += len(e & a)
+        return h
+
+    assert hits(probed) >= hits(plain)
+
+
 def test_multimodal_plumbing(spark):
     from webgraph_spark.functions.multimodal import (
         extract_features,

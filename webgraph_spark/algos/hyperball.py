@@ -23,10 +23,23 @@ Spark-first representation — **packed wide-column registers**:
 - the centrality accumulators ride the SAME aggregation: message rows
   carry null accumulators, the state row carries the real ones, and
   ``max`` ignores nulls — so one shuffle per iteration, no extra join;
-- NF(t) and the convergence fingerprint (sum of all registers — the
-  register file only grows, so a stable sum means no register changed)
+- NF(t) and the convergence signal (per-node changed flags, summed)
   are Observations on the materializing action: ONE Spark job per
-  iteration, no separate estimate pass.
+  iteration, no separate estimate pass;
+- **systolic message filtering** (HyperBall.java:120-127, the systolic
+  check at :885): each state row carries a ``chg`` flag — did the
+  node's register file grow in the last merge? (registers only grow,
+  so per-node register SUM growth <=> change). Messages are generated
+  ONLY from ``e |><| changed`` — in the convergence tail (many
+  iterations, few changes) the per-iteration shuffle volume is
+  O(arcs into changed nodes), not O(|E|). Once the changed set is
+  small it is broadcast, eliminating the message-side shuffle
+  entirely (the reference's "local mode" under 1% changed). The
+  merge itself is ``state LEFT JOIN msg_max ON node`` with
+  ``greatest()`` per register: state stays hash-partitioned on
+  ``node`` across iterations (localCheckpoint preserves the physical
+  partitioning), so the big side of the merge never re-shuffles —
+  only the (small) aggregated message table moves.
 """
 
 from __future__ import annotations
@@ -156,6 +169,10 @@ def hyperball(
         for j, c in enumerate(reg_cols)
     ]
     est0 = _estimate_expr(m, reg_cols)
+    rt_expr = None
+    for c in reg_cols:
+        t_ = F.col(c).cast("long")
+        rt_expr = t_ if rt_expr is None else rt_expr + t_
     state0 = (
         nodes.select("node", *init_regs)
         .select(
@@ -165,7 +182,10 @@ def hyperball(
             F.lit(0.0).alias("harmonic"),
             F.lit(0.0).alias("sumdist"),
             *[F.lit(0.0).alias(f"disc_{k}") for k in discounts],
+            rt_expr.alias("rt"),
+            F.lit(True).alias("chg"),
         )
+        .repartition(num_partitions, "node")
     )
 
     from ..plans.iterate import iteration_confs
@@ -181,30 +201,36 @@ def hyperball(
     state = _materialize(state0)
     nf = [float(state.agg(F.sum("est")).collect()[0][0])]
 
-    null_accs = [F.lit(None).cast("double").alias(c) for c in acc_cols]
-    reg_total = None
-    for c in reg_cols:
-        t_ = F.col(c).cast("long")
-        reg_total = t_ if reg_total is None else reg_total + t_
+    # changed sets at most this many rows are broadcast for the message
+    # join ("local mode"): no shuffle at all on the message side, just a
+    # scan of the cached pre-partitioned edge table
+    broadcast_max = 500_000
 
     converged = False
-    prev_fp = None
+    n_changed = None  # nchg observed last iteration (None = first)
     t = 0
-    with iteration_confs(spark):
+    with iteration_confs(spark, {"spark.sql.shuffle.partitions": str(num_partitions)}):
         for t in range(1, max_t + 1):
-            msgs = e.join(
-                state.select(F.col("node").alias("dst"), *reg_cols).hint(
-                    "shuffle_hash"
-                ),
-                "dst",
-            ).select(F.col("src").alias("node"), *reg_cols, *null_accs)
-            merged = (
-                state.unionByName(msgs)
+            changed = state.where("chg").select(
+                F.col("node").alias("dst"), *reg_cols
+            )
+            if n_changed is not None and n_changed <= broadcast_max:
+                joined = e.join(F.broadcast(changed), "dst")
+            else:
+                joined = e.join(changed.hint("shuffle_hash"), "dst")
+            magg = (
+                joined.select(F.col("src").alias("node"), *reg_cols)
                 .groupBy("node")
-                .agg(
-                    *[F.max(c).alias(c) for c in reg_cols],
-                    *[F.max(c).alias(c) for c in acc_cols],
-                )
+                .agg(*[F.max(c).alias(f"m_{c}") for c in reg_cols])
+            )
+            merged = state.join(magg.hint("shuffle_hash"), "node", "left").select(
+                "node",
+                *[
+                    F.greatest(F.col(c), F.col(f"m_{c}")).alias(c)
+                    for c in reg_cols
+                ],
+                *acc_cols,
+                "rt",
             )
             est_new = _estimate_expr(m, reg_cols)
             delta = est_new - F.col("est")
@@ -221,23 +247,24 @@ def hyperball(
                     )
                     for k, fn in discounts.items()
                 ],
+                rt_expr.alias("rt"),
+                (rt_expr > F.col("rt")).alias("chg"),
             ).observe(
                 obs,
-                F.sum(reg_total).alias("sv"),
+                F.sum(F.col("chg").cast("long")).alias("nchg"),
                 F.sum("est").alias("nf"),
             )
             state = _materialize(new_state)
             got = obs.get
-            fp = got.get("sv")
-            if fp == prev_fp:
+            n_changed = int(got.get("nchg"))
+            if n_changed == 0:
                 converged = True
                 t -= 1  # this round changed no register
                 break
-            prev_fp = fp
             nf.append(float(got.get("nf")))
     e.unpersist()
     nodes.unpersist()
-    return HyperBallResult(nf, state, t, converged, log2m)
+    return HyperBallResult(nf, state.drop("rt", "chg"), t, converged, log2m)
 
 
 def combine_nfs(nfs: list[list[float]]) -> list[float]:

@@ -81,6 +81,44 @@ def cosine_topk(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Recall@k of the LSH path against the exact scorer — the
+    approximation-QUALITY gate, not just determinism (the reference's
+    statistical-acceptance posture for sketches, HyperBallTest.java:78-80:
+    a sketch is accepted by measuring its error against ground truth,
+    not by re-running it).
+
+    One row: (exact_pairs, hits, recall_at_k). At scale the exact side
+    is the expensive half — run this on a sampled query set, exactly as
+    here (the corpus side stays partitioned in both plans).
+    """
+    exact = cosine_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    approx = cosine_topk_lsh(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col, **lsh_kwargs
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("exact_pairs"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits"),
+        )
+        .select(
+            "exact_pairs",
+            "hits",
+            F.round(F.col("hits") / F.col("exact_pairs"), 6).alias("recall_at_k"),
+        )
+    )
+
+
 # --------------------------------------------------- LSH (hyperplane signs)
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -122,6 +160,7 @@ def cosine_topk_lsh(
     n_tables: int = 4,
     seed: int = 777,
     dim: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >= 1 of
     ``n_tables`` hyperplane tables; exact cosine ranks candidates.
@@ -129,6 +168,12 @@ def cosine_topk_lsh(
     The scale path: corpus bucket keys are computed once per table
     (JVM fold), the join key is (table, bucket) — no crossJoin. Pass
     ``dim`` explicitly at scale (sniffing it costs a driver action).
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (standard multi-probe LSH):
+    the QUERY side explodes to 1 + n_planes keys — the broadcast side,
+    so the corpus scan/join shape is unchanged while recall rises as
+    if ~n_planes extra tables were built, at zero extra corpus passes.
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
@@ -145,6 +190,20 @@ def cosine_topk_lsh(
             F.col(vec_col).alias("qv"),
             hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
         ).withColumn("table", F.lit(t))
+        if multiprobe:
+            probes = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(n_planes)
+                ],
+            )
+            qb = qb.select(
+                "query_id",
+                "qv",
+                F.explode(probes).alias("bucket"),
+                "table",
+            )
         joined = cb.join(F.broadcast(qb), ["table", "bucket"]).where(
             F.col("neighbor_id") != F.col("query_id")
         )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 
 @contextmanager
-def iteration_confs(spark: SparkSession):
+def iteration_confs(spark: SparkSession, extra: dict | None = None):
     """Pin loop-friendly confs for the duration of an iterative job.
 
     - AQE off: the loop's partitioning is chosen explicitly; adaptive
@@ -40,10 +40,14 @@ def iteration_confs(spark: SparkSession):
       edge table; the planner would otherwise rebuild a multi-MB
       broadcast of the state EVERY iteration at small-to-mid scale
       (explicit F.broadcast hints remain honored).
+    - ``extra``: caller-pinned confs for the loop's scope (e.g.
+      ``spark.sql.shuffle.partitions`` equal to the state partitioning
+      so groupBy output co-partitions with the checkpointed state).
     """
     keys = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        **(extra or {}),
     }
     old: dict[str, str | None] = {}
     for k, v in keys.items():

@@ -182,6 +182,27 @@ def q_ef_bits(spark, sf_dir):
     )
 
 
+def q_bv_bits(spark, sf_dir):
+    """Full BVGraph compression entropy model (reference/copy-block +
+    intervalization + zeta_3 residuals + gamma outdegrees,
+    BVGraph.java:2048-2226) at the oracle-checkable configuration:
+    window=1, unlimited chain depth (per-node choices independent),
+    single block (window never truncated). tests/test_bvcomp.py checks
+    the vectorized kernels against a literal diffComp walk and the
+    window-7 default config's monotonicity."""
+    from webgraph_spark.operators.bvcomp import bv_bits_per_link
+    from webgraph_spark.operators.csr import pack_csr
+
+    e = _edges(spark, sf_dir)
+    return bv_bits_per_link(
+        pack_csr(e, num_blocks=1), window=1, max_ref_count=None
+    ).select(
+        F.col("bv_bits").cast("long").alias("bv_bits"),
+        F.col("n_arcs").cast("long").alias("n_arcs"),
+        F.round("bits_per_link", 6).alias("bits_per_link"),
+    )
+
+
 def _gamma_row(edges, spark):
     from webgraph_spark.operators.csr import gamma_bits_per_link
 
@@ -512,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ef_roundtrip": q_ef_roundtrip,
         "ef_bits": q_ef_bits,
         "graph_gamma_bits": q_gamma_bits,
+        "graph_bv_bits": q_bv_bits,
         "graph_gray_gamma_bits": q_gray_gamma_bits,
         "graph_closeness_sample": q_closeness_sample,
         "graph_scc_dag": q_scc_dag,
@@ -796,6 +818,7 @@ SELECT CAST(SUM(k * l + (maxd >> l) + k) AS BIGINT) AS ef_bits,
 FROM per
 """,
         "graph_gamma_bits": td.gamma_bits_sql(),
+        "graph_bv_bits": td.bv_bits_sql(),
         "graph_gray_gamma_bits": td.gray_gamma_bits_sql(),
         "graph_closeness_sample": td.closeness_sql(n_sources=5),
         "graph_scc_dag": td.scc_dag_sql(),

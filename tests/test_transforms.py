@@ -193,6 +193,58 @@ def test_gray_groups_sorts_group_major(spark):
     assert max(evens) < min(odds)  # group-major blocks
 
 
+def test_bounded_key_equals_full_key_order(spark):
+    """The two-phase bounded sort key must reproduce EXACTLY the
+    one-sort full-array ordering, including when phase-2 tiebreaks fire
+    (prefix_len=3 forces long shared prefixes into tie groups)."""
+    from webgraph_spark.datagen.graphs import erdos_renyi
+    from webgraph_spark.operators.transforms import (
+        _bounded_succ_keyed,
+        _succ_key,
+    )
+    from webgraph_spark.util.ids import assign_dense_ids
+
+    base = erdos_renyi(spark, 40, 0.15, seed=13)
+    # clone several adjacency rows so nodes share identical long prefixes
+    clones = base.where(F.col("src") == 1).select(
+        (F.col("src") + 100).alias("src"), "dst"
+    )
+    near = base.where((F.col("src") == 2) & (F.col("dst") < 30)).select(
+        (F.col("src") + 200).alias("src"), "dst"
+    )
+    g = base.unionByName(clones).unionByName(near)
+    for gray in (True, False):
+        full = assign_dense_ids(
+            _succ_key(g, gray=gray), ["_key", "node"], id_col="target"
+        )
+        for p in (3, 5, 64):
+            bounded = assign_dense_ids(
+                _bounded_succ_keyed(g, gray=gray, prefix_len=p),
+                ["_pfx", "_sub", "node"],
+                id_col="target",
+            )
+            want = sorted((r.node, r.target) for r in full.collect())
+            got = sorted((r.node, r.target) for r in bounded.collect())
+            assert got == want, (gray, p)
+
+
+def test_gray_permutation_hub_graph(spark):
+    """A 10^5-out-degree hub must not materialize a giant sort-key row:
+    the bounded key caps every row at prefix_len+1 longs, and the hub
+    (unique prefix) needs no phase-2 full key at all."""
+    from webgraph_spark.operators.transforms import gray_code_permutation
+
+    hub = spark.range(1, 100_001).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    tail = spark.createDataFrame([(5, 3), (7, 3)], "src long, dst long")
+    g = hub.unionByName(tail)
+    _, perm = gray_code_permutation(g)
+    rows = perm.collect()  # nodes: hub 0 + dsts 1..100000 (tail nodes included)
+    assert len(rows) == 100_001
+    assert sorted(r.target for r in rows) == list(range(100_001))
+
+
 def test_ordering_compresses_gamma_bits(spark):
     """Gray / lexicographic / degree orderings must beat a random
     relabeling on the gamma-coded bits/link of the packed graph — the

@@ -118,12 +118,24 @@ def main():
     lo_c, hi_c = (
         int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")
     )
+    exec_cores = os.environ.get("SCALING_EXEC_CORES", "4")
     hi = run_level(hi_c, iters, path, master)
     lo = run_level(lo_c, iters, path, master)
     eff = round(hi["edges_per_sec"] / lo["edges_per_sec"] / (hi_c / lo_c), 3)
-    summary = {"low": lo, "high": hi, "scaling_efficiency_1to4_executors": eff}
+    # self-describing artifact: key + levels derived from the actual run,
+    # default output name too (so reruns at other levels never overwrite
+    # prior evidence under a misleading name)
+    summary = {
+        "low": lo,
+        "high": hi,
+        "levels_total_cores": [lo_c, hi_c],
+        "executor_cores": int(exec_cores),
+        f"scaling_efficiency_{lo_c}to{hi_c}_cores": eff,
+    }
     print(json.dumps(summary))
-    out_name = os.environ.get("SCALING_OUT", "cluster_scaling.json")
+    out_name = os.environ.get(
+        "SCALING_OUT", f"cluster_scaling_{lo_c}to{hi_c}c_x{exec_cores}.json"
+    )
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(summary, f, indent=2)
 

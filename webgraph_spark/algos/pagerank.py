@@ -115,8 +115,15 @@ def pagerank_fused(
     spark = edges.sparkSession
     # ``prepared``: reuse (ew, nodes, num_partitions, n) from a prior
     # _prepare so benchmarks can time the steady-state loop alone; the
-    # caller owns the persisted inputs' lifecycle then.
+    # caller owns the persisted inputs' lifecycle then, and ``edges`` is
+    # used only for its SparkSession — so an explicit num_partitions
+    # would be silently ignored: reject the ambiguous combination.
     if prepared is not None:
+        if num_partitions is not None:
+            raise ValueError(
+                "pass num_partitions via prepared (it already fixes the "
+                "partitioning); combining both is ambiguous"
+            )
         ew, nodes, P, n = prepared
     else:
         ew, nodes, P = _prepare(edges, num_partitions)

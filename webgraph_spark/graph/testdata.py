@@ -514,3 +514,155 @@ SELECT DISTINCT
   CASE WHEN e.src < {OFF_ORDER} THEN {OFF_NATION} + c.c_nationkey ELSE e.src END AS src,
   e.dst AS dst
 FROM edges e LEFT JOIN customer c ON e.src = c.c_custkey"""
+
+
+# ------------------------------------------------- BV compression model
+
+def _sql_gamma(e: str) -> str:
+    return f"(2 * (length(bin(({e}) + 1)) - 1) + 1)"
+
+
+def _sql_gsum(lst: str) -> str:
+    return (
+        f"(CASE WHEN len({lst}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_transform({lst}, "
+        f"v -> 2 * (length(bin(v + 1)) - 1) + 1), (a, b) -> a + b) END)"
+    )
+
+
+def _sql_zeta3(e: str) -> str:
+    h = f"((length(bin(({e}) + 1)) - 1) // 3)"
+    return (
+        f"(({h} + 1) + (3 * {h} + 2) + "
+        f"(CASE WHEN (({e}) + 1) - (1::BIGINT << (3 * {h})) < "
+        f"(1::BIGINT << (3 * {h})) THEN 0 ELSE 1 END))"
+    )
+
+
+def _sql_zsum(lst: str) -> str:
+    h = "((length(bin(v + 1)) - 1) // 3)"
+    z = (
+        f"(({h} + 1) + (3 * {h} + 2) + "
+        f"(CASE WHEN (v + 1) - (1::BIGINT << (3 * {h})) < "
+        f"(1::BIGINT << (3 * {h})) THEN 0 ELSE 1 END))"
+    )
+    return (
+        f"(CASE WHEN len({lst}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_transform({lst}, v -> {z}), (a, b) -> a + b) END)"
+    )
+
+
+def _sql_int2nat(d: str) -> str:
+    return f"(CASE WHEN ({d}) >= 0 THEN 2 * ({d}) ELSE -2 * ({d}) - 1 END)"
+
+
+def bv_bits_sql() -> str:
+    """Twin of operators.bvcomp.bv_bits_per_link at the oracle-checkable
+    configuration: window=1, unlimited reference-chain depth (choices
+    independent per node), min_interval=4, zeta_3 residuals, gamma
+    outdegrees/blocks, unary references, ONE pack block (so the window
+    is never block-truncated). Replicates diffComp's copy/skip merge,
+    intervalize, and the per-node min(plain, ref-previous-id) entirely
+    with DuckDB list lambdas (BVGraph.java:2053-2106, 1631-1654,
+    2302-2326)."""
+    g = _sql_gamma
+    gsum = _sql_gsum
+    i2n = _sql_int2nat
+    return f"""WITH {EDGES_CTE},
+lists AS MATERIALIZED (
+  SELECT src, list_sort(list(dst)) AS cur FROM edges GROUP BY src),
+pairs AS (
+  SELECT l.src, l.cur, p.cur AS ref
+  FROM lists l LEFT JOIN lists p ON p.src = l.src - 1),
+-- copy/skip blocks of cur against ref (the diffComp merge): the walk
+-- consumes the ref prefix <= max(cur); runs of matched/unmatched
+-- alternate starting with copy; trailing block drops per the rule
+refpre AS (
+  SELECT src, cur, ref,
+         list_filter(ref, x -> x <= cur[len(cur)]) AS pref
+  FROM pairs WHERE ref IS NOT NULL),
+refm AS (
+  SELECT src, cur, ref, pref, len(pref) AS p, len(ref) AS rl,
+         list_transform(pref, x -> CASE WHEN list_contains(cur, x)
+                                        THEN 1 ELSE 0 END) AS m
+  FROM refpre),
+refruns AS (
+  SELECT *,
+    list_concat([1], list_filter(range(2, p + 1), i -> m[i] != m[i-1])) AS bst,
+    list_concat(list_filter(range(2, p + 1), i -> m[i] != m[i-1]), [p + 1]) AS ben
+  FROM refm),
+refseq0 AS (
+  SELECT *,
+    CASE WHEN p = 0 THEN [0]
+         WHEN m[1] = 0 THEN list_concat([0],
+           list_transform(range(1, len(bst) + 1), j -> ben[j] - bst[j]))
+         ELSE list_transform(range(1, len(bst) + 1), j -> ben[j] - bst[j])
+    END AS seq0,
+    CASE WHEN p = 0 THEN 0
+         WHEN (m[bst[len(bst)]] = 1 AND p = rl) OR m[bst[len(bst)]] = 0
+         THEN 1 ELSE 0 END AS dropl
+  FROM refruns),
+refblk AS (
+  SELECT src, cur, ref,
+    CASE WHEN dropl = 1 THEN seq0[1:len(seq0) - 1] ELSE seq0 END AS seq
+  FROM refseq0),
+-- two variants per node: plain (ref bits unary(0)=1, extras=cur) and
+-- referenced (unary(1)=2 + block bits, extras = cur minus copied)
+variants AS (
+  SELECT src, 'p' AS vk, 1 AS pre_bits, cur AS E FROM pairs
+  UNION ALL
+  SELECT src, 'r' AS vk,
+    2 + {g("len(seq)")}
+      + CASE WHEN len(seq) = 0 THEN 0 ELSE
+          {g("seq[1]")} + {gsum("list_transform(range(2, len(seq) + 1), j -> seq[j] - 1)")}
+        END AS pre_bits,
+    list_filter(cur, x -> NOT list_contains(ref, x)) AS E
+  FROM refblk),
+-- intervalize(E, 4): maximal consecutive runs via the value-minus-index
+-- trick; runs >= 4 become (left, len) intervals, the rest residuals
+vruns AS (
+  SELECT *,
+    list_concat([1], list_filter(range(2, len(E) + 1),
+      i -> E[i] - i != E[i-1] - (i - 1))) AS ist,
+    list_concat(list_filter(range(2, len(E) + 1),
+      i -> E[i] - i != E[i-1] - (i - 1)), [len(E) + 1]) AS ien
+  FROM variants),
+vlens AS (
+  SELECT *,
+    list_transform(range(1, len(ist) + 1), j -> ien[j] - ist[j]) AS rlens
+  FROM vruns),
+vint AS (
+  SELECT *,
+    list_transform(list_filter(range(1, len(ist) + 1), j -> rlens[j] >= 4),
+                   j -> E[ist[j]]) AS ilefts,
+    list_transform(list_filter(range(1, len(ist) + 1), j -> rlens[j] >= 4),
+                   j -> rlens[j]) AS ilens,
+    list_transform(
+      list_filter(range(1, len(E) + 1),
+        i -> rlens[len(list_filter(ist, s -> s <= i))] < 4),
+      i -> E[i]) AS R
+  FROM vlens),
+vbits AS (
+  SELECT src, vk,
+    pre_bits
+    -- the whole interval/residual section is written only when there
+    -- are extras at all (diffComp: "if (extraCount > 0)")
+    + CASE WHEN len(E) = 0 THEN 0 ELSE {g("len(ilefts)")} END
+    + CASE WHEN len(ilefts) = 0 THEN 0 ELSE
+        {g(i2n("ilefts[1] - src"))}
+        + {gsum("list_transform(range(2, len(ilefts) + 1), j -> ilefts[j] - (ilefts[j-1] + ilens[j-1]) - 1)")}
+        + {gsum("list_transform(range(1, len(ilens) + 1), j -> ilens[j] - 4)")}
+      END
+    + CASE WHEN len(R) = 0 THEN 0 ELSE
+        {_sql_zeta3(i2n("R[1] - src"))}
+        + {_sql_zsum("list_transform(range(2, len(R) + 1), i -> R[i] - R[i-1] - 1)")}
+      END AS bits
+  FROM vint),
+per_node AS (
+  SELECT src, MIN(bits) AS best FROM vbits GROUP BY src),
+deg AS (SELECT src, len(cur) AS outd FROM lists)
+SELECT CAST(SUM(n.best + {g("d.outd")}) AS BIGINT) AS bv_bits,
+       CAST(SUM(d.outd) AS BIGINT) AS n_arcs,
+       ROUND(CAST(SUM(n.best + {g("d.outd")}) AS DOUBLE) / SUM(d.outd), 6)
+         AS bits_per_link
+FROM per_node n JOIN deg d ON n.src = d.src"""

@@ -13,7 +13,7 @@ introduce duplicate arcs; physical sorting happens only at CSR pack time.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 # ---------------------------------------------------------------- filters
@@ -233,6 +233,25 @@ def degree_ordered_permutation(
 _GRAY_BIG = 1 << 62
 
 
+def _adj_body_sentinel(s_col, d_col, gray: bool):
+    """(body, sentinel) expressions shared by the full and bounded
+    adjacency-row keys: body is the (possibly sign-alternated) successor
+    array, sentinel closes the key by tail parity."""
+    if gray:
+        body = F.zip_with(
+            s_col,
+            F.sequence(F.lit(0), F.size(s_col) - 1),
+            lambda x, i: F.when(i % 2 == 0, -x).otherwise(x),
+        )
+        sentinel = F.when(d_col % 2 == 1, F.lit(_GRAY_BIG)).otherwise(
+            F.lit(-_GRAY_BIG)
+        )
+    else:
+        body = s_col
+        sentinel = F.lit(_GRAY_BIG)
+    return body, sentinel
+
+
 def _succ_key(edges: DataFrame, gray: bool) -> DataFrame:
     """(node, _key) where _key is an array<long> whose LEXICOGRAPHIC
     order equals the Gray-code (or plain lexicographic) order of the
@@ -260,22 +279,87 @@ def _succ_key(edges: DataFrame, gray: bool) -> DataFrame:
     with_lists = nodes.join(lists, "node", "left").select(
         "node", F.coalesce("_succ", F.array().cast("array<long>")).alias("_succ")
     )
-    if gray:
-        body = F.zip_with(
-            F.col("_succ"),
-            F.sequence(F.lit(0), F.size("_succ") - 1),
-            lambda x, i: F.when(i % 2 == 0, -x).otherwise(x),
-        )
-        sentinel = F.when(
-            F.size("_succ") % 2 == 1, F.lit(_GRAY_BIG)
-        ).otherwise(F.lit(-_GRAY_BIG))
-    else:
-        body = F.col("_succ")
-        sentinel = F.lit(_GRAY_BIG)
+    body, sentinel = _adj_body_sentinel(
+        F.col("_succ"), F.size("_succ"), gray
+    )
     key = F.when(F.size("_succ") == 0, F.array(sentinel)).otherwise(
         F.concat(body, F.array(sentinel))
     )
     return with_lists.select("node", key.alias("_key"))
+
+
+def _bounded_succ_keyed(
+    edges: DataFrame, gray: bool, prefix_len: int = 64
+) -> DataFrame:
+    """(node, _pfx, _sub): lexicographic order of (_pfx, _sub, node)
+    equals the order of (full adjacency key, node) from
+    :func:`_succ_key`, but every sort row is BOUNDED — at most
+    ``prefix_len`` + 1 longs.
+
+    Why: the one-sort formulation materializes each node's whole
+    successor list as the range-partition key; a 10^7-successor hub is
+    then one ~80 MB row flowing through the global sort. Here phase 1
+    sorts only the first ``prefix_len`` key elements; ties that truncation
+    could hide (groups sharing the full prefix AND outdegree >=
+    prefix_len — a sentinel inside the prefix can never equal a +-dst
+    body element, so cross-length ties are impossible) are resolved in
+    phase 2 by a window over ONLY the tied nodes' full keys — group-local
+    work, empty on graphs without long duplicate prefixes. The result is
+    EXACTLY the reference permutation (Transform.java:2383-2434), not an
+    approximation."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    firstp = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= prefix_len)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("_s"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("_d"))
+    base = (
+        nodes.join(firstp, "node", "left")
+        .join(deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("_s", F.array().cast("array<long>")).alias("_s"),
+            F.coalesce("_d", F.lit(0)).alias("_d"),
+        )
+    )
+    body, sentinel = _adj_body_sentinel(F.col("_s"), F.col("_d"), gray)
+    pfx = (
+        F.when(F.col("_d") == 0, F.array(sentinel))
+        .when(F.col("_d") < prefix_len, F.concat(body, F.array(sentinel)))
+        .otherwise(body)
+    )
+    pk = base.select("node", pfx.alias("_pfx"), "_d")
+    gsz = pk.groupBy("_pfx").agg(F.count("*").alias("_gn"))
+    pk2 = pk.join(gsz, "_pfx")
+    tied = pk2.where(
+        (F.col("_gn") > 1) & (F.col("_d") >= prefix_len)
+    ).select("node", "_pfx")
+    # full keys for the tied nodes only (all have outdegree >= prefix_len)
+    tl = (
+        e.join(
+            tied.select(F.col("node").alias("src")), "src", "left_semi"
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("_succ"))
+    )
+    fbody, fsent = _adj_body_sentinel(F.col("_succ"), F.size("_succ"), gray)
+    fk = tl.select("node", F.concat(fbody, F.array(fsent)).alias("_fk"))
+    sub_w = Window.partitionBy("_pfx").orderBy("_fk", "node")
+    sub = (
+        tied.join(fk, "node")
+        .select("node", "_pfx", F.row_number().over(sub_w).alias("_sub"))
+    )
+    return pk2.join(sub.select("node", "_sub"), "node", "left").select(
+        "node", "_pfx", F.coalesce("_sub", F.lit(0)).alias("_sub")
+    )
 
 
 def gray_code_permutation(
@@ -289,14 +373,16 @@ def gray_code_permutation(
     (Transform.java:2455-2516). Returns (remapped_edges, permutation)."""
     from ..util.ids import assign_dense_ids
 
-    keyed = _succ_key(edges, gray=True)
+    keyed = _bounded_succ_keyed(edges, gray=True)
     if groups is not None:
         keyed = keyed.join(groups.select("node", "group"), "node", "left").select(
-            "node", F.coalesce("group", F.lit(-1)).alias("_g"), "_key"
+            "node", F.coalesce("group", F.lit(-1)).alias("_g"), "_pfx", "_sub"
         )
-        perm = assign_dense_ids(keyed, ["_g", "_key", "node"], id_col="target")
+        perm = assign_dense_ids(
+            keyed, ["_g", "_pfx", "_sub", "node"], id_col="target"
+        )
     else:
-        perm = assign_dense_ids(keyed, ["_key", "node"], id_col="target")
+        perm = assign_dense_ids(keyed, ["_pfx", "_sub", "node"], id_col="target")
     perm = perm.select("node", "target")
     return map_nodes(edges, perm), perm
 
@@ -308,8 +394,8 @@ def lexicographical_permutation(edges: DataFrame) -> tuple[DataFrame, DataFrame]
     one-sort shape as the Gray ordering, plain array key."""
     from ..util.ids import assign_dense_ids
 
-    keyed = _succ_key(edges, gray=False)
-    perm = assign_dense_ids(keyed, ["_key", "node"], id_col="target").select(
+    keyed = _bounded_succ_keyed(edges, gray=False)
+    perm = assign_dense_ids(keyed, ["_pfx", "_sub", "node"], id_col="target").select(
         "node", "target"
     )
     return map_nodes(edges, perm), perm

@@ -167,3 +167,53 @@ def test_linear_geometric_matches_harmonic(spark):
     }
     for v, h in want.items():
         assert abs(got.get(v, 0.0) - h) < 1e-9
+
+
+def test_betweenness_sampled_full_sample_is_exact(spark):
+    """n_samples >= n must reduce to the exact path (scale = 1)."""
+    from webgraph_spark.algos.betweenness import betweenness, betweenness_sampled
+
+    g = erdos_renyi(spark, 40, 0.08, seed=13)
+    exact = {r.node: r.betweenness for r in betweenness(g).collect()}
+    got = {r.node: r.betweenness for r in betweenness_sampled(g, 10_000).collect()}
+    assert got.keys() == exact.keys()
+    for v in exact:
+        assert abs(got[v] - exact[v]) < 1e-9
+
+
+def test_betweenness_sampled_concentrates(spark):
+    """Brandes-Pich sampling: the n/|S|-scaled estimator's error on an ER
+    fixture stays inside a seed-averaged confidence band, and the band
+    tightens as |S| grows (3 deterministic seeds per level)."""
+    import numpy as np
+
+    from webgraph_spark.algos.betweenness import (
+        betweenness_numpy,
+        betweenness_sampled,
+    )
+
+    n, p = 120, 0.04
+    g = erdos_renyi(spark, n, p, seed=21).persist()
+    rows = [(r.src, r.dst) for r in g.collect()]
+    present = sorted({s for s, _ in rows} | {d for _, d in rows})
+    remap = {v: i for i, v in enumerate(present)}
+    exact = betweenness_numpy(
+        [(remap[s], remap[d]) for s, d in rows], len(present)
+    )
+    scale_ref = float(np.abs(exact).max())
+    errs = {}
+    for s_count in (20, 80):
+        per_seed = []
+        for seed in (1, 2, 3):
+            got = {
+                r.node: r.betweenness
+                for r in betweenness_sampled(g, s_count, seed=seed).collect()
+            }
+            err = max(abs(got[v] - exact[remap[v]]) for v in present)
+            per_seed.append(err / scale_ref)
+        errs[s_count] = sum(per_seed) / len(per_seed)
+    g.unpersist()
+    # seed-averaged max relative error shrinks with the sample and the
+    # |S|=80 band is tight enough to rank heads reliably
+    assert errs[80] < errs[20]
+    assert errs[80] < 0.75, errs

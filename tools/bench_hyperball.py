@@ -8,7 +8,14 @@ registers as m tinyint COLUMNS — groupBy(node).agg(max(r0)..max(r_m-1))
 transcript graph; the sparse baseline below is a faithful inline copy of
 the round-1 loop (kept ONLY for this measurement).
 
+Round 3 adds the SYSTOLIC tail measurement (HyperBall.java:120-127):
+``--systolic`` runs the packed loop to convergence twice — with and
+without the changed-node message filter — and reports per-round wall
+time + changed-node counts, the evidence that convergence-tail rounds
+cost O(arcs into changed nodes), not O(|E|).
+
 Usage: python tools/bench_hyperball.py [n_convs] [max_t]
+       python tools/bench_hyperball.py --systolic [n_convs] [max_t]
 """
 
 from __future__ import annotations
@@ -70,7 +77,52 @@ def hyperball_sparse(edges, log2m=5, max_t=8, num_partitions=32, seed=31):
     return t
 
 
+def systolic_main(args):
+    """Per-round cost with vs without the systolic changed-node filter."""
+    import json
+
+    n_convs = int(args[0]) if len(args) > 0 else 1_000_000
+    max_t = int(args[1]) if len(args) > 1 else 64
+    from bench import build_transcript_graph
+    from webgraph_spark.algos.hyperball import hyperball
+    from webgraph_spark.session import get_spark
+
+    spark = get_spark(
+        "bench_hyperball_systolic",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.driver.memory": "64g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = build_transcript_graph(spark, n_convs).persist()
+    n_edges = edges.count()
+    out = {"n_edges": n_edges, "max_t": max_t}
+    for name, flag in (("systolic", True), ("full", False)):
+        t0 = time.time()
+        res = hyperball(
+            edges, log2m=5, max_t=max_t, seed=31, num_partitions=64, systolic=flag
+        )
+        out[name] = {
+            "total_sec": round(time.time() - t0, 1),
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "per_round": res.per_round,
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "BENCH", "hyperball_systolic.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--systolic":
+        systolic_main(sys.argv[2:])
+        return
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     max_t = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     from bench import build_transcript_graph

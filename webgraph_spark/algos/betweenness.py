@@ -64,13 +64,23 @@ def betweenness_numpy(edges_rows: list[tuple[int, int]], n: int) -> np.ndarray:
     return bc
 
 
-def betweenness(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def betweenness(
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    sources: DataFrame | list[int] | None = None,
+    scale: float = 1.0,
+) -> DataFrame:
     """(node, betweenness) — exact Brandes over all sources, batched.
 
     Forward sweep: one frontier DataFrame (source, node, dist, sigma)
     expanded level-synchronously for every source at once. Backward
     sweep: one job per distance level (descending), joining level-d
     dependencies to their level-(d-1) shortest-path predecessors.
+
+    ``sources`` restricts the forward sweep to a source subset (the
+    sampled-Brandes estimator path — see :func:`betweenness_sampled`);
+    ``scale`` multiplies every accumulated dependency (n/|S| for the
+    unbiased sampling estimator).
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -94,9 +104,16 @@ def betweenness(edges: DataFrame, num_partitions: int | None = None) -> DataFram
         cached.unpersist()
         return out
 
+    if sources is None:
+        src_df = nodes
+    elif isinstance(sources, list):
+        src_df = spark.createDataFrame([(int(s),) for s in sources], "node long")
+    else:
+        src_df = sources.select(F.col(sources.columns[0]).alias("node"))
+
     # ---- forward: dist + sigma per (source, node)
     visited = ckpt(
-        nodes.select(
+        src_df.select(
             F.col("node").alias("source"),
             "node",
             F.lit(0).alias("dist"),
@@ -169,7 +186,7 @@ def betweenness(edges: DataFrame, num_partitions: int | None = None) -> DataFram
     out = (
         all_delta.where(F.col("source") != F.col("node"))
         .groupBy("node")
-        .agg(F.sum("delta").alias("betweenness"))
+        .agg((F.sum("delta") * F.lit(float(scale))).alias("betweenness"))
     )
     result = nodes.join(out, "node", "left").select(
         "node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
@@ -177,6 +194,49 @@ def betweenness(edges: DataFrame, num_partitions: int | None = None) -> DataFram
     result = ckpt(result)
     e.unpersist()
     return result
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    n_samples: int,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Source-sampled Brandes estimator (Brandes-Pich 2007): run the
+    batched forward/backward sweeps from ``n_samples`` uniformly sampled
+    sources and scale dependencies by n/|S| — an unbiased estimator of
+    exact betweenness whose per-node error concentrates as
+    O(n * sqrt(log n / |S|)) (Hoeffding over the bounded per-source
+    dependencies). This is the path that makes betweenness usable beyond
+    fixture scale: cost is O(|S| * m) instead of O(n * m), with the same
+    one-frontier dataflow.
+
+    The sample is drawn deterministically: nodes are ranked by
+    xxhash64(node, seed) and the ``n_samples`` smallest are taken — the
+    same sample at any parallelism level.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    ).persist()
+    n = nodes.count()
+    if n_samples >= n:
+        nodes.unpersist()
+        return betweenness(edges, num_partitions=num_partitions)
+    sample = (
+        nodes.orderBy(F.xxhash64("node", F.lit(seed)), "node")
+        .limit(n_samples)
+        .select("node")
+    )
+    out = betweenness(
+        edges,
+        num_partitions=num_partitions,
+        sources=sample,
+        scale=n / n_samples,
+    )
+    nodes.unpersist()
+    return out
 
 
 def linear_geometric_centrality(

@@ -70,6 +70,12 @@ class HyperBallResult:
     iterations: int
     converged: bool
     log2m: int
+    # per-iteration evidence: [{"t", "sec", "changed", "mode"}] where
+    # ``changed`` is the number of nodes whose registers grew THIS round
+    # and ``mode`` is the message-generation strategy used ("full" |
+    # "shuffle" | "broadcast") — the systolic-tail measurement the
+    # reference reports as "nodes scanned" (HyperBall.java:885).
+    per_round: list = None
 
     @property
     def counters(self) -> DataFrame:  # back-compat alias
@@ -122,11 +128,15 @@ def hyperball(
     num_partitions: int | None = None,
     seed: int = 31,
     discounts: dict[str, Callable[[int], float]] | None = None,
+    systolic: bool = True,
 ) -> HyperBallResult:
     """Approximate neighbourhood function + centralities of the directed
     graph. ``discounts`` adds one accumulator column ``disc_<name>`` per
     custom discount function f: acc += delta(t) * f(t)
     (HyperBall discount-function extension surface, HyperBall.java:227-250).
+    ``systolic=False`` disables the changed-node message filter (every
+    round scans all |E| arcs) — kept only for A/B measurement of the
+    systolic tail win (tools/bench_hyperball.py).
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -209,14 +219,23 @@ def hyperball(
     converged = False
     n_changed = None  # nchg observed last iteration (None = first)
     t = 0
+    per_round: list[dict] = []
+    import time as _time
+
     with iteration_confs(spark, {"spark.sql.shuffle.partitions": str(num_partitions)}):
         for t in range(1, max_t + 1):
-            changed = state.where("chg").select(
-                F.col("node").alias("dst"), *reg_cols
-            )
-            if n_changed is not None and n_changed <= broadcast_max:
+            _t0 = _time.time()
+            if systolic:
+                changed = state.where("chg").select(
+                    F.col("node").alias("dst"), *reg_cols
+                )
+            else:
+                changed = state.select(F.col("node").alias("dst"), *reg_cols)
+            if systolic and n_changed is not None and n_changed <= broadcast_max:
+                mode = "broadcast"
                 joined = e.join(F.broadcast(changed), "dst")
             else:
+                mode = "shuffle" if systolic else "full"
                 joined = e.join(changed.hint("shuffle_hash"), "dst")
             magg = (
                 joined.select(F.col("src").alias("node"), *reg_cols)
@@ -257,6 +276,14 @@ def hyperball(
             state = _materialize(new_state)
             got = obs.get
             n_changed = int(got.get("nchg"))
+            per_round.append(
+                {
+                    "t": t,
+                    "sec": round(_time.time() - _t0, 2),
+                    "changed": n_changed,
+                    "mode": mode,
+                }
+            )
             if n_changed == 0:
                 converged = True
                 t -= 1  # this round changed no register
@@ -264,7 +291,9 @@ def hyperball(
             nf.append(float(got.get("nf")))
     e.unpersist()
     nodes.unpersist()
-    return HyperBallResult(nf, state.drop("rt", "chg"), t, converged, log2m)
+    return HyperBallResult(
+        nf, state.drop("rt", "chg"), t, converged, log2m, per_round
+    )
 
 
 def combine_nfs(nfs: list[list[float]]) -> list[float]:

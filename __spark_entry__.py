@@ -517,6 +517,41 @@ def q_harmonic_approx(spark, sf_dir):
     return out
 
 
+def q_topk_harmonic(spark, sf_dir):
+    """Top-10 positive harmonic centralities via the CutClos batched BFS
+    (algos/topk.py; TopKGeometricCentrality.java:80-222). Values-only
+    (rank, harmonic) output: equal centralities make the rank->node
+    assignment ambiguous, but the sorted value multiset is unique.
+    scc_max=0 skips the condensation DP — the TPC-H DAG's condensation
+    is all singletons, so its bounds never beat the trivial reachU=n."""
+    from webgraph_spark.algos.topk import top_k_geometric
+
+    res = top_k_geometric(
+        _edges(spark, sf_dir), 10, "harmonic", batch_size=4096,
+        num_partitions=16, scc_max=0,
+    )
+    rows = [(i + 1, round(c, 6)) for i, (_v, c) in enumerate(res.top_k)]
+    return spark.createDataFrame(rows, "rank long, harmonic double")
+
+
+def q_betweenness(spark, sf_dir):
+    """Brandes betweenness from the 100 smallest customer sources — the
+    sampled-estimator ``sources`` path (algos/betweenness.py) with
+    scale 1, exact per-node dependency sums."""
+    from webgraph_spark.algos.betweenness import betweenness
+
+    e = _edges(spark, sf_dir)
+    srcs = (
+        e.where(F.col("src") < td.OFF_ORDER)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(100)
+    )
+    out = betweenness(e, num_partitions=16, sources=srcs)
+    return out.select("node", F.round("betweenness", 6).alias("betweenness"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -556,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_graph_pagerank": q_transcript_graph,
         "graph_hyperball_nf": q_hyperball_nf,
         "graph_harmonic_approx": q_harmonic_approx,
+        "graph_topk_harmonic": q_topk_harmonic,
+        "graph_betweenness": q_betweenness,
     }
 
 
@@ -882,4 +919,6 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "transcript_graph_pagerank": td.transcript_pipeline_sql(iters=10),
         "graph_hyperball_nf": _hyperball_nf_sql(),
         "graph_harmonic_approx": td.harmonic_all_sql(max_depth=4),
+        "graph_topk_harmonic": td.topk_harmonic_sql(k=10, max_depth=4),
+        "graph_betweenness": td.betweenness_sql(n_sources=100, max_depth=4),
     }

@@ -666,3 +666,96 @@ SELECT CAST(SUM(n.best + {g("d.outd")}) AS BIGINT) AS bv_bits,
        ROUND(CAST(SUM(n.best + {g("d.outd")}) AS DOUBLE) / SUM(d.outd), 6)
          AS bits_per_link
 FROM per_node n JOIN deg d ON n.src = d.src"""
+
+
+def topk_harmonic_sql(k: int = 10, max_depth: int = 4) -> str:
+    """Top-k positive harmonic centralities (rank, value) — oracle twin
+    of the CutClos query (algos/topk.py). Values-only output: ties at
+    equal centrality make the node assignment of a rank ambiguous, but
+    the sorted value multiset is unique, so the gate hashes (rank,
+    ROUND(harmonic, 6)) rows."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append("""
+v0 AS MATERIALIZED (SELECT node AS source, node, 0 AS dist FROM nodes)""")
+    for j in range(1, max_depth + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT source, node FROM v{i}" for i in range(j)
+        )
+        parts.append(f"""
+v{j} AS MATERIALIZED (SELECT DISTINCT f.source, e.dst AS node, {j} AS dist
+         FROM edges e JOIN v{j - 1} f ON e.src = f.node
+         WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p
+                           WHERE p.source = f.source AND p.node = e.dst))""")
+    all_v = " UNION ALL ".join(
+        f"SELECT source, node, dist FROM v{i}" for i in range(max_depth + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+dists AS ({all_v}),
+agg AS (
+  SELECT source, SUM(1.0 / dist) AS harm
+  FROM dists WHERE dist > 0 GROUP BY source
+),
+full_c AS (
+  SELECT n.node, COALESCE(a.harm, 0.0) AS harm
+  FROM nodes n LEFT JOIN agg a ON n.node = a.source
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY harm DESC) AS BIGINT) AS rank,
+       ROUND(harm, 6) AS harmonic
+FROM full_c ORDER BY harm DESC LIMIT {k}"""
+    )
+
+
+def betweenness_sql(n_sources: int = 100, max_depth: int = 4) -> str:
+    """Brandes betweenness restricted to ``n_sources`` smallest customer
+    sources (the sampled-estimator ``sources`` path with scale 1) — the
+    exact sigma/delta recurrence of algos/betweenness.py unrolled:
+    forward sigma closure v0..v{max_depth}, then backward dependency
+    levels d{max_depth}..d0 with delta_v = sigma_v * sum over
+    shortest-path successors w of (1 + delta_w) / sigma_w."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append(f"""
+srcs AS (SELECT o_custkey AS source FROM orders GROUP BY o_custkey
+         ORDER BY source LIMIT {n_sources})""")
+    parts.append("""
+v0 AS MATERIALIZED (SELECT source, source AS node, 1.0 AS sigma FROM srcs)""")
+    for j in range(1, max_depth + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT source, node FROM v{i}" for i in range(j)
+        )
+        parts.append(f"""
+v{j} AS MATERIALIZED (SELECT f.source, e.dst AS node, SUM(f.sigma) AS sigma
+         FROM edges e JOIN v{j - 1} f ON e.src = f.node
+         WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p
+                           WHERE p.source = f.source AND p.node = e.dst)
+         GROUP BY f.source, e.dst)""")
+    # backward: d{max_depth} seeds delta = 0; each lower level joins the
+    # level above through the arc table (arcs from dist j-1 to dist j are
+    # exactly the shortest-path DAG arcs in level-synchronous BFS)
+    parts.append(f"""
+d{max_depth} AS MATERIALIZED (SELECT source, node, sigma, 0.0 AS delta FROM v{max_depth})""")
+    for j in range(max_depth, 0, -1):
+        parts.append(f"""
+d{j - 1} AS MATERIALIZED (
+  SELECT v.source, v.node, v.sigma,
+         COALESCE(c.t, 0.0) * v.sigma AS delta
+  FROM v{j - 1} v LEFT JOIN (
+    SELECT w.source, e.src AS node, SUM((1.0 + w.delta) / w.sigma) AS t
+    FROM d{j} w JOIN edges e ON e.dst = w.node
+    GROUP BY w.source, e.src) c
+  ON c.source = v.source AND c.node = v.node)""")
+    all_d = " UNION ALL ".join(
+        f"SELECT source, node, delta FROM d{i}" for i in range(max_depth + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+alld AS ({all_d}),
+agg AS (
+  SELECT node, SUM(delta) AS bc FROM alld
+  WHERE source <> node GROUP BY node
+)
+SELECT n.node, ROUND(COALESCE(a.bc, 0.0), 6) AS betweenness
+FROM nodes n LEFT JOIN agg a ON n.node = a.node"""
+    )

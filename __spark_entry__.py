@@ -517,6 +517,80 @@ def q_harmonic_approx(spark, sf_dir):
     return out
 
 
+NEARDUP_THRESHOLD = 0.3
+NEARDUP_PLANES = 6
+NEARDUP_TABLES = 4
+
+
+def q_emb_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucketed
+    self-join (never all-pairs) + exact float64 cosine verification —
+    the dense-vector member of the dedup pillar."""
+    from webgraph_spark.functions.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(
+        emb, threshold=NEARDUP_THRESHOLD, n_planes=NEARDUP_PLANES,
+        n_tables=NEARDUP_TABLES, dim=64,
+    )
+
+
+def _near_dups_sql(
+    threshold: float = NEARDUP_THRESHOLD,
+    n_planes: int = NEARDUP_PLANES,
+    n_tables: int = NEARDUP_TABLES,
+    seed: int = 777,
+    dim: int = 64,
+) -> str:
+    """Twin of embedding_near_dups: identical md5-baked planes, identical
+    left-to-right float64 folds, identical bucket self-joins."""
+    from webgraph_spark.functions.similarity import _hyperplanes
+
+    def dot_signed(plane) -> str:
+        lits = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i]), (a, b) -> a + b)"
+        )
+
+    bt = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = " + ".join(
+            f"(CASE WHEN ({dot_signed(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        bt.append(
+            f"bt{t} AS (SELECT vec_id, ({bucket}) AS bucket FROM embeddings)"
+        )
+    cand_unions = " UNION ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"FROM bt{t} a JOIN bt{t} b ON a.bucket = b.bucket "
+        f"WHERE a.vec_id < b.vec_id"
+        for t in range(n_tables)
+    )
+    def vec_expr(alias):
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({alias}.embedding[i] AS DOUBLE) * CAST({alias}.embedding[i] AS DOUBLE)), "
+            f"(a, b) -> a + b)"
+        )
+    dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b)"
+    )
+    return f"""WITH {", ".join(bt)},
+cand AS ({cand_unions})
+SELECT id_a, id_b, sim FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND(({dot}) / (sqrt({vec_expr('ea')}) * sqrt({vec_expr('eb')})), 6) AS sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b) t
+WHERE sim >= {threshold}"""
+
+
 def q_topk_harmonic(spark, sf_dir):
     """Top-10 positive harmonic centralities via the CutClos batched BFS
     (algos/topk.py; TopKGeometricCentrality.java:80-222). Values-only
@@ -593,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic_approx": q_harmonic_approx,
         "graph_topk_harmonic": q_topk_harmonic,
         "graph_betweenness": q_betweenness,
+        "emb_near_dups": q_emb_near_dups,
     }
 
 
@@ -921,4 +996,5 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_harmonic_approx": td.harmonic_all_sql(max_depth=4),
         "graph_topk_harmonic": td.topk_harmonic_sql(k=10, max_depth=4),
         "graph_betweenness": td.betweenness_sql(n_sources=100, max_depth=4),
+        "emb_near_dups": _near_dups_sql(),
     }

@@ -239,3 +239,21 @@ def test_lsh_max_bucket_guard(spark):
     assert (100, 101) in un and (100, 101) in cp
     assert any(a < 8 and b < 8 for a, b in un)
     assert not any(a < 8 and b < 8 for a, b in cp)
+
+
+def test_embedding_near_dups_planted(spark):
+    """Dense-vector dedup: planted near-dup clusters (sim >= ~0.95) are
+    recovered with precision 1.0 (every emitted pair exactly verified)
+    and high recall; the max_bucket hub cap only ever shrinks output."""
+    from webgraph_spark.functions.similarity import embedding_near_dups
+
+    df = _planted_emb(spark, n_clusters=10, copies=4, noise=0.08)
+    got = embedding_near_dups(df, threshold=0.9, dim=32).toPandas()
+    # precision: all reported pairs really clear the threshold and sit
+    # inside one planted cluster (cluster id = vec_id // 4)
+    assert (got["sim"] >= 0.9).all()
+    assert (got["id_a"] // 4 == got["id_b"] // 4).all()
+    # recall: most of the 10 * C(4,2) = 60 intra-cluster pairs found
+    assert len(got) >= 0.8 * 60, len(got)
+    capped = embedding_near_dups(df, threshold=0.9, dim=32, max_bucket=2).toPandas()
+    assert len(capped) <= len(got)

@@ -300,3 +300,27 @@ def test_intervals_to_arcs(spark):
     )
     got = sorted((r.src, r.dst) for r in intervals_to_arcs(iv).collect())
     assert got == [(0, 3), (0, 4), (0, 5), (1, 7)]
+
+
+def test_relabel_arcs(spark):
+    """ArcRelabelledImmutableGraph analog: Column-expression strategy,
+    the reference's int-conversion strategy (a cast), and the
+    (label, src, dst) callable signature."""
+    from pyspark.sql import functions as F
+
+    from webgraph_spark.operators.transforms import relabel_arcs
+
+    g = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 20), (2, 0, 30)], "src long, dst long, w long"
+    )
+    # INT_LABEL_CONVERSION_STRATEGY analog: value-preserving type change
+    got = relabel_arcs(g, "w", F.col("w").cast("int"))
+    assert dict(got.dtypes)["w"] == "int"
+    assert sorted(r.w for r in got.collect()) == [10, 20, 30]
+    # callable strategy sees (label, source, target) like convert()
+    got2 = relabel_arcs(
+        g, "w", lambda lab, s, d: lab + s * 100 + d, new_label_col="w2"
+    )
+    rows = sorted((r.src, r.dst, r.w2) for r in got2.collect())
+    assert rows == [(0, 1, 11), (1, 2, 122), (2, 0, 230)]
+    assert "w" not in got2.columns

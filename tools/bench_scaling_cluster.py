@@ -92,10 +92,14 @@ def run_level(total_cores: int, iters: int, path: str, master: str) -> dict:
         ["zip", "-qr", zip_path, "webgraph_spark"], cwd=REPO, check=True
     )
     exec_cores = os.environ.get("SCALING_EXEC_CORES", "4")
+    # worker memory bounds executor count: N 1-core executors need
+    # N * executor-memory <= worker memory, or the cluster silently
+    # schedules fewer executors than the level claims
+    exec_mem = os.environ.get("SCALING_EXEC_MEM", "20g")
     out = subprocess.run(
         [
             "spark-submit", "--master", master,
-            "--executor-cores", exec_cores, "--executor-memory", "20g",
+            "--executor-cores", exec_cores, "--executor-memory", exec_mem,
             "--driver-memory", "8g",
             "--total-executor-cores", str(total_cores),
             "--conf", "spark.local.dir=/dev/shm/sparktmp",
@@ -115,26 +119,46 @@ def main():
     path = os.environ.get("SCALING_EDGES_PATH", "/tmp/scaling_edges")
     iters = int(os.environ.get("SCALING_ITERS", "5"))
     os.makedirs("/dev/shm/sparktmp", exist_ok=True)
-    lo_c, hi_c = (
+    levels = [
         int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")
-    )
+    ]
     exec_cores = os.environ.get("SCALING_EXEC_CORES", "4")
-    hi = run_level(hi_c, iters, path, master)
-    lo = run_level(lo_c, iters, path, master)
-    eff = round(hi["edges_per_sec"] / lo["edges_per_sec"] / (hi_c / lo_c), 3)
+    # run largest level first (validates cluster capacity early), report
+    # in ascending order; with >2 levels the artifact carries the whole
+    # curve plus per-step efficiencies between consecutive levels
+    results = {}
+    for c in sorted(set(levels), reverse=True):
+        results[c] = run_level(c, iters, path, master)
+        print(json.dumps(results[c]), flush=True)
+    asc = sorted(results)
+    steps = {}
+    for lo_c, hi_c in zip(asc, asc[1:]):
+        steps[f"eff_{lo_c}to{hi_c}_cores"] = round(
+            results[hi_c]["edges_per_sec"]
+            / results[lo_c]["edges_per_sec"]
+            / (hi_c / lo_c),
+            3,
+        )
+    lo_c, hi_c = asc[0], asc[-1]
+    eff = round(
+        results[hi_c]["edges_per_sec"] / results[lo_c]["edges_per_sec"]
+        / (hi_c / lo_c),
+        3,
+    )
     # self-describing artifact: key + levels derived from the actual run,
     # default output name too (so reruns at other levels never overwrite
     # prior evidence under a misleading name)
     summary = {
-        "low": lo,
-        "high": hi,
-        "levels_total_cores": [lo_c, hi_c],
+        "levels": {str(c): results[c] for c in asc},
+        "levels_total_cores": asc,
         "executor_cores": int(exec_cores),
+        "per_step_efficiency": steps,
         f"scaling_efficiency_{lo_c}to{hi_c}_cores": eff,
     }
     print(json.dumps(summary))
     out_name = os.environ.get(
-        "SCALING_OUT", f"cluster_scaling_{lo_c}to{hi_c}c_x{exec_cores}.json"
+        "SCALING_OUT",
+        f"cluster_scaling_{'_'.join(str(c) for c in asc)}c_x{exec_cores}.json",
     )
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(summary, f, indent=2)

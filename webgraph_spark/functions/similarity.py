@@ -221,3 +221,65 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim")
     )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 777,
+    dim: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-pillar analog
+    of MinHash+LSH for dense vectors: candidates share a hyperplane-LSH
+    bucket in >= 1 of ``n_tables`` tables (a (table, bucket) SELF-join,
+    never all-pairs), then the exact float64 cosine verifies each
+    candidate against ``threshold``.
+
+    Output: (id_a, id_b, sim) with id_a < id_b, sim rounded to 6
+    decimals, filtered to sim >= threshold. Recall is governed by
+    (n_planes, n_tables) exactly as in sign-LSH theory; precision is 1.0
+    (every emitted pair is exactly verified). ``max_bucket`` caps hub
+    buckets like dedup.minhash_lsh_candidates: a bucket with more than
+    ``max_bucket`` members is dropped (with the count visible to the
+    caller via the cap being deterministic), bounding the worst-case
+    join blowup at 100 TB.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        cb = base.select(
+            "id", hyperplane_bucket(F.col("v"), planes).alias("bucket")
+        )
+        if max_bucket is not None:
+            sizes = cb.groupBy("bucket").agg(F.count("*").alias("_n"))
+            cb = cb.join(
+                F.broadcast(sizes.where(F.col("_n") <= max_bucket)), "bucket"
+            ).drop("_n")
+        pairs = (
+            cb.alias("a")
+            .join(cb.alias("b"), "bucket")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -56,6 +56,31 @@ def label_in_set(edges: DataFrame, label_col: str, values) -> DataFrame:
     return edges.where(F.col(label_col).isin(list(values)))
 
 
+def relabel_arcs(
+    edges: DataFrame,
+    label_col: str,
+    strategy,
+    new_label_col: str | None = None,
+) -> DataFrame:
+    """Per-arc label conversion (ArcRelabelledImmutableGraph, labelling/
+    ArcRelabelledImmutableGraph.java:49-89): the reference wraps a
+    labelled graph with a ``LabelConversionStrategy.convert(from, to,
+    source, target)`` applied on the fly; here the strategy is a Column
+    expression — or a callable ``(label, src, dst) -> Column`` mirroring
+    the reference's signature — evaluated lazily by Catalyst. A type
+    change (the reference's label-prototype swap, e.g. its
+    INT_LABEL_CONVERSION_STRATEGY between int-label classes) is a cast
+    inside the strategy. ``new_label_col`` renames the label column.
+    """
+    out_col = new_label_col or label_col
+    if callable(strategy) and not isinstance(strategy, Column):
+        expr = strategy(F.col(label_col), F.col("src"), F.col("dst"))
+    else:
+        expr = strategy
+    others = [c for c in edges.columns if c not in (label_col, out_col)]
+    return edges.select(*others, expr.alias(out_col))
+
+
 # ------------------------------------------------------------ structural
 
 def transpose(edges: DataFrame) -> DataFrame:

@@ -591,6 +591,128 @@ SELECT id_a, id_b, sim FROM (
 WHERE sim >= {threshold}"""
 
 
+IVF_K = 8
+IVF_ITERS = 2
+IVF_NPROBE = 2
+
+
+def q_ivf_top5(spark, sf_dir):
+    """IVF-Flat ANN: deterministic Lloyd k-means coarse quantizer
+    (md5-smallest seeds, fixed iterations, rounded centroids) + nprobe
+    cell search. The oracle twin re-runs the SAME unrolled training in
+    SQL — centroids are recomputed independently, not baked from engine
+    output."""
+    from webgraph_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, q, k=5, n_clusters=IVF_K, nprobe=IVF_NPROBE, iters=IVF_ITERS,
+        dim=64,
+    )
+
+
+def _ivf_sql(
+    k_nn: int = 5,
+    n_clusters: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    iters: int = IVF_ITERS,
+    dim: int = 64,
+) -> str:
+    """Unrolled-Lloyd twin of q_ivf_top5. Distance folds are
+    left-to-right list_reduce in pos order (identical to Spark's
+    zip_with/aggregate fold); centroid means are ROUND(avg, 6) on both
+    sides so engine/partitioning float jitter cannot leak into the
+    literals of the next iteration."""
+    def dist(vec, cent):
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> (CAST({vec}[i] AS DOUBLE) - {cent}[i]) "
+            f"* (CAST({vec}[i] AS DOUBLE) - {cent}[i])), (a, b) -> a + b)"
+        )
+
+    parts = [f"""
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS c
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_clusters})""", f"""
+cent0 AS (
+  SELECT s.c, list_transform(range(1, {dim + 1}),
+           i -> CAST(e.embedding[i] AS DOUBLE)) AS cent
+  FROM seeds s JOIN embeddings e ON e.vec_id = s.vec_id)"""]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        parts.append(f"""
+asg{it} AS (
+  SELECT vec_id, embedding, c FROM (
+    SELECT e.vec_id, e.embedding, ct.c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e.embedding', 'ct.cent')}, ct.c) AS rn
+    FROM embeddings e CROSS JOIN {prev} ct) t
+  WHERE rn = 1)""")
+        parts.append(f"""
+mu{it} AS (
+  SELECT c, pos, ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 6) AS mu
+  FROM asg{it}, range(1, {dim + 1}) AS r(pos)
+  GROUP BY c, pos)""")
+        parts.append(f"""
+cent{it} AS (
+  SELECT p.c,
+         COALESCE(m.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN (
+    SELECT c, list(mu ORDER BY pos) AS cent FROM mu{it} GROUP BY c) m
+  ON m.c = p.c)""")
+        prev = f"cent{it}"
+    dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b)"
+    )
+
+    def norm(alias):
+        return (
+            f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({alias}.embedding[i] AS DOUBLE) * CAST({alias}.embedding[i] AS DOUBLE)), "
+            f"(a, b) -> a + b))"
+        )
+
+    parts.append(f"""
+cells AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT e.vec_id, ct.c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e.embedding', 'ct.cent')}, ct.c) AS rn
+    FROM embeddings e CROSS JOIN {prev} ct) t
+  WHERE rn = 1)""")
+    parts.append(f"""
+probes AS (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT q.vec_id, ct.c,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist('q.embedding', 'ct.cent')}, ct.c) AS rn
+    FROM embeddings q CROSS JOIN {prev} ct
+    WHERE q.vec_id < 10) t
+  WHERE rn <= {nprobe})""")
+    return f"""WITH {",".join(parts)},
+cand AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id
+  FROM probes p JOIN cells cl ON cl.cell = p.cell
+  WHERE cl.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(({dot}) / (({norm('q')}) * ({norm('e')})), 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {k_nn}"""
+
+
 def q_topk_harmonic(spark, sf_dir):
     """Top-10 positive harmonic centralities via the CutClos batched BFS
     (algos/topk.py; TopKGeometricCentrality.java:80-222). Values-only
@@ -668,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_topk_harmonic": q_topk_harmonic,
         "graph_betweenness": q_betweenness,
         "emb_near_dups": q_emb_near_dups,
+        "emb_ivf_top5": q_ivf_top5,
     }
 
 
@@ -997,4 +1120,5 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_topk_harmonic": td.topk_harmonic_sql(k=10, max_depth=4),
         "graph_betweenness": td.betweenness_sql(n_sources=100, max_depth=4),
         "emb_near_dups": _near_dups_sql(),
+        "emb_ivf_top5": _ivf_sql(),
     }

@@ -257,3 +257,30 @@ def test_embedding_near_dups_planted(spark):
     assert len(got) >= 0.8 * 60, len(got)
     capped = embedding_near_dups(df, threshold=0.9, dim=32, max_bucket=2).toPandas()
     assert len(capped) <= len(got)
+
+
+def test_ivf_topk_planted_recall(spark):
+    """IVF-Flat (ivf_train + ivf_topk): on planted clusters the coarse
+    quantizer's cells align with the planted structure, so nprobe=2 of 6
+    cells recovers >= 0.9 of the exact top-3; scanning all cells equals
+    the exact scorer row-for-row."""
+    from webgraph_spark.functions.similarity import ivf_topk, ivf_train
+
+    df = _planted_emb(spark, n_clusters=12, copies=5, noise=0.08)
+    q = df.where(F.col("vec_id") % 15 == 0)
+    exact = cosine_topk(df, q, k=3).toPandas()
+    cents = ivf_train(df, k=6, iters=2, dim=32)
+    assert len(cents) == 6 and all(len(c) == 32 for c in cents)
+    approx = ivf_topk(df, q, k=3, nprobe=2, dim=32, centroids=cents).toPandas()
+    hits, total = 0, 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits >= 0.9 * total, (hits, total)
+    # probing every cell == brute force (same rounding on both sides)
+    full = ivf_topk(df, q, k=3, nprobe=6, dim=32, centroids=cents).toPandas()
+    es = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    fs = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(es["neighbor_id"]) == list(fs["neighbor_id"])

@@ -283,3 +283,177 @@ def embedding_near_dups(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------- IVF-Flat
+
+def _ivf_seed_ids(embeddings: DataFrame, k: int, id_col: str) -> list[int]:
+    """Deterministic centroid seeds: the k corpus ids with smallest
+    md5(id) — engine-portable (same rule is one ORDER BY in the SQL
+    twin), parallelism-independent, and spread uniformly over the corpus
+    regardless of id clustering."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), "id")
+        .limit(k)
+        .collect()
+    )
+    return [int(r["id"]) for r in rows]
+
+
+def _assign_cluster(df: DataFrame, vec_col: str, centroids) -> Column:
+    """argmin_c squared-L2(vec, centroid_c) as one JVM expression tree
+    (centroids are plan literals — k is small by construction). Ties on
+    equal distance go to the lower cluster id on both engines."""
+    best_d, best_c = None, None
+    for c, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d, best_c = d, F.lit(0)
+        else:
+            # strict < keeps the LOWEST cluster index on exact ties
+            best_c = F.when(d < best_d, F.lit(c)).otherwise(best_c)
+            best_d = F.least(best_d, d)
+    return best_c
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means coarse quantizer (IVF training).
+
+    Init: the md5-smallest k corpus vectors. Each iteration assigns
+    every vector to its nearest centroid (JVM expression, no UDF) and
+    recomputes centroids as per-coordinate means via posexplode ->
+    groupBy(cluster, pos) — one shuffle of |corpus| * dim skinny rows;
+    the k x dim centroid table collects to the driver (tiny) and is
+    baked into the next iteration's plan as literals. Empty clusters
+    keep their previous centroid (the fixed-point the SQL twin
+    replicates). A FIXED iteration count (no convergence test) keeps the
+    result bit-replicable in unrolled SQL."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    seeds = _ivf_seed_ids(embeddings, k, id_col)
+    seed_rows = {
+        int(r["id"]): list(r["v"])
+        for r in embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+        .where(F.col(id_col).isin(seeds))
+        .collect()
+    }
+    centroids = [[float(x) for x in seed_rows[s]] for s in seeds]
+    for _ in range(iters):
+        assigned = embeddings.select(
+            F.col(vec_col).alias("v"),
+            _assign_cluster(embeddings, vec_col, centroids).alias("c"),
+        )
+        # ROUND(mean, 6): float sums commute only approximately, so the
+        # raw avg depends on partitioning/engine at the ~1e-13 level;
+        # rounding snaps both engines (and any parallelism) to identical
+        # centroid literals, which makes every subsequent distance fold
+        # bit-identical. 1e-6 grid vs 1e-13 jitter => boundary flips are
+        # measure-zero.
+        means = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mu"))
+            .collect()
+        )
+        new_c = [list(cent) for cent in centroids]  # empty clusters persist
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(int(r["c"]), {})[int(r["pos"])] = float(r["mu"])
+        for c, byp in acc.items():
+            new_c[c] = [byp[p] for p in range(dim)]
+        centroids = new_c
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids=None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k cosine: corpus is inverted-listed by
+    nearest k-means centroid; each query probes its ``nprobe`` nearest
+    cells and brute-force ranks only those cells' members.
+
+    The 100 TB shape: the corpus is scanned once to label cells (JVM
+    expression), the cell column becomes the join/partition key, and a
+    query touches ~nprobe/n_clusters of the data. Pass ``centroids``
+    (from :func:`ivf_train`, persisted) to skip training at query time —
+    the IVF index build/search split of the reference ANN systems."""
+    if centroids is None:
+        centroids = ivf_train(
+            embeddings, k=n_clusters, iters=iters, id_col=id_col,
+            vec_col=vec_col, dim=dim,
+        )
+    n_clusters = len(centroids)
+    nprobe = min(nprobe, n_clusters)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _assign_cluster(embeddings, vec_col, centroids).alias("cell"),
+    )
+    # query -> its nprobe nearest cells: rank the k cell distances with
+    # the same literal expression, explode the nprobe smallest
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    dists = []
+    for c, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(
+                F.col("qv"), arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(c).alias("cell")))
+    probed = q.select(
+        "query_id", "qv",
+        F.explode(
+            F.slice(F.array_sort(F.array(*dists)), 1, nprobe)
+        ).alias("p"),
+    ).select("query_id", "qv", F.col("p.cell").alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(probed), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"), "sim",
+        )
+    )

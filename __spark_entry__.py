@@ -160,6 +160,32 @@ def q_csr_roundtrip(spark, sf_dir):
     return unpack_csr(pack_csr(e, num_blocks=8)).select("src", "dst")
 
 
+def q_bv_stream_roundtrip(spark, sf_dir):
+    """REAL γ-coded bitstream pack (split-γ, operators/bitstream.py):
+    store -> load -> same arc set. Unlike csr_roundtrip this exercises
+    physical bit packing (BVGraph.store/load record grammar at the
+    residual level, BVGraph.java:526,2198,2202), not raw int64 arrays."""
+    from webgraph_spark.operators.bitstream import pack_bv, unpack_bv
+
+    e = _edges(spark, sf_dir)
+    return unpack_bv(pack_bv(e, num_blocks=8)).select("src", "dst")
+
+
+def q_bv_stream_bits(spark, sf_dir):
+    """Payload of the PHYSICAL γ streams, measured by decoding the
+    stored unary substreams (not echoed from pack-time counters). The
+    oracle is the closed-form γ model in SQL — equality proves the bits
+    on disk are exactly the entropy-model figure."""
+    from webgraph_spark.operators.bitstream import bv_bits_per_link, pack_bv
+
+    e = _edges(spark, sf_dir)
+    return bv_bits_per_link(pack_bv(e, num_blocks=8)).select(
+        F.col("gamma_bits").cast("long").alias("gamma_bits"),
+        F.col("n_arcs").cast("long").alias("n_arcs"),
+        F.round("bits_per_link", 6).alias("bits_per_link"),
+    )
+
+
 def q_ef_roundtrip(spark, sf_dir):
     """Elias–Fano second physical format: store -> load -> same arc set
     (EFGraph.store/load, EFGraph.java:283-420)."""
@@ -761,6 +787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_compose_cust_part": q_compose,
         "graph_quotient_nation": q_quotient_nation,
         "csr_roundtrip": q_csr_roundtrip,
+        "bv_stream_roundtrip": q_bv_stream_roundtrip,
+        "bv_stream_bits": q_bv_stream_bits,
         "ef_roundtrip": q_ef_roundtrip,
         "ef_bits": q_ef_bits,
         "graph_gamma_bits": q_gamma_bits,
@@ -1030,6 +1058,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_compose_cust_part": td.compose_sql(),
         "graph_quotient_nation": td.quotient_nation_sql(),
         "csr_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "bv_stream_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "bv_stream_bits": td.gamma_bits_sql(),
         "ef_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "ef_bits": f"""WITH {td.EDGES_CTE},
 dedup AS (SELECT DISTINCT src, dst FROM edges),

@@ -88,6 +88,18 @@ def main():
     unpack_csr(packed).count()
     queries["csr_unpack"] = round(time.time() - t0, 3)
 
+    # ---- physical gamma bitstream pack (split-gamma codec)
+    from webgraph_spark.operators.bitstream import pack_bv, unpack_bv
+
+    t0 = time.time()
+    bv = pack_bv(edges, num_blocks=max(cpus, 8)).persist()
+    bv.count()
+    queries["bv_pack"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    unpack_bv(bv).count()
+    queries["bv_unpack"] = round(time.time() - t0, 3)
+    bv.unpersist()
+
     # ---- CSR-consuming PageRank (numpy message kernel), 5 iterations
     from webgraph_spark.algos.pagerank_csr import pagerank_csr
 

@@ -116,3 +116,53 @@ def test_bv_smaller_than_raw_csr(spark):
         .collect()[0][0]
     )
     assert bv_bytes < 0.25 * csr_bytes, (bv_bytes, csr_bytes)
+
+
+@given(
+    st.lists(
+        st.one_of(st.integers(0, 7), st.integers(0, 2**30), st.integers(0, 2**62 - 2)),
+        max_size=200,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_delta_roundtrip_property(vals):
+    from webgraph_spark.operators.bitstream import (
+        delta_bits,
+        delta_decode,
+        delta_encode,
+    )
+
+    v = np.array(vals, dtype=np.int64)
+    lu, lv, vb = delta_encode(v)
+    assert np.array_equal(delta_decode(lu, lv, vb, len(v)), v)
+    # scalar reference: delta(v) = gamma(bitlen(v+1)-1) + bitlen(v+1)-1
+    ref = sum(
+        2 * int((x + 1).bit_length()).bit_length() - 1 + (x + 1).bit_length() - 1
+        for x in vals
+    )
+    assert delta_bits(v) == ref
+
+
+def test_bv_delta_pack_roundtrip_and_bits(spark):
+    """code="delta" roundtrips; on heavy-tailed gaps δ payload < γ."""
+    from webgraph_spark.operators.bitstream import bv_bits_per_link
+
+    rng = np.random.RandomState(6)
+    # heavy-tailed successor gaps: sparse dsts over a wide id space
+    pdf = pd.DataFrame(
+        {
+            "src": rng.randint(0, 50, 8000),
+            "dst": (rng.pareto(0.5, 8000) * 50).astype(np.int64) % (2**30),
+        }
+    )
+    edges = spark.createDataFrame(pdf)
+    for code in ("gamma", "delta"):
+        blocks = pack_bv(edges, num_blocks=4, code=code)
+        back = unpack_bv(blocks).toPandas().sort_values(["src", "dst"])
+        want = (
+            edges.select("src", "dst").distinct().toPandas().sort_values(["src", "dst"])
+        )
+        assert list(map(tuple, back.to_numpy())) == list(map(tuple, want.to_numpy())), code
+    g = bv_bits_per_link(pack_bv(edges, num_blocks=4, code="gamma")).collect()[0]
+    d = bv_bits_per_link(pack_bv(edges, num_blocks=4, code="delta")).collect()[0]
+    assert d["gamma_bits"] < g["gamma_bits"], (d["gamma_bits"], g["gamma_bits"])

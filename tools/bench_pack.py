@@ -41,6 +41,11 @@ def main():
         unpack_csr,
     )
     from webgraph_spark.operators.ef import ef_bits_per_link, pack_ef, unpack_ef
+    from webgraph_spark.operators.bitstream import (
+        bv_bits_per_link,
+        pack_bv,
+        unpack_bv,
+    )
 
     edges = spark.read.parquet(path).persist()
     n_edges = edges.count()
@@ -49,6 +54,7 @@ def main():
     for name, pack, unpack, bits in (
         ("csr", pack_csr, unpack_csr, gamma_bits_per_link),
         ("ef", pack_ef, unpack_ef, ef_bits_per_link),
+        ("bv", pack_bv, unpack_bv, bv_bits_per_link),
     ):
         t0 = time.time()
         blocks = pack(edges, num_blocks=num_blocks).persist()
@@ -62,11 +68,22 @@ def main():
             k: v for k, v in bits(blocks).collect()[0].asDict().items()
         }
         t_bits = time.time() - t0
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import BinaryType
+
+        bin_cols = [
+            f.name for f in blocks.schema.fields if isinstance(f.dataType, BinaryType)
+        ]
+        stored = blocks.agg(
+            F.sum(sum(F.coalesce(F.length(c), F.lit(0)) for c in bin_cols)).alias("b")
+        ).collect()[0]["b"]
         out[name] = {
             "pack_sec": round(t_pack, 1),
             "unpack_sec": round(t_unpack, 1),
             "bits_agg_sec": round(t_bits, 1),
             "roundtrip_arcs": n_round,
+            "stored_bytes": int(stored),
+            "bytes_per_link": round(stored / n_edges, 3),
             "bits": acct,
         }
         print(json.dumps({name: out[name]}), flush=True)
@@ -74,6 +91,7 @@ def main():
         assert n_round == n_edges, (n_round, n_edges)
 
     out["ef_over_csr_pack"] = round(out["ef"]["pack_sec"] / out["csr"]["pack_sec"], 2)
+    out["bv_over_csr_pack"] = round(out["bv"]["pack_sec"] / out["csr"]["pack_sec"], 2)
     with open(os.path.join(REPO, "BENCH", "pack_timing.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

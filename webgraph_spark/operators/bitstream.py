@@ -133,17 +133,93 @@ def gamma_bits(values: np.ndarray) -> int:
     return int((2 * _bitlen(v + 1) - 1).sum())
 
 
+def delta_encode(values: np.ndarray) -> tuple[bytes, bytes, bytes]:
+    """Split Elias-δ encode -> (len_unary, len_value, value_buf).
+
+    δ(v) writes γ(N) then the N-1 low bits of v+1, N = bitlen(v+1)
+    (the reference's DELTA component code, BVGraph.java:479/795). Split
+    layout: the γ(N) part is itself split-γ over N-1 (two substreams),
+    the payload is a third substream of exactly N-1 bits per value.
+    Same total bit count as interleaved δ; decode stays whole-array
+    because lengths come wholesale from the split-γ part."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b"", b"", b""
+    if v.min() < 0:
+        raise ValueError("delta_encode: values must be non-negative")
+    n_bits = _bitlen(v + 1)
+    lu, lv = gamma_encode(n_bits - 1)
+    width = n_bits - 1
+    offs = np.cumsum(width) - width
+    total = int(offs[-1] + width[-1])
+    vbuf = np.zeros((total // 8) + 1 if total else 0, dtype=np.uint8)
+    vp1 = v + 1
+    for j in range(int(width.max())):
+        live = width > j
+        if not live.any():
+            break
+        shift = width[live] - 1 - j
+        bit_on = ((vp1[live] >> shift) & 1).astype(bool)
+        if bit_on.any():
+            _set_bits(vbuf, (offs[live] + j)[bit_on])
+    return lu, lv, vbuf.tobytes()
+
+
+def delta_decode(
+    len_unary: bytes, len_value: bytes, value_buf: bytes, n: int
+) -> np.ndarray:
+    """Decode ``n`` split-δ values back to int64."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    n_bits = gamma_decode(len_unary, len_value, n) + 1
+    width = n_bits - 1
+    offs = np.cumsum(width) - width
+    vbits = np.unpackbits(np.frombuffer(value_buf, dtype=np.uint8))
+    out = np.ones(n, dtype=np.int64)
+    for j in range(int(width.max()) if n else 0):
+        live = width > j
+        if not live.any():
+            break
+        out[live] = (out[live] << 1) | vbits[offs[live] + j]
+    return out - 1
+
+
+def delta_bits(values: np.ndarray) -> int:
+    """Exact δ bit cost Σ(2*bitlen(bitlen(v+1)) - 1 + bitlen(v+1) - 1)."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return 0
+    n = _bitlen(v + 1)
+    return int((2 * _bitlen(n) - 1 + n - 1).sum())
+
+
 BV_SCHEMA = (
-    "block_id int, node_lo long, node_hi long, n_lists long, n_arcs long, "
-    "deg_u binary, deg_v binary, src_u binary, src_v binary, "
-    "first_u binary, first_v binary, gap_u binary, gap_v binary"
+    "block_id int, node_lo long, node_hi long, n_lists long, n_arcs long, code string, "
+    "deg_u binary, deg_v binary, deg_w binary, src_u binary, src_v binary, src_w binary, "
+    "first_u binary, first_v binary, first_w binary, gap_u binary, gap_v binary, gap_w binary"
 )
+
+
+def _enc(vals: np.ndarray, code: str) -> tuple[bytes, bytes, bytes]:
+    if code == "gamma":
+        u, v = gamma_encode(vals)
+        return u, v, b""
+    if code == "delta":
+        return delta_encode(vals)
+    raise ValueError(f"unknown code {code!r} (gamma|delta)")
+
+
+def _dec(u: bytes, v: bytes, w: bytes, n: int, code: str) -> np.ndarray:
+    if code == "gamma":
+        return gamma_decode(u, v, n)
+    return delta_decode(u, v, w, n)
 
 
 def pack_bv(
     edges: DataFrame,
     num_blocks: int | None = None,
     bounds: list[int] | None = None,
+    code: str = "gamma",
 ) -> DataFrame:
     """Pack ``edges(src, dst)`` into γ-coded bit-stream blocks.
 
@@ -156,7 +232,11 @@ def pack_bv(
     gaps γ(succ_i − succ_{i−1} − 1) (BVGraph.java:2202). Unlike the raw
     CSR pack the payload size is the entropy-model figure made real:
     firsts+gaps stream bits == csr.gamma_bits_per_link on the same
-    pack, asserted by the bv_bits driver query."""
+    pack, asserted by the bv_bits driver query.
+
+    ``code`` selects the component code — "gamma" (default) or "delta"
+    (the reference's pluggable CompressionFlags, BVGraph.java:474-523);
+    δ wins on heavy-tailed gaps, γ on small ones."""
     spark = edges.sparkSession
     if bounds is None:
         if num_blocks is None:
@@ -183,10 +263,10 @@ def pack_bv(
         node_lo = int(srcs[0]) if len(srcs) else -1
         d = firsts - srcs
         int2nat = np.where(d >= 0, 2 * d, -2 * d - 1)
-        deg_u, deg_v = gamma_encode(counts.astype(np.int64))
-        src_u, src_v = gamma_encode(np.diff(srcs, prepend=node_lo))
-        first_u, first_v = gamma_encode(int2nat)
-        gap_u, gap_v = gamma_encode(gaps)
+        deg_u, deg_v, deg_w = _enc(counts.astype(np.int64), code)
+        src_u, src_v, src_w = _enc(np.diff(srcs, prepend=node_lo), code)
+        first_u, first_v, first_w = _enc(int2nat, code)
+        gap_u, gap_v, gap_w = _enc(gaps, code)
         return pd.DataFrame(
             {
                 "block_id": [block_id],
@@ -194,10 +274,11 @@ def pack_bv(
                 "node_hi": [int(srcs[-1]) if len(srcs) else -1],
                 "n_lists": [len(srcs)],
                 "n_arcs": [len(dst)],
-                "deg_u": [deg_u], "deg_v": [deg_v],
-                "src_u": [src_u], "src_v": [src_v],
-                "first_u": [first_u], "first_v": [first_v],
-                "gap_u": [gap_u], "gap_v": [gap_v],
+                "code": [code],
+                "deg_u": [deg_u], "deg_v": [deg_v], "deg_w": [deg_w],
+                "src_u": [src_u], "src_v": [src_v], "src_w": [src_w],
+                "first_u": [first_u], "first_v": [first_v], "first_w": [first_w],
+                "gap_u": [gap_u], "gap_v": [gap_v], "gap_w": [gap_w],
             }
         )
 
@@ -211,13 +292,14 @@ def _decode_bv_block(row) -> tuple[np.ndarray, np.ndarray]:
     n_arcs = int(row["n_arcs"])
     if n_lists == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    counts = gamma_decode(row["deg_u"], row["deg_v"], n_lists)
+    code = row["code"]
+    counts = _dec(row["deg_u"], row["deg_v"], row["deg_w"], n_lists, code)
     srcs = int(row["node_lo"]) + np.cumsum(
-        gamma_decode(row["src_u"], row["src_v"], n_lists)
+        _dec(row["src_u"], row["src_v"], row["src_w"], n_lists, code)
     )
-    nat = gamma_decode(row["first_u"], row["first_v"], n_lists)
+    nat = _dec(row["first_u"], row["first_v"], row["first_w"], n_lists, code)
     firsts = srcs + np.where(nat % 2 == 0, nat // 2, -(nat + 1) // 2)
-    gaps = gamma_decode(row["gap_u"], row["gap_v"], n_arcs - n_lists)
+    gaps = _dec(row["gap_u"], row["gap_v"], row["gap_w"], n_arcs - n_lists, code)
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     vals = np.empty(n_arcs, dtype=np.int64)
     mask = np.ones(n_arcs, dtype=bool)
@@ -263,17 +345,24 @@ def bv_bits_per_link(blocks: DataFrame) -> DataFrame:
                 n_arcs = int(row["n_arcs"])
                 if n_lists == 0:
                     continue
-                for ubuf, n in (
-                    (row["first_u"], n_lists),
-                    (row["gap_u"], n_arcs - n_lists),
-                ):
+                code = row["code"]
+                for stream, n in (("first", n_lists), ("gap", n_arcs - n_lists)):
                     if n == 0:
                         continue
-                    ones = np.flatnonzero(
-                        np.unpackbits(np.frombuffer(ubuf, dtype=np.uint8))
-                    )[:n]
-                    n_bits = np.diff(ones, prepend=-1)
-                    bits += int((2 * n_bits - 1).sum())
+                    if code == "gamma":
+                        ones = np.flatnonzero(
+                            np.unpackbits(
+                                np.frombuffer(row[f"{stream}_u"], dtype=np.uint8)
+                            )
+                        )[:n]
+                        n_bits = np.diff(ones, prepend=-1)
+                        bits += int((2 * n_bits - 1).sum())
+                    else:  # delta: lengths live in the split-gamma part
+                        n_bits = (
+                            gamma_decode(row[f"{stream}_u"], row[f"{stream}_v"], n)
+                            + 1
+                        )
+                        bits += int((2 * _bitlen(n_bits) - 1 + n_bits - 1).sum())
                 arcs += n_arcs
             yield pd.DataFrame({"gamma_bits": [bits], "n_arcs": [arcs]})
 

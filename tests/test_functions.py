@@ -284,3 +284,26 @@ def test_ivf_topk_planted_recall(spark):
     es = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
     fs = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert list(es["neighbor_id"]) == list(fs["neighbor_id"])
+
+
+def test_multimodal_resize(spark):
+    from webgraph_spark.functions.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, n=30)  # 10 images, 64x64, 128-byte payloads
+    out = resize_images(media, max_side=32).toPandas()
+    assert len(out) == 10 and out["ok"].all()
+    # aspect-preserving clamp: 64x64 -> 32x32, scale 0.5, stride-2 payload
+    assert (out["width"] == 32).all() and (out["height"] == 32).all()
+    assert (out["scale"] == 0.5).all()
+    assert all(len(p) == 64 for p in out["payload"])
+    # no-op path: already small
+    small = resize_images(media, max_side=128).toPandas()
+    assert (small["width"] == 64).all() and (small["scale"] == 1.0).all()
+    assert all(len(p) == 128 for p in small["payload"])
+    # error capture: zero dimensions
+    bad = spark.createDataFrame(
+        [(7, "image", bytearray(b"xy"), 0, 0, None, None)],
+        "media_id long, kind string, payload binary, width int, height int, sample_rate int, n_frames int",
+    )
+    row = resize_images(bad).collect()[0]
+    assert not row.ok and "dimensions" in row.err

@@ -100,6 +100,72 @@ def extract_features(media: DataFrame, dim: int = 32) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, "
+    "scale double, ok boolean, err string"
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas, Arrow batches).
+
+    The geometry is REAL and JVM-free-of-surprises: the output (width,
+    height) preserves aspect ratio with the long side clamped to
+    ``max_side`` (computed in numpy per batch). The pixel resample is
+    the declared stub — payload bytes are strided down by the scale
+    factor (a deterministic fake for PIL.Image.resize; the byte-count
+    contract len(out) == ceil(len(in)/stride) is what a real kernel
+    must also satisfy). One output row per input image; per-row error
+    capture like extract_features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ws, hs, scales, oks, errs = [], [], [], [], [], [], []
+            for _, row in pdf.iterrows():
+                ids.append(row["media_id"])
+                try:
+                    w, h = int(row["width"]), int(row["height"])
+                    if w <= 0 or h <= 0:
+                        raise ValueError(f"bad dimensions {w}x{h}")
+                    scale = min(1.0, max_side / max(w, h))
+                    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                    payload = row["payload"]
+                    if payload is None or len(payload) == 0:
+                        raise NotImplementedError(
+                            "real decoder required for empty payloads"
+                        )
+                    stride = max(1, int(round(1 / scale))) if scale < 1 else 1
+                    out = bytes(payload)[::stride]
+                    payloads.append(bytearray(out))
+                    ws.append(nw)
+                    hs.append(nh)
+                    scales.append(float(scale))
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 - per-row capture
+                    payloads.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    scales.append(None)
+                    oks.append(False)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "width": ws,
+                    "height": hs,
+                    "scale": scales,
+                    "ok": oks,
+                    "err": errs,
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plan: (media_id, frame_idx) rows via JVM-side
     sequence/explode — demonstrates fan-out without Python."""

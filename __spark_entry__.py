@@ -432,6 +432,20 @@ def q_ann_recall5(spark, sf_dir):
     return ann_recall(emb, queries, k=5, dim=64)
 
 
+def q_ivf_recall5(spark, sf_dir):
+    """Recall@5 of the IVF-Flat candidate path vs the exact top-5 — the
+    same approximation-quality gate as emb_ann_recall5, applied to the
+    coarse-quantizer search (nprobe cells instead of LSH buckets)."""
+    from webgraph_spark.functions.similarity import ivf_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_recall(
+        emb, queries, k=5, n_clusters=IVF_K, nprobe=IVF_NPROBE,
+        iters=IVF_ITERS, dim=64,
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from webgraph_spark.functions.multimodal import extract_features, synthesize_media
 
@@ -819,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": q_betweenness,
         "emb_near_dups": q_emb_near_dups,
         "emb_ivf_top5": q_ivf_top5,
+        "emb_ivf_recall5": q_ivf_recall5,
     }
 
 
@@ -1151,4 +1166,13 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_betweenness": td.betweenness_sql(n_sources=100, max_depth=4),
         "emb_near_dups": _near_dups_sql(),
         "emb_ivf_top5": _ivf_sql(),
+        "emb_ivf_recall5": f"""WITH ex AS (
+  SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1
+), ap AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM ({_ivf_sql()}) t2
+)
+SELECT COUNT(*) AS exact_pairs,
+       CAST(COALESCE(SUM(ap.hit), 0) AS BIGINT) AS hits,
+       ROUND(CAST(COALESCE(SUM(ap.hit), 0) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
     }

@@ -307,3 +307,18 @@ def test_multimodal_resize(spark):
     )
     row = resize_images(bad).collect()[0]
     assert not row.ok and "dimensions" in row.err
+
+
+def test_ivf_recall_gate_planted(spark):
+    """Same statistical-acceptance gate as the LSH path, for IVF-Flat:
+    recall@4 >= 0.9 on planted near-duplicate clusters — cluster members
+    land in the same k-means cell, so nprobe search must recover them."""
+    from webgraph_spark.functions.similarity import ivf_recall
+
+    df = _planted_emb(spark)
+    q = df.where(F.col("vec_id") % 5 == 0)
+    row = ivf_recall(
+        df, q, k=4, n_clusters=8, nprobe=3, iters=2, dim=32
+    ).collect()[0]
+    assert row["exact_pairs"] == 25 * 4
+    assert row["recall_at_k"] >= 0.9, row["recall_at_k"]

@@ -324,3 +324,27 @@ def test_relabel_arcs(spark):
     rows = sorted((r.src, r.dst, r.w2) for r in got2.collect())
     assert rows == [(0, 1, 11), (1, 2, 122), (2, 0, 230)]
     assert "w" not in got2.columns
+
+
+def test_bidirectional_graph_views(spark):
+    """BidirectionalImmutableGraph analog: successors + predecessors from
+    one edge table, co-partitioned forward/backward views."""
+    from webgraph_spark.graph.bidirectional import BidirectionalGraph
+
+    g = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)], "src long, dst long"
+    )
+    bg = BidirectionalGraph(g, num_partitions=4)
+    assert bg.successors_of(0) == [1, 2]
+    assert bg.predecessors_of(2) == [0, 1, 3]
+    assert bg.successors_of(3) == [2]
+    assert bg.predecessors_of(3) == []
+    od = {r.node: r.outdeg for r in bg.out_degrees().collect()}
+    ind = {r.node: r.indeg for r in bg.in_degrees().collect()}
+    assert od == {0: 2, 1: 1, 2: 1, 3: 1}
+    assert ind == {1: 1, 2: 3, 0: 1}
+    # both physical views hold the same arc multiset, transposed
+    fwd = sorted((r.src, r.dst) for r in bg.fwd.collect())
+    bwd = sorted((r.dst, r.src) for r in bg.bwd.collect())
+    assert fwd == bwd
+    bg.unpersist()

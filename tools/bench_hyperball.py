@@ -81,9 +81,10 @@ def systolic_main(args):
     """Per-round cost with vs without the systolic changed-node filter."""
     import json
 
-    n_convs = int(args[0]) if len(args) > 0 else 1_000_000
+    # first arg: either a stored parquet edge-table path (reuses e.g.
+    # /tmp/scaling_edges instead of the ~24-min graph rebuild) or n_convs
+    src = args[0] if len(args) > 0 else "1000000"
     max_t = int(args[1]) if len(args) > 1 else 64
-    from bench import build_transcript_graph
     from webgraph_spark.algos.hyperball import hyperball
     from webgraph_spark.session import get_spark
 
@@ -94,7 +95,12 @@ def systolic_main(args):
         extra_conf={"spark.driver.memory": "64g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    edges = build_transcript_graph(spark, n_convs).persist()
+    if os.path.isdir(src):
+        edges = spark.read.parquet(src).persist()
+    else:
+        from bench import build_transcript_graph
+
+        edges = build_transcript_graph(spark, int(src)).persist()
     n_edges = edges.count()
     out = {"n_edges": n_edges, "max_t": max_t}
     for name, flag in (("systolic", True), ("full", False)):

@@ -208,8 +208,15 @@ def hyperball(
         cached.unpersist()
         return out
 
+    # NF sums accumulate in DECIMAL(38,9): exact, order-independent
+    # addition of the rounded per-node summands. The reference compensates
+    # the same global sum with Kahan summation (HyperBall.java:71); a
+    # float64 sum over a shuffled aggregation is order-NONdeterministic
+    # and starts losing low bits around 10^10 summands, decimal is exact.
+    nf_sum = F.sum(F.col("est").cast("decimal(38,9)")).cast("double")
+
     state = _materialize(state0)
-    nf = [float(state.agg(F.sum("est")).collect()[0][0])]
+    nf = [float(state.agg(nf_sum).collect()[0][0])]
 
     # changed sets at most this many rows are broadcast for the message
     # join ("local mode"): no shuffle at all on the message side, just a
@@ -271,7 +278,7 @@ def hyperball(
             ).observe(
                 obs,
                 F.sum(F.col("chg").cast("long")).alias("nchg"),
-                F.sum("est").alias("nf"),
+                nf_sum.alias("nf"),
             )
             state = _materialize(new_state)
             got = obs.get

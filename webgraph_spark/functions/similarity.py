@@ -99,14 +99,49 @@ def ann_recall(
     is the expensive half — run this on a sampled query set, exactly as
     here (the corpus side stays partitioned in both plans).
     """
+    approx = cosine_topk_lsh(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col, **lsh_kwargs
+    )
+    return _recall_frame(
+        embeddings, queries, approx, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ivf_kwargs,
+) -> DataFrame:
+    """Recall@k of the IVF-Flat path vs the exact scorer — same
+    acceptance posture as :func:`ann_recall`, for the coarse-quantizer
+    candidate generation (nprobe cells instead of LSH buckets)."""
+    approx = ivf_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col, **ivf_kwargs
+    )
+    return _recall_frame(
+        embeddings, queries, approx, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _recall_frame(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    approx: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(exact_pairs, hits, recall_at_k) of ``approx`` (query_id,
+    neighbor_id, ...) against the exact cosine top-k."""
     exact = cosine_topk(
         embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbor_id")
-    approx = cosine_topk_lsh(
-        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col, **lsh_kwargs
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
         .agg(
             F.count(F.lit(1)).alias("exact_pairs"),
             F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits"),

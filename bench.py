@@ -36,9 +36,26 @@ def build_transcript_graph(spark, n_convs: int):
     return edges
 
 
+def _cpu_jiffies():
+    """(busy, steal) jiffies from /proc/stat — stamps host co-tenant
+    contention into the bench output (on this sandbox's shared host,
+    steal bursts of 10-95% recur on a minutes scale and can dominate
+    wall-clock; see BENCH/BASELINE.md §1b)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        busy = vals[0] + vals[2]  # user + system
+        return busy, steal
+    except Exception:
+        return 0, 0
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    j0 = _cpu_jiffies()
     # scale transcript graph with the sf dir's lineitem size
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
     n_convs = int(100_000 * sf)
@@ -167,6 +184,10 @@ def main():
             "cpus": cpus,
         },
     }
+    j1 = _cpu_jiffies()
+    tot = (j1[0] - j0[0]) + (j1[1] - j0[1])
+    if tot > 0:
+        out["detail"]["host_steal_pct"] = round(100.0 * (j1[1] - j0[1]) / tot, 1)
     print(json.dumps(out))
     spark.stop()
 

@@ -28,6 +28,7 @@ from webgraph_spark.functions.dedup import (
     lsh_band_keys,
     minhash_lsh_candidates,
     minhash_signatures,
+    near_dup_clusters,
     ngram_jaccard,
     simhash16,
 )
@@ -44,6 +45,7 @@ NUM_HASHES = 16
 BAND_ROWS = 4
 SHINGLE = 3
 HASH_SEED = 12345
+DEDUP_THRESHOLD = 0.8
 _A, _B = hash_family(NUM_HASHES, HASH_SEED)
 
 
@@ -318,6 +320,14 @@ def q_jaccard(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return simhash16(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return near_dup_clusters(
+        _docs(spark, sf_dir), "doc_id", "text",
+        NUM_HASHES, BAND_ROWS, SHINGLE, HASH_SEED,
+        threshold=DEDUP_THRESHOLD,
+    )
 
 
 # ------------------------------------------------------------- embeddings
@@ -817,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lsh_pairs": q_lsh_pairs,
         "docs_jaccard": q_jaccard,
         "docs_simhash": q_simhash,
+        "docs_dedup_clusters": q_dedup_clusters,
         "emb_cosine_top5": q_cosine_top5,
         "emb_label_counts": q_emb_label_counts,
         "events_hourly": q_events_hourly,
@@ -1125,6 +1136,34 @@ FROM inter x
 JOIN sizes na ON na.id = x.id_a
 JOIN sizes nb ON nb.id = x.id_b""",
         "docs_simhash": _simhash_sql(),
+        "docs_dedup_clusters": f"""WITH RECURSIVE {_PAIRS_CTE},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT s1.id AS id_a, s2.id AS id_b, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.id < s2.id
+  JOIN pairs p ON p.id_a = s1.id AND p.id_b = s2.id
+  GROUP BY s1.id, s2.id
+),
+ver AS (
+  SELECT x.id_a, x.id_b
+  FROM inter x
+  JOIN sizes na ON na.id = x.id_a
+  JOIN sizes nb ON nb.id = x.id_b
+  WHERE ROUND(x.common / (na.n + nb.n - x.common), 6) >= {DEDUP_THRESHOLD}
+),
+dup_e AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION ALL SELECT id_b, id_a FROM ver
+),
+cl AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT cl.node, dup_e.b FROM cl JOIN dup_e ON cl.reach = dup_e.a
+),
+lab AS (SELECT node AS doc_id, MIN(reach) AS canonical_id FROM cl GROUP BY node),
+sz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY canonical_id)
+SELECT l.doc_id, l.canonical_id, s.cluster_size
+FROM lab l JOIN sz s USING (canonical_id)""",
         "emb_cosine_top5": _cosine_sql(),
         "emb_label_counts": (
             "SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n "

@@ -322,3 +322,30 @@ def test_ivf_recall_gate_planted(spark):
     ).collect()[0]
     assert row["exact_pairs"] == 25 * 4
     assert row["recall_at_k"] >= 0.9, row["recall_at_k"]
+
+
+def test_near_dup_clusters_transitive(spark):
+    from webgraph_spark.functions.dedup import near_dup_clusters
+
+    # a ~ b ~ c by one-word edits (transitive chain: a-c may or may not
+    # be an LSH candidate, the CC closure must still place all three in
+    # one cluster); d is unrelated; e is a singleton short doc
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base),
+        (11, base.replace("kappa", "lambda")),
+        (12, base.replace("alpha", "omega")),
+        (20, "totally different words nothing shared with the chain at all"),
+        (30, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = near_dup_clusters(
+        docs, "doc_id", "text", num_hashes=32, band_rows=2, shingle=2,
+        seed=7, threshold=0.5,
+    )
+    got = {r.doc_id: (r.canonical_id, r.cluster_size) for r in out.collect()}
+    assert set(got) == {10, 11, 12, 20, 30}
+    # the whole chain collapses to the min id with size 3
+    assert got[10] == (10, 3) and got[11] == (10, 3) and got[12] == (10, 3)
+    # non-dups are their own canonical singletons
+    assert got[20] == (20, 1) and got[30] == (30, 1)

@@ -225,3 +225,58 @@ def simhash16(
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return per_bit.select("id", sig.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------- clusters
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    shingle: int = DEFAULT_SHINGLE,
+    seed: int = 0,
+    threshold: float = 0.8,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Full near-duplicate CLUSTERING: MinHash-LSH candidates -> exact
+    n-gram-Jaccard verification (>= ``threshold``) -> connected
+    components over the verified-pair graph -> one canonical document
+    per cluster. Returns EVERY input document:
+    (doc_id, canonical_id, cluster_size) — canonical_id is the minimum
+    doc id of the near-dup cluster (hash-min CC label), singletons map
+    to themselves.
+
+    This is the training-data dedup step stitched from both pillars:
+    the candidate generation is bucketed (never all-pairs), the verify
+    join is pair-driven, and the transitive closure is the same
+    O(diameter)-round hash-min used for the graph engine's CC
+    (ConnectedComponents.java:44-101 analog) — every stage is the
+    at-scale shape.
+    """
+    from ..algos.components import connected_components
+
+    pairs = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, band_rows, shingle, seed
+    )
+    verified = ngram_jaccard(df, pairs, id_col, text_col, shingle).where(
+        F.col("jaccard") >= threshold
+    )
+    dup_edges = verified.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = connected_components(dup_edges, max_iter=max_iter).labels
+    docs = df.select(F.col(id_col).alias("doc_id"))
+    labelled = docs.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
+    )
+    sizes = labelled.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labelled.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )

@@ -424,6 +424,18 @@ def q_cc_converged(spark, sf_dir):
     return res.labels
 
 
+def q_cc_stars(spark, sf_dir):
+    """Large-star/small-star CC to fixpoint: O(log n) rounds instead of
+    hash-min's O(diameter). Same converged labels (component = min node
+    id), so the oracle is the converged hash-min unroll."""
+    from webgraph_spark.algos.components import connected_components_stars
+
+    res = connected_components_stars(
+        _edges(spark, sf_dir), max_iter=30, num_partitions=16
+    )
+    return res.labels
+
+
 def q_ann_lsh_top5(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10)
@@ -641,6 +653,38 @@ SELECT id_a, id_b, sim FROM (
 WHERE sim >= {threshold}"""
 
 
+def q_emb_dedup_clusters(spark, sf_dir):
+    """Embedding near-dup clustering: LSH pairs -> large-star/small-star
+    CC -> canonical vector per cluster (second oracle-checked consumer
+    of the O(log n)-round CC)."""
+    from webgraph_spark.functions.similarity import embedding_dedup_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup_clusters(
+        emb, threshold=NEARDUP_THRESHOLD, n_planes=NEARDUP_PLANES,
+        n_tables=NEARDUP_TABLES, dim=64,
+    )
+
+
+def _emb_clusters_sql() -> str:
+    """Recursive min-reach closure over the near-dups pair oracle."""
+    nd = _near_dups_sql()
+    return f"""WITH RECURSIVE ver AS (SELECT id_a, id_b FROM ({nd}) q),
+dup_e AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION ALL SELECT id_b, id_a FROM ver
+),
+cl AS (
+  SELECT vec_id AS node, vec_id AS reach FROM embeddings
+  UNION
+  SELECT cl.node, dup_e.b FROM cl JOIN dup_e ON cl.reach = dup_e.a
+),
+lab AS (SELECT node AS vec_id, MIN(reach) AS canonical_id FROM cl GROUP BY node),
+sz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY canonical_id)
+SELECT l.vec_id, l.canonical_id, s.cluster_size
+FROM lab l JOIN sz s USING (canonical_id)"""
+
+
 IVF_K = 8
 IVF_ITERS = 2
 IVF_NPROBE = 2
@@ -834,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_event_sessions,
         "graph_pagerank_converged": q_pagerank_converged,
         "graph_cc_converged": q_cc_converged,
+        "graph_cc_stars": q_cc_stars,
         "emb_ann_lsh_top5": q_ann_lsh_top5,
         "emb_ann_recall5": q_ann_recall5,
         "multimodal_features": q_multimodal_features,
@@ -843,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_topk_harmonic": q_topk_harmonic,
         "graph_betweenness": q_betweenness,
         "emb_near_dups": q_emb_near_dups,
+        "emb_dedup_clusters": q_emb_dedup_clusters,
         "emb_ivf_top5": q_ivf_top5,
         "emb_ivf_recall5": q_ivf_recall5,
     }
@@ -1187,6 +1233,7 @@ FROM x GROUP BY user_id""",
             max_iters=35, tol=1e-6, round_to=9
         ),
         "graph_cc_converged": td.cc_sql(rounds=30),
+        "graph_cc_stars": td.cc_sql(rounds=30),
         "emb_ann_lsh_top5": _ann_lsh_sql(),
         "emb_ann_recall5": f"""WITH ex AS (
   SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1
@@ -1204,6 +1251,7 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_topk_harmonic": td.topk_harmonic_sql(k=10, max_depth=4),
         "graph_betweenness": td.betweenness_sql(n_sources=100, max_depth=4),
         "emb_near_dups": _near_dups_sql(),
+        "emb_dedup_clusters": _emb_clusters_sql(),
         "emb_ivf_top5": _ivf_sql(),
         "emb_ivf_recall5": f"""WITH ex AS (
   SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1

@@ -139,6 +139,16 @@ def main():
     cc = connected_components(edges, max_iter=50)
     cc.labels.count()
     queries["connected_components"] = round(time.time() - t0, 3)
+    cc_iters = cc.iterations
+
+    # ---- connected components (large-star/small-star, O(log n) rounds)
+    from webgraph_spark.algos.components import connected_components_stars
+
+    t0 = time.time()
+    ccs = connected_components_stars(edges, max_iter=30)
+    ccs.labels.count()
+    queries["connected_components_stars"] = round(time.time() - t0, 3)
+    cc_stars_iters = ccs.iterations
 
     # ---- label propagation (4 rounds)
     from webgraph_spark.algos.labelprop import label_propagation
@@ -181,6 +191,8 @@ def main():
             "pr_iterations": res.iterations,
             "pr_converged": res.converged,
             "triangles": tri,
+            "cc_hashmin_rounds": cc_iters,
+            "cc_stars_rounds": cc_stars_iters,
             "cpus": cpus,
         },
     }

@@ -179,3 +179,49 @@ def test_cc_lp_keep_self_loop_only_nodes(spark):
     assert cc == {0: 0, 1: 0, 7: 7}
     lp = {r.node: r.label for r in label_propagation(g, max_iter=3).labels.collect()}
     assert set(lp) == {0, 1, 7} and lp[7] == 7
+
+
+# -------------------------------------------------- CC: star algorithm
+
+@pytest.mark.parametrize("n,p,seed", [(60, 0.02, 1), (100, 0.03, 3)])
+def test_cc_stars_matches_hashmin_er(spark, n, p, seed):
+    from webgraph_spark.algos.components import connected_components_stars
+
+    g = erdos_renyi(spark, n, p, seed=seed)
+    res = connected_components_stars(g)
+    assert res.converged
+    got = {r.node: r.component for r in res.labels.collect()}
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    want = connected_components_numpy(adj)
+    present = adj.any(axis=1) | adj.any(axis=0)
+    for i in range(n):
+        if present[i]:
+            # star fixpoint labels == min node id == hash-min labels
+            assert got[i] == int(want[i])
+
+
+def test_cc_stars_long_path_logarithmic_rounds(spark):
+    """A 200-hop directed path: hash-min needs ~200 rounds (O(diameter));
+    the star algorithm must finish in O(log n) — well under 15."""
+    from webgraph_spark.algos.components import connected_components_stars
+
+    n = 201
+    g = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    res = connected_components_stars(g, max_iter=15)
+    assert res.converged and res.iterations <= 15
+    rows = res.labels.collect()
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+
+
+def test_cc_stars_self_loops_and_isolates(spark):
+    from webgraph_spark.algos.components import connected_components_stars
+
+    g = spark.createDataFrame(
+        [(7, 7), (1, 2), (9, 9)], "src long, dst long"
+    )
+    res = connected_components_stars(g)
+    got = {r.node: r.component for r in res.labels.collect()}
+    assert got == {7: 7, 9: 9, 1: 1, 2: 1}

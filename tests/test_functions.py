@@ -349,3 +349,20 @@ def test_near_dup_clusters_transitive(spark):
     assert got[10] == (10, 3) and got[11] == (10, 3) and got[12] == (10, 3)
     # non-dups are their own canonical singletons
     assert got[20] == (20, 1) and got[30] == (30, 1)
+
+
+def test_embedding_dedup_clusters_planted(spark):
+    """Planted near-dup clusters collapse to their minimum vec_id via
+    the star-CC closure; every vector appears exactly once."""
+    from webgraph_spark.functions.similarity import embedding_dedup_clusters
+
+    df = _planted_emb(spark, n_clusters=6, copies=4, noise=0.05)
+    out = embedding_dedup_clusters(df, threshold=0.9, dim=32).toPandas()
+    assert len(out) == 24 and out["vec_id"].nunique() == 24
+    # canonical of every member is within its planted cluster and is
+    # the cluster min (vec ids are cluster-contiguous: cluster c = 4c..4c+3)
+    assert (out["canonical_id"] // 4 == out["vec_id"] // 4).all()
+    by_cluster = out.groupby(out["vec_id"] // 4)["canonical_id"].nunique()
+    assert (by_cluster == 1).all()
+    # at noise 0.05 the planted clusters are tight: all 4 copies merge
+    assert (out["cluster_size"] == 4).all()

@@ -147,3 +147,132 @@ def largest_component(edges: DataFrame, labels: DataFrame | None = None):
         F.broadcast(top.select("component")), "component", "left_semi"
     ).select("node")
     return induced_subgraph(edges, keep, reindex=True)
+
+
+def connected_components_stars(
+    edges: DataFrame,
+    max_iter: int = 30,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str = "cc_stars",
+) -> ComponentsResult:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — the O(log n)-round algorithm). Converges to a star forest
+    whose center is each component's minimum node id, so the labels are
+    IDENTICAL to :func:`connected_components`'s hash-min fixpoint — but
+    in rounds logarithmic in component size instead of linear in
+    component DIAMETER. On a 100-TB graph whose components contain long
+    paths (transcript turn chains), hash-min pays one full shuffle per
+    hop of diameter; this pays ~log2(n) rounds total, each a constant
+    number of same-keyed shuffles.
+
+    large-star(u): m = min(neighborhood(u) + {u}); every strict-greater
+    neighbor v > u re-attaches as (v, m). small-star: orient edges
+    toward the smaller endpoint, re-attach all non-min smaller
+    neighbors plus u itself to m. Both preserve connectivity; alternated
+    to a fixpoint the edge set IS the (node -> component-min) map.
+
+    Reference contract: same partition/labels as
+    ConnectedComponents.java:44-101 (tests compare partitions).
+    """
+    from ..plans.iterate import iterate, iteration_confs
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from ..operators.transforms import no_loops
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(num_partitions, "node")
+        .persist()
+    )
+    state0 = (
+        no_loops(edges.select("src", "dst"))
+        .distinct()
+        .repartition(num_partitions, "src")
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbr = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = nbr.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            nbr.where(F.col("dst") > F.col("src"))
+            .join(mins.hint("shuffle_hash"), "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        e2 = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        mins = e2.groupBy("src").agg(F.min("dst").alias("m"))
+        moved = (
+            e2.join(mins.hint("shuffle_hash"), "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        centers = mins.select("src", F.col("m").alias("dst"))
+        return moved.unionByName(centers).where(F.col("src") != F.col("dst"))
+
+    # fixpoint detection: the (count, xxhash64-sum) fingerprint of the
+    # distinct edge set is stable across a full LS+SS round only at the
+    # star forest (both transforms are identity exactly there); the
+    # fingerprint rides the materializing action as an Observation
+    prev_fp: list = [None]
+
+    def step(e: DataFrame, k: int):
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_e = (
+            _small_star(_large_star(e))
+            .distinct()
+            .repartition(num_partitions, "src")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_e"),
+                # decimal(38,0) sum: xxhash64 values are ~19 digits, so the
+                # sum stays exact (and ANSI-overflow-free) to ~10^19 edges
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("fp"),
+            )
+        )
+        return new_e, {}, obs
+
+    def stop(obs_metrics: dict, k: int) -> bool:
+        fp = (obs_metrics.get("n_e"), obs_metrics.get("fp"))
+        done = fp == prev_fp[0]
+        prev_fp[0] = fp
+        return done
+
+    with iteration_confs(spark):
+        star, it, done = iterate(
+            spark,
+            state0,
+            step,
+            max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            stop=stop,
+        )
+
+    labels = (
+        nodes.join(
+            star.select(F.col("src").alias("node"), F.col("dst").alias("_m"))
+            .hint("shuffle_hash"),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("_m"), F.col("node")).alias("component"))
+    )
+    nodes.unpersist()
+    return ComponentsResult(labels, it, done)

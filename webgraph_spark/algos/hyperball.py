@@ -40,6 +40,18 @@ Spark-first representation — **packed wide-column registers**:
   ``node`` across iterations (localCheckpoint preserves the physical
   partitioning), so the big side of the merge never re-shuffles —
   only the (small) aggregated message table moves.
+
+Design bound: ``log2m`` caps at 8 (256 register columns). Beyond that
+the wide-column form needs m aggregate expressions per merge, which is
+where Spark codegen (and the planner's expression-tree handling) falls
+off a cliff; the considered alternatives don't beat it — SWAR-packing 8
+registers per int64 column still needs a per-lane extract+max per
+register inside the aggregate (same m expression count, wider rows),
+and a binary-blob state forces the merge into Python (the measured
+pagerank_csr lesson: Arrow transfer of full state per iteration loses
+to JVM shuffle). log2m=8 gives RSD ~6.5% — tighter than the reference's
+own default (log2m=4..6, HyperBall CLI) — so the bound is above every
+practical setting; it is a documented trade, not an oversight.
 """
 
 from __future__ import annotations

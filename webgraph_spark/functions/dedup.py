@@ -250,12 +250,14 @@ def near_dup_clusters(
 
     This is the training-data dedup step stitched from both pillars:
     the candidate generation is bucketed (never all-pairs), the verify
-    join is pair-driven, and the transitive closure is the same
-    O(diameter)-round hash-min used for the graph engine's CC
-    (ConnectedComponents.java:44-101 analog) — every stage is the
-    at-scale shape.
+    join is pair-driven, and the transitive closure is large-star/
+    small-star CC in O(log n) rounds — near-dup clusters CHAIN
+    (A~B~C~...), so the closure must not pay one shuffle round per
+    chain hop. Labels match hash-min's fixpoint exactly (component =
+    min doc id; ConnectedComponents.java:44-101 analog) — every stage
+    is the at-scale shape.
     """
-    from ..algos.components import connected_components
+    from ..algos.components import connected_components_stars
 
     pairs = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, band_rows, shingle, seed
@@ -266,7 +268,7 @@ def near_dup_clusters(
     dup_edges = verified.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    labels = connected_components(dup_edges, max_iter=max_iter).labels
+    labels = connected_components_stars(dup_edges, max_iter=max_iter).labels
     docs = df.select(F.col(id_col).alias("doc_id"))
     labelled = docs.join(
         labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"

@@ -492,3 +492,47 @@ def ivf_topk(
             F.col("rank").cast("long").alias("rank"), "sim",
         )
     )
+
+
+def embedding_dedup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 777,
+    dim: int | None = None,
+    max_bucket: int | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Dense-vector near-duplicate CLUSTERING: hyperplane-LSH pairs
+    (:func:`embedding_near_dups`) -> large-star/small-star connected
+    components (O(log n) rounds) -> one canonical vector per cluster.
+    Returns EVERY input vector: (vec_id, canonical_id, cluster_size),
+    canonical_id = minimum id of the transitive near-dup cluster,
+    singletons map to themselves — the embedding twin of the text
+    pipeline's near_dup_clusters."""
+    from ..algos.components import connected_components_stars
+
+    pairs = embedding_near_dups(
+        embeddings, threshold, id_col, vec_col, n_planes, n_tables, seed,
+        dim, max_bucket,
+    )
+    dup_edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = connected_components_stars(dup_edges, max_iter=max_iter).labels
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"))
+    labelled = vecs.join(
+        labels.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("canonical_id"),
+    )
+    sizes = labelled.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labelled.join(sizes, "canonical_id").select(
+        "vec_id", "canonical_id", "cluster_size"
+    )

@@ -111,3 +111,39 @@ def test_iceberg_roundtrip_when_available(spark, tmp_path):
     p = str(tmp_path / "ice_state")
     assert write_state(df, p) == "iceberg"
     assert read_state(spark, p).count() == 10
+
+
+def test_iteration_storage_stays_bounded(spark):
+    """A long iterative run must not accumulate one localCheckpoint's
+    blocks per round: iterate() releases round k-1's state the moment
+    round k materializes, so stored-RDD count stays O(1) in rounds
+    (measured failure mode: hash-min CC at 31.5M edges held every
+    round's state and OOMed an 8 GiB driver ~20 rounds in)."""
+    n = 60
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    res = connected_components(path, max_iter=100)
+    assert res.converged
+    assert res.iterations >= 25  # long loop: ~one round per diameter hop
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    # final state + a small constant of cached inputs (edges, nodes) —
+    # NOT one entry per round
+    assert len(infos) <= 6, [
+        (i.id(), i.name(), i.memSize()) for i in infos
+    ]
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    from webgraph_spark.plans.iterate import release_local_checkpoint
+    from pyspark.sql import functions as F
+
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    ck = spark.range(0, 10000).withColumn("x", F.rand(7)).localCheckpoint(eager=True)
+    during = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert during == before + 1
+    release_local_checkpoint(ck)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before
+    # releasing a non-checkpointed frame is a safe no-op
+    release_local_checkpoint(spark.range(5).selectExpr("id AS node"))

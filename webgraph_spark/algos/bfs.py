@@ -17,6 +17,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.iterate import release_local_checkpoint
+
 
 @dataclass
 class BFSResult:
@@ -55,14 +57,22 @@ def bfs(
             nxt.unpersist()
             rounds -= 1
             break
+        # cut the frontier's plan so the PREVIOUS visited checkpoint can
+        # be released below (otherwise the frontier lazily references it)
+        nxt_ck = nxt.localCheckpoint(eager=True)
+        nxt.unpersist()
         new_visited = visited.unionByName(
-            nxt.select("node", F.lit(rounds).alias("dist"))
+            nxt_ck.select("node", F.lit(rounds).alias("dist"))
         ).persist()
         new_visited = new_visited.localCheckpoint(eager=True)
         visited.unpersist()
         frontier.unpersist()
+        # level k-1's visited/frontier checkpoint blocks are garbage now;
+        # without release, storage grows O(rounds * n) across the loop
+        release_local_checkpoint(visited)
+        release_local_checkpoint(frontier)
         visited = new_visited
-        frontier = nxt
+        frontier = nxt_ck
     e.unpersist()
     return BFSResult(visited, rounds)
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.iterate import release_local_checkpoint
+
 
 def multi_source_bfs(
     edges: DataFrame,
@@ -52,8 +54,14 @@ def multi_source_bfs(
         grown = visited.unionByName(
             nxt_ck.select("source", "node", F.lit(rounds).alias("dist"))
         ).persist()
-        visited = grown.localCheckpoint(eager=True)
+        new_visited = grown.localCheckpoint(eager=True)
         grown.unpersist()
+        # round k-1's visited/frontier blocks are garbage once the new
+        # visited materialized (both are plan-cut LogicalRDDs); release
+        # deterministically instead of growing storage O(rounds * n)
+        release_local_checkpoint(visited)
+        release_local_checkpoint(frontier)
+        visited = new_visited
         frontier = nxt_ck
     e.unpersist()
     return visited

@@ -210,7 +210,7 @@ def hyperball(
         .repartition(num_partitions, "node")
     )
 
-    from ..plans.iterate import iteration_confs
+    from ..plans.iterate import iteration_confs, release_local_checkpoint
 
     # persist-then-localCheckpoint: see plans/iterate.py — the persist is
     # load-bearing (caps Spark 4 LogicalRDD stats growth)
@@ -292,7 +292,11 @@ def hyperball(
                 F.sum(F.col("chg").cast("long")).alias("nchg"),
                 nf_sum.alias("nf"),
             )
+            prev_state = state
             state = _materialize(new_state)
+            # round t-1's register blocks are garbage once round t is
+            # materialized; without this, storage grows linearly in t
+            release_local_checkpoint(prev_state)
             got = obs.get
             n_changed = int(got.get("nchg"))
             per_round.append(

@@ -29,6 +29,35 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind an eagerly localCheckpointed
+    DataFrame that is no longer reachable by any live plan.
+
+    ``Dataset.localCheckpoint`` stores its blocks OUTSIDE the SQL cache
+    manager, so ``DataFrame.unpersist()`` cannot reach them and they
+    survive until the JVM ContextCleaner eventually collects the RDD —
+    which, across a long iterative loop, means storage grows linearly
+    with iteration count (measured: hash-min CC at 31.5M edges OOMs an
+    8 GiB driver ~20 rounds in; each round's state blocks were still
+    resident). An iteration loop knows the exact moment iteration k-1's
+    state becomes garbage — the instant iteration k's state finishes
+    materializing — so it can release the blocks deterministically
+    instead of waiting for GC.
+
+    Best-effort by design: only a LogicalRDD-backed frame (the plan
+    shape an eager localCheckpoint produces) is touched; durable
+    (parquet-backed) states and anything unexpected are left to the
+    ContextCleaner. NEVER call this on a frame that may still be read —
+    a released local checkpoint cannot be recomputed.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 @contextmanager
 def iteration_confs(spark: SparkSession, extra: dict | None = None):
     """Pin loop-friendly confs for the duration of an iterative job.
@@ -211,7 +240,11 @@ def iterate(
             new_state = cached.localCheckpoint(eager=True)
             cached.unpersist()
         obs_metrics = dict(obs.get) if obs is not None else {}
+        prev = state
         state = new_state
+        # iteration k-1's blocks are garbage the moment k materialized
+        # (bounds storage at 2 states instead of growing with rounds)
+        release_local_checkpoint(prev)
         if stop is not None and (
             stop(obs_metrics, k, state) if stop_arity >= 3 else stop(obs_metrics, k)
         ):

@@ -101,7 +101,16 @@ def scc_coloring(
     ``max_rounds`` outer rounds exhaust before every node is assigned
     (a silently partial labeling is never returned)."""
     spark = edges.sparkSession
-    from ..plans.iterate import iteration_confs
+    from ..plans.iterate import iteration_confs, release_local_checkpoint
+
+    def _swap(new_df: DataFrame, old: DataFrame) -> DataFrame:
+        """Checkpoint the successor state, then free the predecessor's
+        blocks — the trim/color/BFS loops below can run O(n) iterations
+        (layer-peeling on path-like DAGs), so retaining every round's
+        checkpoint grows storage linearly in rounds."""
+        out = _ckpt(new_df)
+        release_local_checkpoint(old)
+        return out
 
     e_all = _ckpt(edges.select("src", "dst").distinct())
     remaining = e_all
@@ -114,11 +123,12 @@ def scc_coloring(
 
     def drop_assigned(batch: DataFrame):
         nonlocal live, remaining
-        live = _ckpt(live.join(batch.select("node"), "node", "left_anti"))
-        remaining = _ckpt(
+        live = _swap(live.join(batch.select("node"), "node", "left_anti"), live)
+        remaining = _swap(
             remaining.join(
                 batch.select(F.col("node").alias("src")), "src", "left_anti"
-            ).join(batch.select(F.col("node").alias("dst")), "dst", "left_anti")
+            ).join(batch.select(F.col("node").alias("dst")), "dst", "left_anti"),
+            remaining,
         )
 
     with iteration_confs(spark):
@@ -139,8 +149,9 @@ def scc_coloring(
                 )
                 if trivial.isEmpty():
                     break
-                assigned = _ckpt(assigned.unionByName(trivial))
+                assigned = _swap(assigned.unionByName(trivial), assigned)
                 drop_assigned(trivial)
+                release_local_checkpoint(trivial)
             if live.isEmpty():
                 break
 
@@ -175,7 +186,7 @@ def scc_coloring(
                     )
                     .select("node", "color")
                 )
-                colors = _ckpt(new_colors)
+                colors = _swap(new_colors, colors)
                 if obs.get.get("changed", 1) == 0:
                     break
 
@@ -203,11 +214,19 @@ def scc_coloring(
                 )
                 if nxt.isEmpty():
                     break
+                prev_visited, prev_frontier = visited, frontier
                 visited = _ckpt(visited.unionByName(nxt))
                 frontier = nxt
-            sccs = _ckpt(visited.select("node", F.col("color").alias("scc")))
-            assigned = _ckpt(assigned.unionByName(sccs))
+                release_local_checkpoint(prev_visited)
+                if prev_frontier is not prev_visited:
+                    release_local_checkpoint(prev_frontier)
+            sccs = _swap(visited.select("node", F.col("color").alias("scc")), visited)
+            release_local_checkpoint(colors)
+            if frontier is not visited:
+                release_local_checkpoint(frontier)
+            assigned = _swap(assigned.unionByName(sccs), assigned)
             drop_assigned(sccs)
+            release_local_checkpoint(sccs)
 
     if not live.isEmpty():
         raise RuntimeError(

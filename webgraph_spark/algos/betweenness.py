@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.iterate import release_local_checkpoint
+
 
 def betweenness_numpy(edges_rows: list[tuple[int, int]], n: int) -> np.ndarray:
     """Exact Brandes on adjacency lists (directed, unweighted)."""
@@ -138,8 +140,13 @@ def betweenness(
         )
         if nxt.isEmpty():
             break
+        prev_visited, prev_frontier = visited, frontier
         visited = ckpt(visited.unionByName(nxt))
         frontier = nxt
+        # level d-1's frames are garbage once level d materialized
+        release_local_checkpoint(prev_visited)
+        if prev_frontier is not prev_visited:
+            release_local_checkpoint(prev_frontier)
     max_d = d - 1
 
     # ---- backward: dependency accumulation one level at a time

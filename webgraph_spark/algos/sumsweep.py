@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .bfs import bfs
 from ..operators.transforms import symmetrize, transpose
-from ..plans.iterate import iteration_confs
+from ..plans.iterate import iteration_confs, release_local_checkpoint
 
 
 @dataclass
@@ -242,8 +242,13 @@ def _sum_sweep_directed(
                 ).alias("ubF"),
             )
         ).persist()
-        newb = newb.localCheckpoint(eager=True)
-        bounds = newb
+        newb_ck = newb.localCheckpoint(eager=True)
+        newb.unpersist()
+        # sweep k-1's bound frame is garbage once sweep k materialized;
+        # the loop can run O(n) sweeps (cycle-like graphs), so retained
+        # checkpoints would grow storage linearly in sweeps
+        release_local_checkpoint(bounds)
+        bounds = newb_ck
 
         if strongly_connected:
             # diameter certified when no node's upper bound exceeds L

@@ -43,6 +43,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.iterate import release_local_checkpoint
+
 
 @dataclass
 class TopKResult:
@@ -302,18 +304,29 @@ def top_k_geometric(
                             continue
                 survivors.append(v)
             if not active:
+                release_local_checkpoint(nxt)
                 break
             # every survivor had cnt > 0, so survivors is a subset of
             # stats' sources; filter nxt only when some source was shed
+            prev_visited, prev_frontier = visited, frontier
             if len(survivors) < len(stats):
                 keep = spark.createDataFrame(
                     [(int(v),) for v in survivors], "source long"
                 )
                 frontier = ckpt(nxt.join(F.broadcast(keep), "source"))
+                release_local_checkpoint(nxt)
             else:
                 frontier = nxt
             # nxt was anti-joined against visited, so no duplicates
             visited = ckpt(visited.unionByName(frontier))
+            # level d-1's frames are garbage once level d materialized
+            release_local_checkpoint(prev_visited)
+            if prev_frontier is not prev_visited:
+                release_local_checkpoint(prev_frontier)
+        # this batch's BFS state is garbage before the next batch starts
+        release_local_checkpoint(visited)
+        if frontier is not visited:
+            release_local_checkpoint(frontier)
     e.unpersist()
     deg.unpersist()
     batched.unpersist()

@@ -123,13 +123,15 @@ def test_iteration_storage_stays_bounded(spark):
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     res = connected_components(path, max_iter=100)
     assert res.converged
     assert res.iterations >= 25  # long loop: ~one round per diameter hop
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    # final state + a small constant of cached inputs (edges, nodes) —
-    # NOT one entry per round
-    assert len(infos) <= 6, [
+    # growth = final state + a small constant of cached inputs — NOT one
+    # entry per round (delta, because the shared test session may carry
+    # other tests' cached frames)
+    assert len(infos) - before <= 6, [
         (i.id(), i.name(), i.memSize()) for i in infos
     ]
 

@@ -147,3 +147,49 @@ def test_anf_combine_and_jackknife():
     # pmf over dist 1,2 = (45, 45)/90 -> mean 1.5, var 0.25, spid 1/6
     assert abs(stats["avg_distance"] - 1.5) < 1e-9
     assert abs(stats["spid"] - 0.25 / 1.5) < 1e-9
+
+
+def test_delta_tail_bit_identical(spark):
+    """The delta-state tail (base + overlay, only diverged rows
+    rewritten) must be BIT-identical to the dense path — registers,
+    est, every accumulator, and the NF curve (the NF increment is an
+    exact decimal telescoping sum; see algos/hyperball.py). Also
+    exercises overlay compaction (overlay_cap=1 forces a compact every
+    round) and the dense-fallback path (delta_exit=3 forces it)."""
+
+    def rows(res):
+        return sorted(tuple(r) for r in res.state.collect())
+
+    for g in (erdos_renyi(spark, 250, 0.02, seed=11), directed_cycle(spark, 20)):
+        g = g.persist()
+        full = hyperball(g, log2m=5, max_t=40, seed=31, systolic=False, delta_tail=False)
+        dense = hyperball(g, log2m=5, max_t=40, seed=31, delta_tail=False)
+        delta = hyperball(g, log2m=5, max_t=40, seed=31, delta_enter=10**9)
+        assert any(r["mode"] == "delta" for r in delta.per_round)
+        assert full.nf == dense.nf == delta.nf
+        assert full.iterations == delta.iterations
+        assert full.converged and delta.converged
+        ref = rows(full)
+        assert rows(delta) == ref
+        compact = hyperball(
+            g, log2m=5, max_t=40, seed=31, delta_enter=10**9, overlay_cap=1
+        )
+        assert compact.nf == full.nf and rows(compact) == ref
+        fallback = hyperball(
+            g, log2m=5, max_t=40, seed=31, delta_enter=10**9, delta_exit=3
+        )
+        assert fallback.nf == full.nf and rows(fallback) == ref
+        g.unpersist()
+
+
+def test_delta_tail_with_discounts(spark):
+    """Discount accumulators ride the delta-tail update identically."""
+    g = erdos_renyi(spark, 120, 0.04, seed=5).persist()
+    kw = dict(log2m=4, max_t=30, seed=7, discounts={"exp": lambda t: 0.5**t})
+    dense = hyperball(g, delta_tail=False, **kw)
+    delta = hyperball(g, delta_enter=10**9, **kw)
+    assert dense.nf == delta.nf
+    a = sorted(tuple(r) for r in dense.state.collect())
+    b = sorted(tuple(r) for r in delta.state.collect())
+    g.unpersist()
+    assert a == b

@@ -14,8 +14,16 @@ without the changed-node message filter — and reports per-round wall
 time + changed-node counts, the evidence that convergence-tail rounds
 cost O(arcs into changed nodes), not O(|E|).
 
+Round 3 (late) adds the DELTA-STATE tail measurement: ``--delta`` runs
+the systolic loop twice — with the base+overlay tail representation
+(only diverged rows rewritten per round) and with the dense tail (full
+n-row state re-checkpointed per round) — the A/B for the "tail floor is
+the full-state rewrite" finding in BENCH/BASELINE.md §11. Results are
+bit-identical by construction (pytest asserts it); this measures cost.
+
 Usage: python tools/bench_hyperball.py [n_convs] [max_t]
-       python tools/bench_hyperball.py --systolic [n_convs] [max_t]
+       python tools/bench_hyperball.py --systolic [n_convs|path] [max_t]
+       python tools/bench_hyperball.py --delta [n_convs|path] [max_t]
 """
 
 from __future__ import annotations
@@ -125,9 +133,71 @@ def systolic_main(args):
     spark.stop()
 
 
+def delta_main(args):
+    """Systolic loop with vs without the delta-state tail (base+overlay
+    vs full-state rewrite per round). Same graph, same seed; the NF
+    curves and final states are bit-identical (tests/test_hyperball.py),
+    so only the per-round cost differs."""
+    import json
+
+    src = args[0] if len(args) > 0 else "300000"
+    max_t = int(args[1]) if len(args) > 1 else 48
+    from webgraph_spark.algos.hyperball import hyperball
+    from webgraph_spark.session import get_spark
+
+    spark = get_spark(
+        "bench_hyperball_delta",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.driver.memory": "64g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if os.path.isdir(src):
+        edges = spark.read.parquet(src).persist()
+    else:
+        from bench import build_transcript_graph
+
+        edges = build_transcript_graph(spark, int(src)).persist()
+    n_edges = edges.count()
+    out = {"n_edges": n_edges, "max_t": max_t}
+    nf_fps = {}
+    for name, flag in (("delta_tail", True), ("dense_tail", False)):
+        t0 = time.time()
+        res = hyperball(
+            edges,
+            log2m=5,
+            max_t=max_t,
+            seed=31,
+            num_partitions=64,
+            systolic=True,
+            delta_tail=flag,
+        )
+        nf_fps[name] = res.nf[-1]
+        out[name] = {
+            "total_sec": round(time.time() - t0, 1),
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "nf_last": res.nf[-1],
+            "per_round": res.per_round,
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+    out["nf_identical"] = nf_fps["delta_tail"] == nf_fps["dense_tail"]
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "BENCH", "hyperball_delta_tail.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"nf_identical": out["nf_identical"]}))
+    spark.stop()
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--systolic":
         systolic_main(sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--delta":
+        delta_main(sys.argv[2:])
         return
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     max_t = int(sys.argv[2]) if len(sys.argv) > 2 else 8

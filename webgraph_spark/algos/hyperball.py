@@ -40,6 +40,26 @@ Spark-first representation — **packed wide-column registers**:
   ``node`` across iterations (localCheckpoint preserves the physical
   partitioning), so the big side of the merge never re-shuffles —
   only the (small) aggregated message table moves.
+- **delta-state tail** (the round-3 successor to systolic filtering —
+  the measured tail floor was the FULL-STATE rewrite, ~n rows x m
+  register columns re-checkpointed per round even when 90 nodes
+  changed; BENCH/BASELINE.md §11): once the changed set drops under
+  ``delta_enter`` the state splits into an immutable ``base``
+  (checkpointed once, then only SCANNED — the cheap, columnar,
+  embarrassingly-parallel direction) plus a small ``overlay`` of
+  rows that have diverged from base since the split. Each tail round
+  touches only arcs into changed nodes (broadcast join), rows
+  receiving messages (base/overlay lookup by broadcast key), and
+  rewrites ONLY the overlay — per-round checkpoint work is
+  O(|diverged|), not O(n). NF stays EXACT: the round's contribution
+  is observed as a decimal sum of round9(est_new) - round9(est_old)
+  over changed rows (unchanged rows cancel exactly), seeded by one
+  exact decimal sum at mode entry, so the NF curve is bit-identical
+  to the dense path's full resum. The overlay compacts into a new
+  base when it outgrows ``overlay_cap``, and the loop falls back to
+  the dense representation if the changed set re-expands past
+  ``4 * delta_enter`` (registers only grow, but per-round change
+  counts are not monotone).
 
 Design bound: ``log2m`` caps at 8 (256 register columns). Beyond that
 the wide-column form needs m aggregate expressions per merge, which is
@@ -141,6 +161,10 @@ def hyperball(
     seed: int = 31,
     discounts: dict[str, Callable[[int], float]] | None = None,
     systolic: bool = True,
+    delta_tail: bool = True,
+    delta_enter: int | None = None,
+    overlay_cap: int = 1_000_000,
+    delta_exit: int | None = None,
 ) -> HyperBallResult:
     """Approximate neighbourhood function + centralities of the directed
     graph. ``discounts`` adds one accumulator column ``disc_<name>`` per
@@ -148,7 +172,15 @@ def hyperball(
     (HyperBall discount-function extension surface, HyperBall.java:227-250).
     ``systolic=False`` disables the changed-node message filter (every
     round scans all |E| arcs) — kept only for A/B measurement of the
-    systolic tail win (tools/bench_hyperball.py).
+    systolic tail win (tools/bench_hyperball.py). ``delta_tail=False``
+    disables the base+overlay tail representation (see module docstring)
+    so tail rounds rewrite the full state — again kept for A/B
+    measurement; results are bit-identical either way. ``delta_enter``
+    defaults to min(100_000, n // 100): the reference's "local mode"
+    engages under ~1% changed (HyperBall.java:120-127), and below that
+    fraction the per-round overlay bookkeeping (3-4 small driver jobs)
+    is guaranteed to undercut the full-state rewrite it replaces; an
+    explicit value is taken as an absolute changed-node threshold.
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -168,6 +200,8 @@ def hyperball(
         .persist()
     )
     n = nodes.count()
+    if delta_enter is None:
+        delta_enter = min(100_000, max(n // 100, 1))
     if n == 0:
         e.unpersist()
         nodes.unpersist()
@@ -240,10 +274,221 @@ def hyperball(
     t = 0
     per_round: list[dict] = []
     import time as _time
+    from decimal import Decimal
+
+    d38 = "decimal(38,9)"
+    row_cols = ["node", *reg_cols, *acc_cols, "rt"]  # base/overlay schema
+    est_new = _estimate_expr(m, reg_cols)
+    delta = est_new - F.col("est")
+
+    def _acc_updates(t: int):
+        return [
+            (F.col("harmonic") + delta / t).alias("harmonic"),
+            (F.col("sumdist") + delta * t).alias("sumdist"),
+            *[
+                (F.col(f"disc_{k}") + delta * F.lit(float(fn(t)))).alias(f"disc_{k}")
+                for k, fn in discounts.items()
+            ],
+        ]
+
+    # ---- delta-state tail bookkeeping (see module docstring) ----------
+    delta_mode = False
+    base = None  # immutable full state, scanned but never rewritten
+    overlay = None  # rows diverged from base since the split (small)
+    last_upd = None  # rows changed in the previous round (small)
+    overlay_n = 0
+    nf_dec = None  # exact decimal running NF total
+    overlay_schema = ", ".join(
+        f"`{c}` {'long' if c in ('node', 'rt') else ('byte' if c in reg_cols else 'double')}"
+        for c in row_cols
+    )
+
+    def _compacted() -> DataFrame:
+        """base with the overlay folded in (one full-state plan)."""
+        kept = base.select(*row_cols).join(
+            F.broadcast(overlay.select("node")), "node", "left_anti"
+        )
+        return kept.unionByName(overlay.select(*row_cols))
 
     with iteration_confs(spark, {"spark.sql.shuffle.partitions": str(num_partitions)}):
         for t in range(1, max_t + 1):
             _t0 = _time.time()
+            if (
+                systolic
+                and delta_tail
+                and not delta_mode
+                and n_changed is not None
+                and 0 < n_changed <= delta_enter
+            ):
+                # enter delta mode: current state becomes the immutable
+                # base; overlay starts empty; exact NF total seeded once
+                base = state
+                last_upd = _materialize(state.where("chg").select(*row_cols))
+                overlay = _materialize(spark.createDataFrame([], overlay_schema))
+                overlay_n = 0
+                nf_dec = state.agg(
+                    F.sum(F.col("est").cast(d38)).alias("nf")
+                ).collect()[0][0]
+                delta_mode = True
+
+            if delta_mode:
+                mode = "delta"
+                ch = last_upd.select(F.col("node").alias("dst"), *reg_cols)
+                magg = (
+                    e.join(F.broadcast(ch), "dst")
+                    .select(F.col("src").alias("node"), *reg_cols)
+                    .groupBy("node")
+                    .agg(*[F.max(c).alias(f"m_{c}") for c in reg_cols])
+                    .persist()
+                )
+                # receivers = predecessors of changed nodes — can be much
+                # larger than the changed set (a changed hub fans out to
+                # every in-neighbor), so the receiver-side joins pick
+                # broadcast vs shuffle_hash by measured size (the count
+                # materializes the persisted message aggregate, which the
+                # update job then reuses from cache)
+                nrecv = magg.count()
+                _wrap = (
+                    F.broadcast
+                    if nrecv <= broadcast_max
+                    else (lambda df: df.hint("shuffle_hash"))
+                )
+                ovk = overlay.select("node")
+                # receivers split by where their current row lives
+                magg_ov = magg.join(F.broadcast(ovk), "node")
+                magg_rest = magg.join(F.broadcast(ovk), "node", "left_anti")
+                cur = (
+                    base.select(*row_cols)
+                    .join(_wrap(magg_rest), "node")
+                    .unionByName(overlay.join(_wrap(magg_ov), "node"))
+                )
+                merged = cur.select(
+                    "node",
+                    *[
+                        F.greatest(F.col(c), F.col(f"m_{c}")).alias(c)
+                        for c in reg_cols
+                    ],
+                    *acc_cols,
+                    "rt",
+                )
+                obs = Observation()
+                upd_body = (
+                    merged.select(
+                        "node",
+                        *reg_cols,
+                        est_new.alias("est_n"),
+                        F.col("est").alias("est_o"),
+                        *_acc_updates(t),
+                        rt_expr.alias("rt"),
+                        (rt_expr > F.col("rt")).alias("chg"),
+                    )
+                    .where("chg")
+                    .observe(
+                        obs,
+                        F.count(F.lit(1)).alias("nchg"),
+                        # decimal(30,9), NOT (38,9): subtracting two
+                        # (38,9)s needs precision 39, and Spark resolves
+                        # the overflow by silently dropping to scale 8 —
+                        # rounding each row's increment. (30,9) keeps the
+                        # difference exact at scale 9 and the sum grows
+                        # back to (38,9), so the running NF total stays
+                        # bit-identical to the dense path's full resum.
+                        F.sum(
+                            F.col("est_n").cast("decimal(30,9)")
+                            - F.col("est_o").cast("decimal(30,9)")
+                        ).alias("dnf"),
+                    )
+                )
+                # coalesce before checkpointing: the tail frames are built
+                # as unions of prior checkpointed frames, and a union's
+                # partition count is the SUM of its inputs' — without the
+                # cap, overlay_t = keep_{t-1} U upd_t doubles the stored
+                # partition count every round (2^t tasks by round t)
+                upd = _materialize(
+                    upd_body.select(
+                        "node",
+                        *reg_cols,
+                        F.col("est_n").alias("est"),
+                        *[c for c in acc_cols if c != "est"],
+                        "rt",
+                    ).coalesce(num_partitions)
+                )
+                magg.unpersist()
+                got = obs.get
+                n_changed = int(got.get("nchg") or 0)
+                prev_upd = last_upd
+                last_upd = upd
+                release_local_checkpoint(prev_upd)
+                if n_changed > 0:
+                    obs2 = Observation()
+                    new_overlay = (
+                        overlay.join(
+                            F.broadcast(upd.select("node")), "node", "left_anti"
+                        )
+                        .unionByName(upd)
+                        .observe(obs2, F.count(F.lit(1)).alias("n"))
+                    )
+                    prev_overlay = overlay
+                    overlay = _materialize(new_overlay.coalesce(num_partitions))
+                    release_local_checkpoint(prev_overlay)
+                    overlay_n = int(obs2.get.get("n"))
+                    nf_dec = nf_dec + (got.get("dnf") or Decimal(0))
+                per_round.append(
+                    {
+                        "t": t,
+                        "sec": round(_time.time() - _t0, 2),
+                        "changed": n_changed,
+                        "mode": mode,
+                    }
+                )
+                if n_changed == 0:
+                    converged = True
+                    t -= 1
+                    break
+                nf.append(float(nf_dec))
+                if n_changed > (
+                    delta_exit if delta_exit is not None else 4 * delta_enter
+                ):
+                    # changed set re-expanded: fall back to the dense
+                    # representation (chg flags rebuilt from last_upd)
+                    dense = (
+                        _compacted()
+                        .join(
+                            F.broadcast(
+                                last_upd.select("node", F.lit(True).alias("chg2"))
+                            ),
+                            "node",
+                            "left",
+                        )
+                        .select(
+                            *row_cols,
+                            F.coalesce("chg2", F.lit(False)).alias("chg"),
+                        )
+                        # restore the hash partitioning the dense loop's
+                        # shuffle_hash merge relies on
+                        .repartition(num_partitions, "node")
+                    )
+                    prev = [base, overlay, last_upd]
+                    state = _materialize(dense)
+                    for df in prev:
+                        release_local_checkpoint(df)
+                    base = overlay = last_upd = None
+                    delta_mode = False
+                elif overlay_n > overlay_cap:
+                    # compact: one full rewrite, then the overlay restarts
+                    # empty (last_upd survives — next round's messages)
+                    prev = [base, overlay]
+                    base = _materialize(
+                        _compacted().repartition(num_partitions, "node")
+                    )
+                    for df in prev:
+                        release_local_checkpoint(df)
+                    overlay = _materialize(
+                        spark.createDataFrame([], overlay_schema)
+                    )
+                    overlay_n = 0
+                continue
+
             if systolic:
                 changed = state.where("chg").select(
                     F.col("node").alias("dst"), *reg_cols
@@ -270,21 +515,12 @@ def hyperball(
                 *acc_cols,
                 "rt",
             )
-            est_new = _estimate_expr(m, reg_cols)
-            delta = est_new - F.col("est")
             obs = Observation()
             new_state = merged.select(
                 "node",
                 *reg_cols,
                 est_new.alias("est"),
-                (F.col("harmonic") + delta / t).alias("harmonic"),
-                (F.col("sumdist") + delta * t).alias("sumdist"),
-                *[
-                    (F.col(f"disc_{k}") + delta * F.lit(float(fn(t)))).alias(
-                        f"disc_{k}"
-                    )
-                    for k, fn in discounts.items()
-                ],
+                *_acc_updates(t),
                 rt_expr.alias("rt"),
                 (rt_expr > F.col("rt")).alias("chg"),
             ).observe(
@@ -312,6 +548,12 @@ def hyperball(
                 t -= 1  # this round changed no register
                 break
             nf.append(float(got.get("nf")))
+
+    if delta_mode:
+        final = _materialize(_compacted())
+        for df in (base, overlay, last_upd):
+            release_local_checkpoint(df)
+        state = final
     e.unpersist()
     nodes.unpersist()
     return HyperBallResult(

@@ -553,6 +553,33 @@ def q_hyperball_nf(spark, sf_dir):
     return spark.createDataFrame(out, "t long, nf_exact long, est_ok boolean")
 
 
+def q_hyperball_wide_nf(spark, sf_dir):
+    """Same contract as graph_hyperball_nf but through the GROUPED
+    register path (hyperball_wide, log2m=10 -> 1024 registers in 16
+    group rows/node — beyond the packed path's 256-column cap): exact
+    NF plus the acceptance flag at the tighter RSD the extra registers
+    buy (1.04/sqrt(1024) ~ 3.25%). Deterministic: integer-exact HLL
+    indicator (see algos/hyperball.py hyperball_wide docstring)."""
+    from webgraph_spark.algos.centrality import nf_exact
+    from webgraph_spark.algos.hyperball import hyperball_wide
+
+    e = _edges(spark, sf_dir)
+    log2m = 10
+    rsd = 1.04 / (2 ** (log2m / 2))
+    res = hyperball_wide(e, log2m=log2m, max_t=10, num_partitions=16, seed=HB_SEED)
+    exact = nf_exact(e)
+    nf = res.nf
+
+    def est_at(t: int) -> float:
+        return nf[t] if t < len(nf) else nf[-1]
+
+    rows = [(int(r.t), int(r.nf_exact)) for r in exact.collect()]
+    out = [
+        (t, x, bool(abs(est_at(t) / x - 1.0) <= 2 * rsd)) for t, x in rows
+    ]
+    return spark.createDataFrame(out, "t long, nf_exact long, est_ok boolean")
+
+
 def q_harmonic_approx(spark, sf_dir):
     """Exact all-nodes harmonic/closeness centralities (batched BFS,
     per-node rows — oracle-checked in SQL), with HyperBall's estimate
@@ -884,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "transcript_graph_pagerank": q_transcript_graph,
         "graph_hyperball_nf": q_hyperball_nf,
+        "graph_hyperball_wide_nf": q_hyperball_wide_nf,
         "graph_harmonic_approx": q_harmonic_approx,
         "graph_topk_harmonic": q_topk_harmonic,
         "graph_betweenness": q_betweenness,
@@ -1247,6 +1275,7 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "multimodal_features": _multimodal_sql(n=48, dim=16),
         "transcript_graph_pagerank": td.transcript_pipeline_sql(iters=10),
         "graph_hyperball_nf": _hyperball_nf_sql(),
+        "graph_hyperball_wide_nf": _hyperball_nf_sql(),
         "graph_harmonic_approx": td.harmonic_all_sql(max_depth=4),
         "graph_topk_harmonic": td.topk_harmonic_sql(k=10, max_depth=4),
         "graph_betweenness": td.betweenness_sql(n_sources=100, max_depth=4),

@@ -193,3 +193,92 @@ def test_delta_tail_with_discounts(spark):
     b = sorted(tuple(r) for r in delta.state.collect())
     g.unpersist()
     assert a == b
+
+
+def test_hyperball_wide_vs_numpy_propagation(spark):
+    """hyperball_wide (grouped registers, log2m=10) vs an independent
+    numpy simulation: seed registers with the same hash contract
+    (collected once from JVM expressions — the hash family is
+    bit-matched elsewhere), then propagate register-wise max along arcs
+    and evaluate the HLL estimate in plain Python. Convergence round,
+    per-node estimates, harmonic accumulators, and the NF curve must
+    all agree."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from webgraph_spark.algos.hyperball import hyperball_wide, _alpha
+
+    log2m, seed, max_t = 10, 31, 30
+    m = 1 << log2m
+    g = erdos_renyi(spark, 120, 0.05, seed=13).persist()
+    res = hyperball_wide(g, log2m=log2m, max_t=max_t, seed=seed)
+
+    arcs = [(r["src"], r["dst"]) for r in g.collect()]
+    nodes = sorted({v for arc in arcs for v in arc})
+    idx = {v: i for i, v in enumerate(nodes)}
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    h = F.xxhash64(F.col("node"), F.lit(seed))
+    rest = F.shiftright(h.bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)), log2m)
+    budget = 63 - log2m
+    rho = F.when(rest == F.lit(0), F.lit(budget + 1)).otherwise(
+        F.lit(budget + 1) - F.length(F.conv(rest.cast("string"), 10, 2))
+    )
+    seeds = ndf.select(
+        "node", F.pmod(h, F.lit(m)).alias("reg"), rho.alias("rho")
+    ).collect()
+
+    n = len(nodes)
+    regs = np.zeros((n, m), dtype=np.int64)
+    for r in seeds:
+        regs[idx[r["node"]], int(r["reg"])] = int(r["rho"])
+    succ = [[] for _ in range(n)]
+    for s, d in arcs:
+        succ[idx[s]].append(idx[d])
+
+    def est_vec(rg):
+        z = (2.0 ** (-rg.astype(float))).sum(axis=1)
+        nnz = (rg > 0).sum(axis=1)
+        e_raw = _alpha(m) * m * m / z
+        lin = np.where(nnz < m, m * np.log(m / np.maximum(m - nnz, 1)), np.inf)
+        return np.where((e_raw < 2.5 * m) & (nnz < m), lin, e_raw)
+
+    est = est_vec(regs)
+    nf = [est.sum()]
+    harmonic = np.zeros(n)
+    rounds = 0
+    for t in range(1, max_t + 1):
+        new = regs.copy()
+        for i in range(n):
+            for j in succ[i]:
+                np.maximum(new[i], regs[j], out=new[i])
+        if (new == regs).all():
+            break
+        rounds = t
+        regs = new
+        est_new = est_vec(regs)
+        harmonic += (est_new - est) / t
+        est = est_new
+        nf.append(est.sum())
+    g.unpersist()
+
+    assert res.converged and res.iterations == rounds
+    assert len(res.nf) == len(nf)
+    for a, b in zip(res.nf, nf):
+        assert abs(a - b) <= 1e-6 * abs(b)
+    got = {r["node"]: (r["est"], r["harmonic"]) for r in res.state.collect()}
+    for v in nodes:
+        ge, gh = got[v]
+        i = idx[v]
+        assert abs(ge - est[i]) <= 1e-9 * max(abs(est[i]), 1.0)
+        assert abs(gh - harmonic[i]) <= 1e-6 * max(abs(harmonic[i]), 1e-9)
+
+
+def test_hyperball_wide_bounds(spark):
+    from webgraph_spark.algos.hyperball import hyperball_wide
+
+    g = directed_cycle(spark, 4)
+    with pytest.raises(ValueError):
+        hyperball(g, log2m=9)
+    with pytest.raises(ValueError):
+        hyperball_wide(g, log2m=8)
+    with pytest.raises(ValueError):
+        hyperball_wide(g, log2m=15)

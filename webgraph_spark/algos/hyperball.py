@@ -61,17 +61,21 @@ Spark-first representation — **packed wide-column registers**:
   ``4 * delta_enter`` (registers only grow, but per-round change
   counts are not monotone).
 
-Design bound: ``log2m`` caps at 8 (256 register columns). Beyond that
-the wide-column form needs m aggregate expressions per merge, which is
-where Spark codegen (and the planner's expression-tree handling) falls
-off a cliff; the considered alternatives don't beat it — SWAR-packing 8
-registers per int64 column still needs a per-lane extract+max per
-register inside the aggregate (same m expression count, wider rows),
-and a binary-blob state forces the merge into Python (the measured
-pagerank_csr lesson: Arrow transfer of full state per iteration loses
-to JVM shuffle). log2m=8 gives RSD ~6.5% — tighter than the reference's
-own default (log2m=4..6, HyperBall CLI) — so the bound is above every
-practical setting; it is a documented trade, not an oversight.
+Design bound: the packed path caps ``log2m`` at 8 (256 register
+columns). Beyond that the wide-column form needs m aggregate
+expressions per merge, which is where Spark codegen (and the planner's
+expression-tree handling) falls off a cliff; the considered
+alternatives don't beat it — SWAR-packing 8 registers per int64 column
+still needs a per-lane extract+max per register inside the aggregate
+(same m expression count, wider rows), and a binary-blob state forces
+the merge into Python (the measured pagerank_csr lesson: Arrow transfer
+of full state per iteration loses to JVM shuffle). log2m=8 gives RSD
+~6.5% — tighter than the reference's own default (log2m=4..6,
+HyperBall CLI) — so the bound is above every practical setting. For
+accuracy studies that DO need more registers, ``hyperball_wide``
+(below) serves log2m in (8, 14] by splitting the register file into
+groups of 64 columns keyed (node, grp): constant codegen size, rows
+scale as n x m/64.
 """
 
 from __future__ import annotations
@@ -186,7 +190,10 @@ def hyperball(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if not 2 <= log2m <= 8:
-        raise ValueError("log2m must be in [2, 8] (wide-column register file)")
+        raise ValueError(
+            "log2m must be in [2, 8] for the packed register file; "
+            "use hyperball_wide for log2m in (8, 14]"
+        )
     m = 1 << log2m
     reg_cols = [f"r{j}" for j in range(m)]
     discounts = discounts or {}
@@ -559,6 +566,252 @@ def hyperball(
     return HyperBallResult(
         nf, state.drop("rt", "chg"), t, converged, log2m, per_round
     )
+
+
+def hyperball_wide(
+    edges: DataFrame,
+    log2m: int,
+    max_t: int = 64,
+    num_partitions: int | None = None,
+    seed: int = 31,
+    discounts: dict[str, Callable[[int], float]] | None = None,
+) -> HyperBallResult:
+    """HyperBall for log2m in (8, 14] — beyond the packed wide-column
+    cap (256 tinyint columns). The m registers split into groups of 64:
+    the register relation is (node, grp, r0..r63), so a merge is still a
+    64-expression greatest()/max() — constant codegen size — while rows
+    scale as n x m/64. Both relations stay hash-partitioned on ``node``
+    (a subset of the (node, grp) join key, so the big side never
+    re-shuffles) and the per-node combine (z, nnz, register-sum) is a
+    groupBy over data already clustered by node.
+
+    Determinism: the HLL indicator z = sum 2^-r is computed in EXACT
+    integer arithmetic — each group row contributes sum 2^(R - r_j) as
+    int64 (R = 64 - log2m bounds the register value, so a 64-register
+    partial stays under 2^(70-log2m) < 2^62 for log2m > 8), and the
+    cross-group total accumulates in decimal(38,0) — a float z summed
+    across group rows would make the estimate depend on task order.
+    The reference reaches the same regime through its log2m parameter
+    (HyperBall.java:227-250; register arrays sized 2^log2m). For
+    log2m <= 8 the packed path (``hyperball``) stays the right tool;
+    no delta-state tail here (the wide regime serves accuracy studies,
+    not the convergence-tail workload), and tests pin the grouped
+    register files bit-identical to an independent numpy propagation.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if not 8 < log2m <= 14:
+        raise ValueError("hyperball_wide is for log2m in (8, 14]; use hyperball")
+    m = 1 << log2m
+    G = 64
+    n_groups = m // G
+    reg_cols = [f"r{j}" for j in range(G)]
+    discounts = discounts or {}
+    R = 64 - log2m  # max register value (budget + 1)
+
+    e = edges.select("src", "dst").distinct().repartition(num_partitions, "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        empty = spark.createDataFrame([], "node long")
+        return HyperBallResult([], empty, 0, True, log2m)
+
+    # same seeded-register hash as the packed path (HyperBall.java:639)
+    h = F.xxhash64(F.col("node"), F.lit(seed))
+    rest = F.shiftright(h.bitwiseAND(F.lit(_SIGN_MASK)), log2m)
+    budget = 63 - log2m
+    rho = F.when(rest == F.lit(0), F.lit(budget + 1)).otherwise(
+        F.lit(budget + 1) - F.length(F.conv(rest.cast("string"), 10, 2))
+    )
+    reg = F.pmod(h, F.lit(m)).cast("int")
+    regs0 = (
+        nodes.select(
+            "node",
+            (reg % G).alias("off"),
+            F.floor(reg / G).cast("int").alias("home"),
+            rho.cast("byte").alias("rho"),
+        )
+        .select(
+            "node",
+            "off",
+            "home",
+            "rho",
+            F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))).alias("grp"),
+        )
+        .select(
+            "node",
+            "grp",
+            *[
+                F.when(
+                    (F.col("grp") == F.col("home")) & (F.col("off") == jj),
+                    F.col("rho"),
+                )
+                .otherwise(F.lit(0))
+                .cast("byte")
+                .alias(c)
+                for jj, c in enumerate(reg_cols)
+            ],
+        )
+        .repartition(num_partitions, "node")
+    )
+
+    # exact per-row partials over the 64 registers of one group
+    def _fold(term_of):
+        expr = None
+        for c in reg_cols:
+            term = term_of(c)
+            expr = term if expr is None else expr + term
+        return expr
+
+    # F.shiftleft only takes a literal shift amount — spell the
+    # column-dependent shift in SQL
+    zint = _fold(
+        lambda c: F.expr(f"shiftleft(cast(1 as bigint), {R} - cast({c} as int))")
+    )
+    nnzp = _fold(lambda c: F.when(F.col(c) > 0, 1).otherwise(0))
+    rtp = _fold(lambda c: F.col(c).cast("long"))
+
+    def _est_from(zs, nnz):
+        # z = zs / 2^R with zs an exact integer (decimal) total
+        z = zs.cast("double") / F.lit(float(2**R))
+        e_raw = F.lit(_alpha(m) * m * m) / z
+        return F.when(
+            (e_raw < 2.5 * m) & (nnz < m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - nnz)),
+        ).otherwise(e_raw)
+
+    def _per_node(r):
+        return r.groupBy("node").agg(
+            F.sum(zint.cast("decimal(38,0)")).alias("zs"),
+            F.sum(nnzp).alias("nnz"),
+            F.sum(rtp).alias("rt"),
+        )
+
+    from ..plans.iterate import iteration_confs, release_local_checkpoint
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        cached = df.persist()
+        out = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        return out
+
+    d38 = "decimal(38,9)"
+    nf_sum = F.sum(F.col("est").cast(d38)).cast("double")
+
+    regs = _materialize(regs0)
+    accs = _materialize(
+        _per_node(regs).select(
+            "node",
+            _est_from(F.col("zs"), F.col("nnz")).alias("est"),
+            F.lit(0.0).alias("harmonic"),
+            F.lit(0.0).alias("sumdist"),
+            *[F.lit(0.0).alias(f"disc_{k}") for k in discounts],
+            "rt",
+            F.lit(True).alias("chg"),
+        )
+    )
+    nf = [float(accs.agg(nf_sum).collect()[0][0])]
+
+    broadcast_max = 500_000
+    converged = False
+    n_changed = None
+    t = 0
+    per_round: list[dict] = []
+    import time as _time
+
+    with iteration_confs(spark, {"spark.sql.shuffle.partitions": str(num_partitions)}):
+        for t in range(1, max_t + 1):
+            _t0 = _time.time()
+            chk = accs.where("chg").select("node")
+            small = n_changed is not None and n_changed <= broadcast_max
+            mode = "broadcast" if small else "shuffle"
+            wrapk = F.broadcast if small else (lambda df: df.hint("shuffle_hash"))
+            ch = (
+                regs.join(wrapk(chk), "node")
+                .select(F.col("node").alias("dst"), "grp", *reg_cols)
+            )
+            joined = (
+                e.join(F.broadcast(ch), "dst")
+                if small
+                else e.join(ch.hint("shuffle_hash"), "dst")
+            )
+            magg = (
+                joined.select(F.col("src").alias("node"), "grp", *reg_cols)
+                .groupBy("node", "grp")
+                .agg(*[F.max(c).alias(f"m_{c}") for c in reg_cols])
+                # cluster message maxima by node so the register merge
+                # co-partitions with the checkpointed register relation
+                .repartition(num_partitions, "node")
+            )
+            merged = regs.join(
+                magg.hint("shuffle_hash"), ["node", "grp"], "left"
+            ).select(
+                "node",
+                "grp",
+                *[F.greatest(F.col(c), F.col(f"m_{c}")).alias(c) for c in reg_cols],
+            )
+            prev_regs = regs
+            regs = _materialize(merged)
+            release_local_checkpoint(prev_regs)
+
+            est_new = _est_from(F.col("zs"), F.col("nnz"))
+            delta = est_new - F.col("est")
+            obs = Observation()
+            new_accs = (
+                accs.select("node", "est", "harmonic", "sumdist",
+                            *[f"disc_{k}" for k in discounts],
+                            F.col("rt").alias("rt_o"))
+                .join(_per_node(regs).hint("shuffle_hash"), "node")
+                .select(
+                    "node",
+                    est_new.alias("est"),
+                    (F.col("harmonic") + delta / t).alias("harmonic"),
+                    (F.col("sumdist") + delta * t).alias("sumdist"),
+                    *[
+                        (F.col(f"disc_{k}") + delta * F.lit(float(fn(t)))).alias(
+                            f"disc_{k}"
+                        )
+                        for k, fn in discounts.items()
+                    ],
+                    "rt",
+                    (F.col("rt") > F.col("rt_o")).alias("chg"),
+                )
+                .observe(
+                    obs,
+                    F.sum(F.col("chg").cast("long")).alias("nchg"),
+                    nf_sum.alias("nf"),
+                )
+            )
+            prev_accs = accs
+            accs = _materialize(new_accs)
+            release_local_checkpoint(prev_accs)
+            got = obs.get
+            n_changed = int(got.get("nchg"))
+            per_round.append(
+                {
+                    "t": t,
+                    "sec": round(_time.time() - _t0, 2),
+                    "changed": n_changed,
+                    "mode": mode,
+                }
+            )
+            if n_changed == 0:
+                converged = True
+                t -= 1
+                break
+            nf.append(float(got.get("nf")))
+    result_state = accs.drop("rt", "chg")
+    e.unpersist()
+    nodes.unpersist()
+    return HyperBallResult(nf, result_state, t, converged, log2m, per_round)
 
 
 def combine_nfs(nfs: list[list[float]]) -> list[float]:

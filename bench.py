@@ -158,6 +158,14 @@ def main():
     lp.labels.count()
     queries["label_propagation_4"] = round(time.time() - t0, 3)
 
+    # ---- HyperBall NF (flagship approximate analytics; systolic +
+    # delta-state tail both engage on the convergence tail)
+    from webgraph_spark.algos.hyperball import hyperball
+
+    t0 = time.time()
+    hb = hyperball(edges, log2m=5, max_t=16, seed=31)
+    queries["hyperball_nf16"] = round(time.time() - t0, 3)
+
     # ---- triangle counting
     from webgraph_spark.algos.triangles import triangle_count
 
@@ -193,6 +201,8 @@ def main():
             "triangles": tri,
             "cc_hashmin_rounds": cc_iters,
             "cc_stars_rounds": cc_stars_iters,
+            "hyperball_rounds": hb.iterations,
+            "hyperball_modes": sorted({r["mode"] for r in (hb.per_round or [])}),
             "cpus": cpus,
         },
     }

@@ -869,6 +869,122 @@ def q_betweenness(spark, sf_dir):
     return out.select("node", F.round("betweenness", 6).alias("betweenness"))
 
 
+def q_union_transpose(spark, sf_dir):
+    """Graph union with its transpose = symmetrized arc set
+    (Transform.union, UnionImmutableGraph.java:27-31)."""
+    from webgraph_spark.operators.transforms import transpose, union_graphs
+
+    e = _edges(spark, sf_dir)
+    return union_graphs(e, transpose(e))
+
+
+def q_line_graph(spark, sf_dir):
+    """Line graph of the customer->order->part layers (Transform.line,
+    Transform.java:2267-2382): nodes = arcs, arc <x,y> -> <y,z>; arc ids
+    are the dense (src, dst)-order dictionary."""
+    from webgraph_spark.operators.transforms import line_graph
+
+    e = _edges(spark, sf_dir).where(F.col("src") < td.OFF_PART)
+    line, _arcs = line_graph(e)
+    return line.select("src", "dst")
+
+
+def q_induced_subgraph(spark, sf_dir):
+    """Node-induced subgraph of the customer+order layers, re-indexed to
+    dense ids (ImmutableSubgraph.java:30-60 to/fromSupergraphNode)."""
+    from webgraph_spark.operators.transforms import induced_subgraph
+
+    e = _edges(spark, sf_dir)
+    ns = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") < td.OFF_PART)
+    )
+    sub, _ = induced_subgraph(e, ns, reindex=True)
+    return sub.select("src", "dst")
+
+
+def q_degree_range(spark, sf_dir):
+    """Arcs between nodes with outdegree in [1, 8)
+    (DegreeRangeImmutableSubgraph.java:25-35; dangling nodes count 0)."""
+    from webgraph_spark.operators.transforms import degree_range_subgraph
+
+    sub, _ = degree_range_subgraph(_edges(spark, sf_dir), 1, 8, reindex=False)
+    return sub.select("src", "dst")
+
+
+def q_mask_interval(spark, sf_dir):
+    """Interval expansion + successor masking (IntIntervalSequenceIterator
+    + MaskedIntIterator): drop each list's leading [min, min+31] band."""
+    from webgraph_spark.operators.transforms import intervals_to_arcs, mask_arcs
+
+    e = _edges(spark, sf_dir)
+    intervals = e.groupBy("src").agg(F.min("dst").alias("lo")).select(
+        "src", "lo", (F.col("lo") + 31).alias("hi")
+    )
+    return mask_arcs(e, intervals_to_arcs(intervals)).select("src", "dst")
+
+
+def q_lex_gamma_bits(spark, sf_dir):
+    """γ-model bits/link after the lexicographic-by-adjacency-row
+    ordering (Transform.lexicographicalPermutation, Transform.java:
+    2518-2580) — the oracle replicates the permutation itself."""
+    from webgraph_spark.operators.transforms import lexicographical_permutation
+
+    g, _ = lexicographical_permutation(_edges(spark, sf_dir))
+    return _gamma_row(g, spark)
+
+
+def q_distance_cdf(spark, sf_dir):
+    """Sampled distance CDF from the 5 smallest customer sources
+    (SampleDistanceCumulativeDistributionFunction analog)."""
+    from webgraph_spark.algos.centrality import distance_cdf
+
+    e = _edges(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in e.where(F.col("src") < td.OFF_ORDER)
+        .select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(5)
+        .collect()
+    ]
+    out = distance_cdf(e, srcs)
+    return out.select(
+        F.col("dist").cast("long").alias("dist"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("cum_pairs").cast("long").alias("cum_pairs"),
+    )
+
+
+def q_scattered_arcs(spark, sf_dir):
+    """Scattered string-id arc ingest (ScatteredArcsASCIIGraph.java:
+    60-140): (user, event_type) pairs -> dense-id dictionary, de-loop,
+    symmetrize."""
+    from webgraph_spark.sources.arclist import scattered_arcs_from_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("rsrc"),
+        F.concat(F.lit("e:"), F.col("event_type")).alias("rdst"),
+    )
+    e, _dic = scattered_arcs_from_df(raw, symmetrize=True, no_loops=True)
+    return e.select("src", "dst")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: exactly 20 docs per language in
+    portable-md5 order (functions/sampling.py) — the language-balanced
+    subset draw of a training-data pipeline, reproducible at any
+    parallelism."""
+    from webgraph_spark.functions.sampling import stratified_sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample_k(docs, "lang", 20, "doc_id").select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -919,6 +1035,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "emb_ivf_top5": q_ivf_top5,
         "emb_ivf_recall5": q_ivf_recall5,
+        "graph_union_transpose": q_union_transpose,
+        "graph_line_graph": q_line_graph,
+        "graph_induced_subgraph": q_induced_subgraph,
+        "graph_degree_range": q_degree_range,
+        "graph_mask_interval": q_mask_interval,
+        "graph_lex_gamma_bits": q_lex_gamma_bits,
+        "graph_distance_cdf": q_distance_cdf,
+        "events_scattered_arcs": q_scattered_arcs,
+        "docs_sample_stratified": q_sample_stratified,
     }
 
 
@@ -1291,4 +1416,14 @@ SELECT COUNT(*) AS exact_pairs,
        CAST(COALESCE(SUM(ap.hit), 0) AS BIGINT) AS hits,
        ROUND(CAST(COALESCE(SUM(ap.hit), 0) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
 FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
+        # --- round-3 transform/source/sampling twins ---
+        "graph_union_transpose": td.union_transpose_sql(),
+        "graph_line_graph": td.line_graph_sql(),
+        "graph_induced_subgraph": td.induced_subgraph_sql(),
+        "graph_degree_range": td.degree_range_sql(1, 8),
+        "graph_mask_interval": td.mask_interval_sql(31),
+        "graph_lex_gamma_bits": td.lex_gamma_bits_sql(),
+        "graph_distance_cdf": td.distance_cdf_sql(n_sources=5),
+        "events_scattered_arcs": td.scattered_arcs_events_sql(),
+        "docs_sample_stratified": td.stratified_sample_sql(20),
     }

@@ -366,3 +366,40 @@ def test_embedding_dedup_clusters_planted(spark):
     assert (by_cluster == 1).all()
     # at noise 0.05 the planted clusters are tight: all 4 copies merge
     assert (out["cluster_size"] == 4).all()
+
+
+def test_stratified_sample_k_deterministic(spark):
+    """stratified_sample_k returns exactly min(k, |stratum|) rows per
+    stratum, and the SAME rows regardless of input partitioning."""
+    from webgraph_spark.functions.sampling import stratified_sample_k
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(200)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, "key long, stratum string")
+    out1 = stratified_sample_k(df, "stratum", 10, "key")
+    got1 = sorted((r.key, r.stratum) for r in out1.collect())
+    sizes = {}
+    for _, s in got1:
+        sizes[s] = sizes.get(s, 0) + 1
+    assert sizes == {"s0": 10, "s1": 10, "s2": 10, "rare": 1}
+    # repartitioned input draws the identical sample
+    out2 = stratified_sample_k(df.repartition(13), "stratum", 10, "key")
+    got2 = sorted((r.key, r.stratum) for r in out2.collect())
+    assert got1 == got2
+
+
+def test_stratified_sample_fraction_stable_superset(spark):
+    """The fraction sampler is a pure row-key filter: a row's decision
+    never changes, so sample(0.1) is a subset of sample(0.3), and the
+    realized rate is near the target."""
+    from webgraph_spark.functions.sampling import (
+        stratified_sample_fraction,
+    )
+
+    df = spark.range(5000).selectExpr("id AS key", "'x' AS stratum")
+    small = {r.key for r in
+             stratified_sample_fraction(df, "stratum", 0.1, "key").collect()}
+    big = {r.key for r in
+           stratified_sample_fraction(df, "stratum", 0.3, "key").collect()}
+    assert small <= big
+    assert 0.05 < len(small) / 5000 < 0.15
+    assert 0.25 < len(big) / 5000 < 0.36

@@ -759,3 +759,163 @@ agg AS (
 SELECT n.node, ROUND(COALESCE(a.bc, 0.0), 6) AS betweenness
 FROM nodes n LEFT JOIN agg a ON n.node = a.node"""
     )
+
+
+# ------------------------------------------- transform/source twins (r3)
+
+def union_transpose_sql() -> str:
+    """Twin of union_graphs(edges, transpose(edges)) — the symmetrized
+    arc set as a set union (Transform.union)."""
+    return f"""WITH {EDGES_CTE}
+SELECT src, dst FROM edges
+UNION
+SELECT dst AS src, src AS dst FROM edges"""
+
+
+def line_graph_sql(max_node: int = OFF_PART) -> str:
+    """Twin of line_graph over the customer->order->part layers: arc ids
+    are dense ranks in (src, dst) order (util.ids.assign_dense_ids
+    total-order contract), line arcs join head-to-tail."""
+    return f"""WITH {EDGES_CTE},
+e2 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < {max_node}),
+arcs AS MATERIALIZED (
+  SELECT src, dst, ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS arc_id
+  FROM e2)
+SELECT a.arc_id AS src, b.arc_id AS dst
+FROM arcs a JOIN arcs b ON a.dst = b.src"""
+
+
+def induced_subgraph_sql(max_node: int = OFF_PART) -> str:
+    """Twin of induced_subgraph(edges, nodes < max_node, reindex=True):
+    keep arcs with both endpoints in the set, then relabel to dense ids
+    ordered by raw node id (the to/fromSupergraphNode map)."""
+    return f"""WITH {EDGES_CTE}, {NODES_CTE},
+ns AS MATERIALIZED (SELECT node FROM nodes WHERE node < {max_node}),
+idmap AS MATERIALIZED (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS t FROM ns)
+SELECT DISTINCT ms.t AS src, md.t AS dst
+FROM edges e JOIN idmap ms ON e.src = ms.node JOIN idmap md ON e.dst = md.node"""
+
+
+def degree_range_sql(min_deg: int = 1, max_deg: int = 8) -> str:
+    """Twin of degree_range_subgraph(edges, min_deg, max_deg,
+    reindex=False): nodes kept iff outdegree in [min_deg, max_deg);
+    dangling nodes have outdegree 0."""
+    return f"""WITH {EDGES_CTE}, {NODES_CTE},
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+keep AS MATERIALIZED (
+  SELECT n.node FROM nodes n LEFT JOIN outdeg o ON n.node = o.src
+  WHERE COALESCE(o.d, 0) >= {min_deg} AND COALESCE(o.d, 0) < {max_deg})
+SELECT e.src, e.dst
+FROM edges e JOIN keep a ON e.src = a.node JOIN keep b ON e.dst = b.node"""
+
+
+def mask_interval_sql(width: int = 31) -> str:
+    """Twin of mask_arcs(edges, intervals_to_arcs(per-src
+    [min(dst), min(dst)+width])): drop each list's leading interval."""
+    return f"""WITH {EDGES_CTE},
+mins AS MATERIALIZED (SELECT src, MIN(dst) AS lo FROM edges GROUP BY src)
+SELECT e.src, e.dst
+FROM edges e JOIN mins m ON e.src = m.src
+WHERE e.dst < m.lo OR e.dst > m.lo + {width}"""
+
+
+def lex_gamma_bits_sql() -> str:
+    """Twin of lexicographical_permutation + gamma_bits_per_link: the
+    plain adjacency-array key closed by the +BIG sentinel (transforms.
+    _adj_body_sentinel gray=False), dense-ranked, relabeled, costed."""
+    return f"""WITH {EDGES_CTE}, {NODES_CTE},
+succ AS MATERIALIZED (SELECT src AS node, list_sort(list(dst)) AS s
+                      FROM (SELECT DISTINCT src, dst FROM edges) e GROUP BY src),
+keyed AS (
+  SELECT n.node, COALESCE(s.s, CAST([] AS BIGINT[])) AS s
+  FROM nodes n LEFT JOIN succ s ON n.node = s.node),
+lkey AS (
+  SELECT node, list_append(s, {_GRAY_BIG_SQL}) AS k FROM keyed),
+perm AS MATERIALIZED (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY k, node) - 1 AS target FROM lkey),
+edges2 AS MATERIALIZED (
+  SELECT DISTINCT ps.target AS src, pd.target AS dst
+  FROM edges e
+  JOIN perm ps ON e.src = ps.node
+  JOIN perm pd ON e.dst = pd.node),
+lists AS (SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+            LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+          FROM edges2),
+vals AS (SELECT CASE WHEN rn = 1
+                     THEN (CASE WHEN dst - src >= 0 THEN 2 * (dst - src)
+                           ELSE -2 * (dst - src) - 1 END)
+                     ELSE dst - prev - 1 END AS v
+         FROM lists),
+bits AS (SELECT CAST(2 * FLOOR(LOG2(v + 1)) + 1 AS BIGINT) AS b FROM vals)
+SELECT CAST(SUM(b) AS BIGINT) AS gamma_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_arcs,
+       ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_link
+FROM bits"""
+
+
+def distance_cdf_sql(n_sources: int = 5, max_depth: int = 4) -> str:
+    """Twin of algos.centrality.distance_cdf over the first n_sources
+    customers: level-synchronous BFS unrolled (the graph is a 4-layer
+    DAG, so max_depth=4 saturates), histogram + running sum."""
+    parts = [EDGES_CTE]
+    parts.append(f"""
+srcs AS (SELECT o_custkey AS source FROM orders GROUP BY o_custkey
+         ORDER BY source LIMIT {n_sources})""")
+    parts.append("""
+v0 AS MATERIALIZED (SELECT source, source AS node, 0 AS dist FROM srcs)""")
+    for k in range(1, max_depth + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT source, node FROM v{j}" for j in range(k)
+        )
+        parts.append(f"""
+v{k} AS MATERIALIZED (SELECT DISTINCT f.source, e.dst AS node, {k} AS dist
+         FROM edges e JOIN v{k - 1} f ON e.src = f.node
+         WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p
+                           WHERE p.source = f.source AND p.node = e.dst))""")
+    all_v = " UNION ALL ".join(
+        f"SELECT source, node, dist FROM v{j}" for j in range(max_depth + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+dists AS ({all_v}),
+hist AS (SELECT dist, COUNT(*) AS n FROM dists GROUP BY dist)
+SELECT CAST(dist AS BIGINT) AS dist, CAST(n AS BIGINT) AS n_pairs,
+       CAST(SUM(n) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs
+FROM hist"""
+    )
+
+
+def scattered_arcs_events_sql() -> str:
+    """Twin of scattered_arcs_from_df over (user, event_type) string
+    pairs from the events table: dictionary = dense rank over raw string
+    ids, de-loop then symmetrize then distinct."""
+    return """WITH raw AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS rsrc,
+         'e:' || event_type AS rdst FROM events),
+ids AS (SELECT DISTINCT raw_id FROM (
+  SELECT rsrc AS raw_id FROM raw UNION ALL SELECT rdst FROM raw) t),
+dic AS MATERIALIZED (
+  SELECT raw_id, ROW_NUMBER() OVER (ORDER BY raw_id) - 1 AS node_id FROM ids),
+e0 AS (SELECT ds.node_id AS src, dd.node_id AS dst
+       FROM raw r JOIN dic ds ON r.rsrc = ds.raw_id
+                  JOIN dic dd ON r.rdst = dd.raw_id),
+e1 AS (SELECT src, dst FROM e0 WHERE src <> dst)
+SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1) u"""
+
+
+def stratified_sample_sql(k: int = 20) -> str:
+    """Twin of functions.sampling.stratified_sample_k over documents
+    stratified by lang: k smallest doc_ids per stratum in portable-md5
+    order."""
+    return f"""WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM ranked WHERE rk <= {k}"""

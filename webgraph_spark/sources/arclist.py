@@ -99,13 +99,34 @@ def read_scattered_arcs(
     symmetrize: bool = False,
     no_loops: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Arbitrary-id arc list -> (edges with dense ids, dictionary).
+    """Arbitrary-id arc list FILE -> (edges with dense ids, dictionary).
 
-    Dictionary: (raw_id string, node_id long), ordered by raw_id — the
-    deterministic replacement for first-appearance order. Options mirror
-    ScatteredArcsASCIIGraph.java:87-89 (symmetrize, de-loop at ingest).
+    Options mirror ScatteredArcsASCIIGraph.java:87-89 (symmetrize,
+    de-loop at ingest); see :func:`scattered_arcs_from_df` for the
+    dictionary contract.
     """
     raw = spark.read.csv(path, sep=sep, comment="#").toDF("rsrc", "rdst")
+    return scattered_arcs_from_df(raw, symmetrize=symmetrize, no_loops=no_loops)
+
+
+def scattered_arcs_from_df(
+    raw: DataFrame,
+    symmetrize: bool = False,
+    no_loops: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Arbitrary-id arc table ``(rsrc, rdst)`` -> (edges with dense ids,
+    dictionary).
+
+    Dictionary: (raw_id string, node_id long), ordered by raw_id — the
+    deterministic replacement for the reference's first-appearance order
+    (ScatteredArcsASCIIGraph.java:60-86; SURVEY.md §1.4 determinism
+    rule). De-loop happens BEFORE symmetrize, matching the reference's
+    ingest order.
+    """
+    raw = raw.select(
+        F.col("rsrc").cast("string").alias("rsrc"),
+        F.col("rdst").cast("string").alias("rdst"),
+    )
     ids = (
         raw.select(F.col("rsrc").alias("raw_id"))
         .unionByName(raw.select(F.col("rdst").alias("raw_id")))

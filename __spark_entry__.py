@@ -936,6 +936,33 @@ def q_lex_gamma_bits(spark, sf_dir):
     return _gamma_row(g, spark)
 
 
+def q_ppr5(spark, sf_dir):
+    """Personalized PageRank, 5 fixed iterations, restart uniform on the
+    10 smallest node ids (LAW PageRank --preferenceVector analog)."""
+    from webgraph_spark.algos.pagerank import personalized_pagerank
+
+    e = _edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(10)
+    res = personalized_pagerank(e, seeds, alpha=0.85, fixed_iterations=5)
+    return res.ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def q_llp_gamma_bits(spark, sf_dir):
+    """γ-model bits/link after the Layered-Label-Propagation ordering
+    (Boldi et al. WWW 2011; the LAW LayeredLabelPropagation driver run
+    ahead of BVGraph.store) — deterministic synchronous variant, the
+    oracle unrolls both γ layers' penalized updates."""
+    from webgraph_spark.algos.llp import llp_permutation
+
+    g, _ = llp_permutation(_edges(spark, sf_dir), gammas=(0.0, 0.5), rounds=2)
+    return _gamma_row(g, spark)
+
+
 def q_distance_cdf(spark, sf_dir):
     """Sampled distance CDF from the 5 smallest customer sources
     (SampleDistanceCumulativeDistributionFunction analog)."""
@@ -1041,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_range": q_degree_range,
         "graph_mask_interval": q_mask_interval,
         "graph_lex_gamma_bits": q_lex_gamma_bits,
+        "graph_llp_gamma_bits": q_llp_gamma_bits,
+        "graph_ppr5": q_ppr5,
         "graph_distance_cdf": q_distance_cdf,
         "events_scattered_arcs": q_scattered_arcs,
         "docs_sample_stratified": q_sample_stratified,
@@ -1423,6 +1452,8 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_degree_range": td.degree_range_sql(1, 8),
         "graph_mask_interval": td.mask_interval_sql(31),
         "graph_lex_gamma_bits": td.lex_gamma_bits_sql(),
+        "graph_llp_gamma_bits": td.llp_gamma_bits_sql(gammas=(0.0, 0.5), rounds=2),
+        "graph_ppr5": td.ppr_sql(iters=5, alpha=0.85, n_seeds=10, round_to=9),
         "graph_distance_cdf": td.distance_cdf_sql(n_sources=5),
         "events_scattered_arcs": td.scattered_arcs_events_sql(),
         "docs_sample_stratified": td.stratified_sample_sql(20),

@@ -387,3 +387,125 @@ def pagerank(
         done or fixed_iterations is not None,
         float(carry["delta"]),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    fixed_iterations: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str = "ppr",
+) -> PageRankResult:
+    """Personalized (topic-sensitive) PageRank over ``edges(src, dst)``
+    with restart distribution uniform on ``seeds(node)``.
+
+    The recurrence is the reference PageRank specialization with a
+    preference vector (LAW's PageRank --preferenceVector; same power
+    iteration as :func:`pagerank`, SURVEY.md §2.10 mandated family):
+    ``r(v) <- p(v)·((1−α) + α·dangling_mass) + α·Σ_{u→v} r(u)/outdeg(u)``
+    where ``p`` is 1/|S| on seeds, 0 elsewhere — dangling mass restarts
+    to the seed distribution, so total mass stays exactly 1.
+
+    Same scale posture as :func:`pagerank`: the static ``p`` column
+    rides the state frame (no extra join), one co-partitioned
+    shuffle_hash join + one map-side-combined groupBy per iteration,
+    convergence stats via Observation (one job per iteration).
+    """
+    spark = edges.sparkSession
+    ew, nodes, P = _prepare(edges, num_partitions)
+    n = nodes.count()
+    n_seeds = seeds.count()
+    if n == 0 or n_seeds == 0:
+        ew.unpersist()
+        nodes.unpersist()
+        return PageRankResult(
+            spark.createDataFrame([], "node long, rank double"), 0, True, 0.0
+        )
+
+    p0 = 1.0 / n_seeds
+    ranks0 = (
+        nodes.join(seeds.select("node", F.lit(p0).alias("p")), "node", "left")
+        .select(
+            "node",
+            F.coalesce("p", F.lit(0.0)).alias("rank"),
+            "dang",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+        )
+    )
+    carry: dict = {"dmass": None, "delta": float("inf")}
+
+    def step(ranks: DataFrame, k: int):
+        if carry["dmass"] is None:
+            carry["dmass"] = (
+                ranks.where(F.col("dang") > 0).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
+        scale = (1.0 - alpha) + alpha * carry["dmass"]
+        contribs = (
+            ew.join(
+                ranks.select(F.col("node").alias("src"), "rank").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        obs = Observation()
+        new_ranks = (
+            ranks.withColumnRenamed("rank", "_old")
+            .join(
+                contribs.withColumnRenamed("dst", "node").hint("shuffle_hash"),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.col("p") * F.lit(scale)
+                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+                "dang",
+                "p",
+                "_old",
+            )
+            .observe(
+                obs,
+                F.sum(F.col("rank") * F.col("dang")).alias("dmass"),
+                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+            )
+            .select("node", "rank", "dang", "p")
+        )
+        return new_ranks, {}, obs
+
+    def stop(obs_metrics: dict, k: int) -> bool:
+        carry["dmass"] = obs_metrics.get("dmass", carry["dmass"]) or 0.0
+        carry["delta"] = obs_metrics.get("delta", float("inf"))
+        if fixed_iterations is not None:
+            return False
+        return carry["delta"] < tol
+
+    max_it = fixed_iterations if fixed_iterations is not None else max_iter
+    with iteration_confs(spark):
+        state, iters, done = iterate(
+            spark,
+            ranks0,
+            step,
+            max_iter=max_it,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            stop=stop,
+        )
+    ew.unpersist()
+    nodes.unpersist()
+    return PageRankResult(
+        state.select("node", "rank"),
+        iters,
+        done or fixed_iterations is not None,
+        float(carry["delta"]),
+    )

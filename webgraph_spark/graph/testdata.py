@@ -919,3 +919,99 @@ def stratified_sample_sql(k: int = 20) -> str:
                     doc_id) AS rk
   FROM documents)
 SELECT doc_id, lang FROM ranked WHERE rk <= {k}"""
+
+
+def llp_gamma_bits_sql(gammas=(0.0, 0.5), rounds: int = 2) -> str:
+    """Twin of algos.llp.llp_permutation + gamma_bits_per_link: unrolls
+    each γ layer's synchronous penalized updates (score = cnt −
+    γ·(vol − cnt), argmax with min-label tie-break), sorts nodes by the
+    per-γ label tuple then node, relabels arcs, costs under the γ model.
+    Dyadic γ keeps every score exact in float64 on both engines."""
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
+    for i, g in enumerate(gammas):
+        parts.append(f"""
+g{i}l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""")
+        for k in range(1, rounds + 1):
+            prev = f"g{i}l{k - 1}"
+            parts.append(f"""
+g{i}cnt{k} AS MATERIALIZED (
+  SELECT s.dst AS node, l.label, COUNT(*) AS cnt
+  FROM sym s JOIN {prev} l ON s.src = l.node GROUP BY s.dst, l.label)""")
+            parts.append(f"""
+g{i}vol{k} AS MATERIALIZED (
+  SELECT label, COUNT(*) AS vol FROM {prev} GROUP BY label)""")
+            parts.append(f"""
+g{i}b{k} AS MATERIALIZED (SELECT node, label FROM (
+  SELECT c.node, c.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.node
+           ORDER BY CAST(c.cnt AS DOUBLE) - {g!r} * (v.vol - c.cnt) DESC,
+                    c.label ASC) AS rn
+  FROM g{i}cnt{k} c JOIN g{i}vol{k} v ON c.label = v.label) t
+  WHERE rn = 1)""")
+            parts.append(f"""
+g{i}l{k} AS MATERIALIZED (
+  SELECT l.node, COALESCE(b.label, l.label) AS label
+  FROM {prev} l LEFT JOIN g{i}b{k} b ON l.node = b.node)""")
+    joins = "".join(
+        f" JOIN g{i}l{rounds} t{i} ON n.node = t{i}.node"
+        for i in range(len(gammas))
+    )
+    order = ", ".join(f"t{i}.label" for i in range(len(gammas)))
+    parts.append(f"""
+perm AS MATERIALIZED (
+  SELECT n.node, ROW_NUMBER() OVER (ORDER BY {order}, n.node) - 1 AS target
+  FROM nodes n{joins})""")
+    parts.append("""
+edges2 AS MATERIALIZED (
+  SELECT DISTINCT ps.target AS src, pd.target AS dst
+  FROM edges e
+  JOIN perm ps ON e.src = ps.node
+  JOIN perm pd ON e.dst = pd.node)""")
+    tail = _GAMMA_TAIL.replace("FROM edges)", "FROM edges2)", 1)
+    return "WITH " + ",".join(parts) + "," + tail
+
+
+def ppr_sql(
+    iters: int = 5,
+    alpha: float = 0.85,
+    n_seeds: int = 10,
+    round_to: int = 9,
+) -> str:
+    """Twin of algos.pagerank.personalized_pagerank with
+    fixed_iterations=iters and seeds = the n_seeds smallest node ids:
+    restart vector p uniform on seeds, dangling mass restarts to p."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append(f"""
+seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds})""")
+    parts.append("""
+pvec AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN 1.0 / (SELECT COUNT(*) FROM seeds) ELSE 0.0 END AS p
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node)""")
+    parts.append("""
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM edges GROUP BY src)""")
+    parts.append("""
+dangling AS MATERIALIZED (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outdeg))""")
+    parts.append("""
+r0 AS MATERIALIZED (SELECT node, p AS rank FROM pvec)""")
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(f"""
+dm{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM {prev} r
+          JOIN dangling d ON r.node = d.node)""")
+        parts.append(f"""
+c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / o.c) AS contrib
+         FROM edges e JOIN {prev} r ON e.src = r.node
+         JOIN outdeg o ON o.src = e.src GROUP BY e.dst)""")
+        parts.append(f"""
+r{k} AS MATERIALIZED (SELECT p.node,
+         p.p * ((1.0 - {alpha}) + {alpha} * (SELECT m FROM dm{k}))
+         + {alpha} * COALESCE(c.contrib, 0.0) AS rank
+         FROM pvec p LEFT JOIN c{k} c ON p.node = c.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, ROUND(rank, {round_to}) AS rank FROM r{iters}"
+    )

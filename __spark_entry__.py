@@ -952,6 +952,28 @@ def q_ppr5(spark, sf_dir):
     return res.ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def q_hits8(spark, sf_dir):
+    """HITS hubs/authorities, 8 synchronous L1-normalized iterations
+    (LAW rank-family analog alongside PageRank)."""
+    from webgraph_spark.algos.spectral import hits
+
+    res = hits(_edges(spark, sf_dir), iterations=8)
+    return res.scores.select(
+        "node",
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
+def q_katz8(spark, sf_dir):
+    """Truncated Katz centrality, alpha=0.1 beta=1, 8 terms
+    (KatzParallelGaussSeidel analog, synchronous truncation)."""
+    from webgraph_spark.algos.spectral import katz_centrality
+
+    out = katz_centrality(_edges(spark, sf_dir), alpha=0.1, beta=1.0, iterations=8)
+    return out.select("node", F.round("katz", 9).alias("katz"))
+
+
 def q_llp_gamma_bits(spark, sf_dir):
     """γ-model bits/link after the Layered-Label-Propagation ordering
     (Boldi et al. WWW 2011; the LAW LayeredLabelPropagation driver run
@@ -1070,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lex_gamma_bits": q_lex_gamma_bits,
         "graph_llp_gamma_bits": q_llp_gamma_bits,
         "graph_ppr5": q_ppr5,
+        "graph_hits8": q_hits8,
+        "graph_katz8": q_katz8,
         "graph_distance_cdf": q_distance_cdf,
         "events_scattered_arcs": q_scattered_arcs,
         "docs_sample_stratified": q_sample_stratified,
@@ -1454,6 +1478,8 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_lex_gamma_bits": td.lex_gamma_bits_sql(),
         "graph_llp_gamma_bits": td.llp_gamma_bits_sql(gammas=(0.0, 0.5), rounds=2),
         "graph_ppr5": td.ppr_sql(iters=5, alpha=0.85, n_seeds=10, round_to=9),
+        "graph_hits8": td.hits_sql(iterations=8, round_to=9),
+        "graph_katz8": td.katz_sql(alpha=0.1, beta=1.0, iterations=8, round_to=9),
         "graph_distance_cdf": td.distance_cdf_sql(n_sources=5),
         "events_scattered_arcs": td.scattered_arcs_events_sql(),
         "docs_sample_stratified": td.stratified_sample_sql(20),

@@ -1,0 +1,68 @@
+"""HITS and Katz vs independent numpy power iterations."""
+
+import numpy as np
+import pytest
+
+from webgraph_spark.algos.spectral import hits, katz_centrality
+from webgraph_spark.datagen.graphs import erdos_renyi, erdos_renyi_numpy
+
+
+def _hits_numpy(adj, iters):
+    n = adj.shape[0]
+    h = np.full(n, 1.0 / n)
+    a = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        a = adj.T.astype(float) @ h
+        a = a / a.sum()
+        h = adj.astype(float) @ a
+        h = h / h.sum()
+    return h, a
+
+
+def _katz_numpy(adj, alpha, beta, iters):
+    n = adj.shape[0]
+    x = np.full(n, beta)
+    for _ in range(iters):
+        x = beta + alpha * (adj.T.astype(float) @ x)
+    return x
+
+
+@pytest.mark.parametrize("n,p,seed", [(40, 0.1, 11), (80, 0.05, 12)])
+def test_hits_vs_numpy(spark, n, p, seed):
+    edges = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    res = hits(edges, iterations=6)
+    pdf = res.scores.toPandas()
+    hub = np.zeros(n)
+    auth = np.zeros(n)
+    hub[pdf["node"].to_numpy()] = pdf["hub"].to_numpy()
+    auth[pdf["node"].to_numpy()] = pdf["authority"].to_numpy()
+    want_h, want_a = _hits_numpy(adj, 6)
+    present = adj.any(axis=1) | adj.any(axis=0)
+    np.testing.assert_allclose(hub[present], want_h[present], atol=1e-9)
+    np.testing.assert_allclose(auth[present], want_a[present], atol=1e-9)
+
+
+@pytest.mark.parametrize("n,p,seed", [(50, 0.08, 13)])
+def test_katz_vs_numpy(spark, n, p, seed):
+    edges = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    out = katz_centrality(edges, alpha=0.05, beta=1.0, iterations=7).toPandas()
+    got = np.zeros(n)
+    got[out["node"].to_numpy()] = out["katz"].to_numpy()
+    want = _katz_numpy(adj, 0.05, 1.0, 7)
+    present = adj.any(axis=1) | adj.any(axis=0)
+    np.testing.assert_allclose(got[present], want[present], rtol=1e-12)
+
+
+def test_hits_star_extremes(spark):
+    # hub 0 -> spokes 1..5: node 0 is the only hub, spokes the authorities
+    arcs = [(0, i) for i in range(1, 6)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    res = hits(edges, iterations=4)
+    got = {r.node: (r.hub, r.authority) for r in res.scores.collect()}
+    assert got[0][0] == pytest.approx(1.0)
+    assert got[0][1] == pytest.approx(0.0)
+    for i in range(1, 6):
+        assert got[i][0] == pytest.approx(0.0)
+        assert got[i][1] == pytest.approx(0.2)

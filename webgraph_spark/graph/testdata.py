@@ -1015,3 +1015,70 @@ r{k} AS MATERIALIZED (SELECT p.node,
         "WITH " + ",".join(parts)
         + f"\nSELECT node, ROUND(rank, {round_to}) AS rank FROM r{iters}"
     )
+
+
+def hits_sql(iterations: int = 8, round_to: int = 9) -> str:
+    """Twin of algos.spectral.hits: synchronous HITS, L1-normalized
+    after each half-update, fixed iteration count."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append("""
+nn AS (SELECT COUNT(*) AS n FROM nodes)""")
+    parts.append("""
+s0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS hub,
+         1.0 / (SELECT n FROM nn) AS auth FROM nodes)""")
+    for k in range(1, iterations + 1):
+        prev = f"s{k - 1}"
+        parts.append(f"""
+ar{k} AS MATERIALIZED (
+  SELECT n.node, COALESCE(t.w, 0.0) AS a_raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(s.hub) AS w
+    FROM edges e JOIN {prev} s ON e.src = s.node GROUP BY e.dst) t
+  ON n.node = t.node)""")
+        parts.append(f"""
+an{k} AS MATERIALIZED (
+  SELECT node, a_raw / (SELECT SUM(a_raw) FROM ar{k}) AS auth FROM ar{k})""")
+        parts.append(f"""
+hr{k} AS MATERIALIZED (
+  SELECT n.node, COALESCE(t.w, 0.0) AS h_raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, SUM(a.auth) AS w
+    FROM edges e JOIN an{k} a ON e.dst = a.node GROUP BY e.src) t
+  ON n.node = t.node)""")
+        parts.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT h.node, h.h_raw / (SELECT SUM(h_raw) FROM hr{k}) AS hub, a.auth
+  FROM hr{k} h JOIN an{k} a ON h.node = a.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT node, ROUND(hub, {round_to}) AS hub,
+       ROUND(auth, {round_to}) AS authority FROM s{iterations}"""
+    )
+
+
+def katz_sql(
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    iterations: int = 8,
+    round_to: int = 9,
+) -> str:
+    """Twin of algos.spectral.katz_centrality: x_{k+1} = beta + alpha *
+    A^T x_k, x_0 = beta, fixed truncation."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append(f"""
+x0 AS MATERIALIZED (SELECT node, {beta!r} AS x FROM nodes)""")
+    for k in range(1, iterations + 1):
+        prev = f"x{k - 1}"
+        parts.append(f"""
+x{k} AS MATERIALIZED (
+  SELECT n.node, {beta!r} + {alpha!r} * COALESCE(t.w, 0.0) AS x
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.x) AS w
+    FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst) t
+  ON n.node = t.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, ROUND(x, {round_to}) AS katz FROM x{iterations}"
+    )

@@ -985,6 +985,17 @@ def q_llp_gamma_bits(spark, sf_dir):
     return _gamma_row(g, spark)
 
 
+def q_eff_diameter(spark, sf_dir):
+    """(avg_distance, spid, effective_diameter): derived distance
+    statistics from the exact NF — EstimateEffectiveDiameter.java /
+    HyperANF SPID analogs. Moments accumulate as exact int64 sums over
+    the integer NF increments with one double division each, so the SQL
+    oracle bit-matches (see algos/centrality.py nf_stats)."""
+    from webgraph_spark.algos.centrality import nf_exact, nf_stats
+
+    return nf_stats(nf_exact(_edges(spark, sf_dir)), quantile=0.9)
+
+
 def q_distance_cdf(spark, sf_dir):
     """Sampled distance CDF from the 5 smallest customer sources
     (SampleDistanceCumulativeDistributionFunction analog)."""
@@ -1095,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits8": q_hits8,
         "graph_katz8": q_katz8,
         "graph_distance_cdf": q_distance_cdf,
+        "graph_eff_diameter": q_eff_diameter,
         "events_scattered_arcs": q_scattered_arcs,
         "docs_sample_stratified": q_sample_stratified,
     }
@@ -1292,6 +1304,34 @@ def _hyperball_nf_sql() -> str:
     )
 
 
+def _eff_diameter_sql(quantile: float = 0.9) -> str:
+    # Mirrors algos/centrality.py nf_stats operation-for-operation:
+    # exact int64 moment sums, then the identical double divisions.
+    return f"""WITH nfq AS ({td.nf_exact_sql(max_depth=4)}),
+agg AS (SELECT MIN(CASE WHEN t = 0 THEN nf_exact END) AS nf0,
+               MAX(nf_exact) AS nflast FROM nfq),
+inc AS (SELECT n.t AS t, n.nf_exact - p.nf_exact AS c
+        FROM nfq n JOIN nfq p ON p.t = n.t - 1),
+mom AS (SELECT SUM(t * c) AS s1, SUM(t * t * c) AS s2 FROM inc),
+mv AS (SELECT CAST(s1 AS DOUBLE) / CAST(nflast - nf0 AS DOUBLE) AS mean,
+              CAST(s2 AS DOUBLE) / CAST(nflast - nf0 AS DOUBLE) AS msq
+       FROM mom CROSS JOIN agg),
+th AS (SELECT MIN(t) AS t_hit FROM nfq CROSS JOIN agg
+       WHERE CAST(nf_exact AS DOUBLE) >= {quantile} * CAST(nflast AS DOUBLE)),
+ed AS (SELECT CASE WHEN th.t_hit = 0 THEN 0.0 ELSE
+         CAST(th.t_hit - 1 AS DOUBLE) +
+         ({quantile} * CAST(a.nflast AS DOUBLE) - CAST(p.nf_exact AS DOUBLE))
+         / (CAST(c.nf_exact AS DOUBLE) - CAST(p.nf_exact AS DOUBLE)) END AS effd
+       FROM th
+       CROSS JOIN agg a
+       JOIN nfq c ON c.t = th.t_hit
+       LEFT JOIN nfq p ON p.t = th.t_hit - 1)
+SELECT ROUND(mean, 9) AS avg_distance,
+       ROUND((msq - mean * mean) / mean, 9) AS spid,
+       ROUND(effd, 9) AS effective_diameter
+FROM mv CROSS JOIN ed"""
+
+
 def _cosine_sql() -> str:
     dot = (
         "list_reduce(list_transform(range(1, len(q.embedding) + 1), "
@@ -1481,6 +1521,7 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_hits8": td.hits_sql(iterations=8, round_to=9),
         "graph_katz8": td.katz_sql(alpha=0.1, beta=1.0, iterations=8, round_to=9),
         "graph_distance_cdf": td.distance_cdf_sql(n_sources=5),
+        "graph_eff_diameter": _eff_diameter_sql(quantile=0.9),
         "events_scattered_arcs": td.scattered_arcs_events_sql(),
         "docs_sample_stratified": td.stratified_sample_sql(20),
     }

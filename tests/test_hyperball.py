@@ -85,6 +85,27 @@ def test_effective_diameter_interpolation():
     assert effective_diameter([5.0], 0.9) == 0.0
 
 
+@pytest.mark.parametrize("seed", [3, 4])
+def test_nf_stats_matches_driver_formula(spark, seed):
+    """Distributed nf_stats (one-row avg_distance/spid/eff-diameter
+    frame, EstimateEffectiveDiameter analog) agrees with the driver-side
+    nf_statistics/effective_diameter formulas on the same exact NF."""
+    from webgraph_spark.algos.centrality import nf_exact, nf_stats
+    from webgraph_spark.algos.hyperball import nf_statistics
+
+    g = erdos_renyi(spark, 50, 0.06, seed=seed)
+    exact_df = nf_exact(g)
+    nf = [
+        float(r.nf_exact)
+        for r in exact_df.orderBy("t").collect()
+    ]
+    want = nf_statistics(nf)
+    got = nf_stats(exact_df, quantile=0.9).collect()[0]
+    assert abs(got.avg_distance - want["avg_distance"]) < 1e-9
+    assert abs(got.spid - want["spid"]) < 1e-9
+    assert abs(got.effective_diameter - want["effective_diameter"]) < 1e-9
+
+
 def test_hyperball_centralities_2rsd_9of10(spark):
     """HyperBall harmonic/closeness-sum vs exact GeometricCentralities,
     the reference's own acceptance: within 2x theoretical RSD in >= 9 of

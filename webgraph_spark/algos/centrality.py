@@ -128,6 +128,84 @@ def nf_exact(edges: DataFrame) -> DataFrame:
     )
 
 
+def nf_stats(nf_df: DataFrame, quantile: float = 0.9) -> DataFrame:
+    """One-row (avg_distance, spid, effective_diameter) from an exact NF
+    frame ``(t, nf_exact)`` — the derived statistics the reference's
+    EstimateEffectiveDiameter tool and HyperANF's SPID report
+    (NeighbourhoodFunction.effectiveDiameter semantics: linear
+    interpolation to the ``quantile`` of NF(max); SPID =
+    variance-to-mean ratio of the distance distribution over reachable
+    pairs at distance >= 1).
+
+    Moments are accumulated as EXACT int64 sums (t*c, t*t*c over the
+    integer NF increments) with one double division each at the end, so
+    any engine evaluating the same formula bit-matches the result. The
+    NF frame is O(diameter) rows; every join here is on single-row or
+    diameter-length frames.
+    """
+    nf = nf_df.select(F.col("t").cast("long"), F.col("nf_exact").cast("long"))
+    agg = nf.agg(
+        F.min(F.when(F.col("t") == 0, F.col("nf_exact"))).alias("nf0"),
+        F.max("nf_exact").alias("nflast"),
+    )
+    n, p = nf.alias("n"), nf.alias("p")
+    inc = n.join(p, F.col("p.t") == F.col("n.t") - 1).select(
+        F.col("n.t").alias("t"),
+        (F.col("n.nf_exact") - F.col("p.nf_exact")).alias("c"),
+    )
+    mom = inc.agg(
+        F.sum(F.col("t") * F.col("c")).alias("s1"),
+        F.sum(F.col("t") * F.col("t") * F.col("c")).alias("s2"),
+    )
+    mv = mom.crossJoin(agg).select(
+        (
+            F.col("s1").cast("double")
+            / (F.col("nflast") - F.col("nf0")).cast("double")
+        ).alias("mean"),
+        (
+            F.col("s2").cast("double")
+            / (F.col("nflast") - F.col("nf0")).cast("double")
+        ).alias("msq"),
+    )
+    # smallest t with NF(t) >= quantile * NF(max), then interpolate
+    t_hit = (
+        nf.crossJoin(agg)
+        .filter(
+            F.col("nf_exact").cast("double")
+            >= F.lit(quantile) * F.col("nflast").cast("double")
+        )
+        .agg(F.min("t").alias("t_hit"))
+    )
+    cur, prev = nf.alias("cur"), nf.alias("prev")
+    effd = (
+        t_hit.crossJoin(agg)
+        .join(cur, F.col("cur.t") == F.col("t_hit"))
+        .join(prev, F.col("prev.t") == F.col("t_hit") - 1, "left")
+        .select(
+            F.when(F.col("t_hit") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("t_hit") - 1).cast("double")
+                + (
+                    F.lit(quantile) * F.col("nflast").cast("double")
+                    - F.col("prev.nf_exact").cast("double")
+                )
+                / (
+                    F.col("cur.nf_exact").cast("double")
+                    - F.col("prev.nf_exact").cast("double")
+                )
+            )
+            .alias("effd")
+        )
+    )
+    return mv.crossJoin(effd).select(
+        F.round(F.col("mean"), 9).alias("avg_distance"),
+        F.round(
+            (F.col("msq") - F.col("mean") * F.col("mean")) / F.col("mean"), 9
+        ).alias("spid"),
+        F.round(F.col("effd"), 9).alias("effective_diameter"),
+    )
+
+
 def distance_cdf(edges: DataFrame, sample_sources: list[int]) -> DataFrame:
     """Sampled distance CDF: (dist, n_pairs, cum_pairs) over the sampled
     sources (SampleDistanceCumulativeDistributionFunction analog)."""

@@ -1045,6 +1045,45 @@ def q_sample_stratified(spark, sf_dir):
     return stratified_sample_k(docs, "lang", 20, "doc_id").select("doc_id", "lang")
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by portable-md5 bucket ranges
+    (functions/sampling.py hash_split): per-split doc counts + token
+    totals. A row's split is a pure function of its doc_id, so no
+    document can migrate between train and test as the corpus grows."""
+    from webgraph_spark.functions.sampling import hash_split
+    from webgraph_spark.functions.text import whitespace_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(whitespace_token_count(F.col("text")))
+        .cast("long")
+        .alias("ws_tokens"),
+    )
+
+
+def q_pack_chunks(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (functions/packing.py
+    pack_by_token_budget): per-language deterministic doc order,
+    2048-token budget, per-batch doc counts and token sums. One window
+    + one groupBy, all JVM."""
+    from webgraph_spark.functions.packing import pack_by_token_budget
+    from webgraph_spark.functions.text import whitespace_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        whitespace_token_count(F.col("text")).alias("n_tokens"),
+    )
+    out = pack_by_token_budget(d, "n_tokens", 2048, "lang", "doc_id")
+    return out.groupBy("lang", "batch_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1109,6 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eff_diameter": q_eff_diameter,
         "events_scattered_arcs": q_scattered_arcs,
         "docs_sample_stratified": q_sample_stratified,
+        "docs_hash_split": q_hash_split,
+        "docs_pack_chunks": q_pack_chunks,
     }
 
 
@@ -1524,4 +1565,30 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_eff_diameter": _eff_diameter_sql(quantile=0.9),
         "events_scattered_arcs": td.scattered_arcs_events_sql(),
         "docs_sample_stratified": td.stratified_sample_sql(20),
+        "docs_hash_split": f"""WITH h AS (
+  SELECT text,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000) AS hb
+  FROM documents),
+s AS (SELECT CASE WHEN hb < 800000 THEN 'train'
+                  WHEN hb < 900000 THEN 'val'
+                  WHEN hb < 1000000 THEN 'test' END AS split, text FROM h)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len({_TOKS}) END) AS BIGINT) AS ws_tokens
+FROM s GROUP BY split""",
+        "docs_pack_chunks": f"""WITH tk AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS}) END AS n_tokens
+  FROM documents),
+b AS (SELECT lang, n_tokens,
+        CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 2048.0) AS BIGINT) AS batch_id
+      FROM tk)
+SELECT lang, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens
+FROM b GROUP BY lang, batch_id""",
     }

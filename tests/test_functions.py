@@ -403,3 +403,68 @@ def test_stratified_sample_fraction_stable_superset(spark):
     assert small <= big
     assert 0.05 < len(small) / 5000 < 0.15
     assert 0.25 < len(big) / 5000 < 0.36
+
+
+def test_hash_split_disjoint_stable_under_growth(spark):
+    """hash_split: buckets are disjoint and exhaustive for summing
+    fractions, and a row's split NEVER changes when the corpus grows
+    (the held-out-set guarantee)."""
+    from webgraph_spark.functions.sampling import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(2000).selectExpr("id AS doc_id")
+    got = {r.doc_id: r.split for r in hash_split(df, "doc_id", fr).collect()}
+    assert set(got.values()) == {"train", "val", "test"}
+    assert 0.7 < sum(v == "train" for v in got.values()) / 2000 < 0.9
+    grown = spark.range(6000).selectExpr("id AS doc_id")
+    got2 = {r.doc_id: r.split for r in hash_split(grown, "doc_id", fr).collect()}
+    assert all(got2[k] == v for k, v in got.items())
+    # fractions summing under 1 leave NULL leftovers
+    part = hash_split(df, "doc_id", {"train": 0.5})
+    n_null = part.where(F.col("split").isNull()).count()
+    assert 0.4 < n_null / 2000 < 0.6
+
+
+def test_pack_greedy_budget_and_order(spark):
+    """pack_greedy: no multi-doc batch exceeds the budget, batches are
+    contiguous in order, and the assignment matches a pure-python
+    first-fit reference; pack_by_token_budget agrees with its own
+    exclusive-cumsum definition."""
+    from webgraph_spark.functions.packing import (
+        pack_by_token_budget,
+        pack_greedy,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, "s%d" % (i % 3), int(t))
+        for i, t in enumerate(rng.randint(1, 900, size=300))
+    ] + [(300, "s0", 5000)]  # oversized doc gets a batch alone
+    df = spark.createDataFrame(rows, "doc_id long, shard string, tokens long")
+    out = pack_greedy(df, "tokens", 2048, "shard", "doc_id").collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        # python first-fit reference
+        bid, used = 0, 0
+        for r in rs:
+            if used > 0 and used + r.tokens > 2048:
+                bid, used = bid + 1, 0
+            used += r.tokens
+            assert r.batch_id == bid, (shard, r.doc_id)
+        # budget property: multi-doc batches never exceed the budget
+        sums, counts = {}, {}
+        for r in rs:
+            sums[r.batch_id] = sums.get(r.batch_id, 0) + r.tokens
+            counts[r.batch_id] = counts.get(r.batch_id, 0) + 1
+        for b, s in sums.items():
+            assert s <= 2048 or counts[b] == 1
+
+    chunk = pack_by_token_budget(df, "tokens", 2048, "shard", "doc_id").collect()
+    for shard in {"s0", "s1", "s2"}:
+        rs = sorted((r for r in chunk if r.shard == shard), key=lambda r: r.doc_id)
+        excl = 0
+        for r in rs:
+            assert r.batch_id == excl // 2048
+            excl += r.tokens

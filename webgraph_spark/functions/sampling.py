@@ -63,3 +63,35 @@ def stratified_sample_k(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    denom: int = 1_000_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test split: row lands in the
+    bucket whose cumulative [lo, hi) hash range contains
+    ``md5_long(key) % denom``. The assignment is a pure function of the
+    row key — stable under re-runs, appends, repartitioning, and engine
+    (the same CASE over the same portable hash runs in any SQL engine),
+    which is what makes held-out sets trustworthy on a growing corpus:
+    a document can never migrate between train and test.
+
+    ``fractions`` must sum to <= 1 (+epsilon); rows beyond the covered
+    range get NULL (filterable leftovers). One filter-free projection:
+    no shuffle, no sampling nondeterminism.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    h = _key_hash(F.col(key_col)) % F.lit(denom)
+    expr = None
+    cum = 0
+    for name, frac in fractions.items():
+        cum += int(frac * denom)
+        cond = h < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr)

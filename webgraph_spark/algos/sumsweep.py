@@ -261,30 +261,47 @@ def _sum_sweep_directed(
             if open_row:
                 pivot = int(open_row[0]["node"])
                 continue
-            # ---- diameter closed; resolve the radius with SINGLE
+            # ---- diameter closed; resolve the radius with BATCHED
             # forward probes from the most promising candidates
-            # (smallest lbF first) — each probe either lowers R or is
-            # closed by it; every probe closes one node, so this
-            # terminates in <= |{v: lbF(v) < R}| extra BFS runs
+            # (smallest lbF first). Up to 4 candidates share ONE
+            # multi-source BFS, so the driver pays one candidate collect
+            # + one BFS loop per batch instead of per probe. Processing
+            # the batch in (lbF, node) order makes the R/L updates
+            # exact-equivalent to sequential probing: any candidate a
+            # sequential run would have skipped (its lbF >= the lowered
+            # R) has ecc >= lbF >= R and cannot change R, and ecc <= L
+            # always (diameter already certified), so extra probes are
+            # wasted work only — amortized away by the shared BFS.
             while compute_radius and sweeps < max_sweeps:
-                cand = (
+                batch_cap = min(4, max_sweeps - sweeps)
+                cands = (
                     bounds.where(
                         (F.col("lbF") < R)
                         & ~F.col("node").isin(list(exact_ecc.keys()))
                     )
                     .orderBy("lbF", "node")
-                    .limit(1)
+                    .limit(batch_cap)
                     .collect()
                 )
-                if not cand:
+                if not cands:
                     break
-                c_node = int(cand[0]["node"])
-                _, ecc_c = _ecc_and_dists(e, c_node)
-                sweeps += 1
-                exact_ecc[c_node] = ecc_c
-                L = max(L, ecc_c)
-                if ecc_c < R:
-                    R, r_node = ecc_c, c_node
+                batch = [int(r["node"]) for r in cands]
+                from .centrality import multi_source_bfs
+
+                eccs = {
+                    int(r["source"]): int(r["ecc"])
+                    for r in multi_source_bfs(e, batch)
+                    .groupBy("source")
+                    .agg(F.max("dist").alias("ecc"))
+                    .collect()
+                }
+                sweeps += len(batch)
+                for c_node in batch:
+                    ecc_c = eccs[c_node]
+                    exact_ecc[c_node] = ecc_c
+                    L = max(L, ecc_c)
+                    if ecc_c < R:
+                        R, r_node = ecc_c, c_node
             radius_open = compute_radius and not bounds.where(
                 (F.col("lbF") < R)
                 & ~F.col("node").isin(list(exact_ecc.keys()))

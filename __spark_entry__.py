@@ -173,6 +173,17 @@ def q_bv_stream_roundtrip(spark, sf_dir):
     return unpack_bv(pack_bv(e, num_blocks=8)).select("src", "dst")
 
 
+def q_bv_labelled_roundtrip(spark, sf_dir):
+    """Labelled bitstream roundtrip: arc-multiplicity labels γ-coded
+    into a parallel substream (BitStreamArcLabelledImmutableGraph +
+    GammaCodedIntLabel analog, labelling/BitStreamArcLabelledImmutable-
+    Graph.java:60-86) — store -> load -> same (src, dst, label) set."""
+    from webgraph_spark.operators.bitstream import pack_bv, unpack_bv
+
+    e = td.tpch_edges_labelled(spark, sf_dir)
+    return unpack_bv(pack_bv(e, num_blocks=8, label_col="label"), labelled=True)
+
+
 def q_bv_stream_bits(spark, sf_dir):
     """Payload of the PHYSICAL γ streams, measured by decoding the
     stored unary substreams (not echoed from pack-time counters). The
@@ -1098,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_quotient_nation": q_quotient_nation,
         "csr_roundtrip": q_csr_roundtrip,
         "bv_stream_roundtrip": q_bv_stream_roundtrip,
+        "bv_labelled_roundtrip": q_bv_labelled_roundtrip,
         "bv_stream_bits": q_bv_stream_bits,
         "ef_roundtrip": q_ef_roundtrip,
         "ef_bits": q_ef_bits,
@@ -1418,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_quotient_nation": td.quotient_nation_sql(),
         "csr_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "bv_stream_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "bv_labelled_roundtrip": f"WITH {td.LABELLED_EDGES_CTE} SELECT src, dst, label FROM ledges",
         "bv_stream_bits": td.gamma_bits_sql(),
         "ef_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "ef_bits": f"""WITH {td.EDGES_CTE},

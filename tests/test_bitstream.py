@@ -166,3 +166,45 @@ def test_bv_delta_pack_roundtrip_and_bits(spark):
     g = bv_bits_per_link(pack_bv(edges, num_blocks=4, code="gamma")).collect()[0]
     d = bv_bits_per_link(pack_bv(edges, num_blocks=4, code="delta")).collect()[0]
     assert d["gamma_bits"] < g["gamma_bits"], (d["gamma_bits"], g["gamma_bits"])
+
+
+def test_labelled_pack_roundtrip(spark):
+    """γ-coded parallel label substream (BitStreamArcLabelledImmutable-
+    Graph + GammaCodedIntLabel analog): store -> load preserves
+    (src, dst, label) for both component codes; duplicate arcs and
+    negative labels are rejected, unlabelled blocks carry empty
+    streams."""
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "src": rng.randint(0, 40, 3000),
+            "dst": rng.randint(0, 500, 3000),
+        }
+    )
+    pdf = pdf.drop_duplicates()
+    pdf["label"] = rng.randint(0, 10_000, len(pdf)).astype(np.int64)
+    edges = spark.createDataFrame(pdf)
+    want = sorted(map(tuple, pdf.to_numpy()))
+    for code in ("gamma", "delta"):
+        blocks = pack_bv(edges, num_blocks=4, code=code, label_col="label")
+        back = unpack_bv(blocks, labelled=True).toPandas()
+        assert sorted(map(tuple, back.to_numpy())) == want, code
+
+    # duplicate arcs with labels must raise, not silently merge
+    dup = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 1], "dst": [2, 2], "label": [3, 4]})
+    )
+    with pytest.raises(Exception, match="unique arcs"):
+        unpack_bv(pack_bv(dup, num_blocks=1, label_col="label"), labelled=True).count()
+
+    neg = spark.createDataFrame(
+        pd.DataFrame({"src": [1], "dst": [2], "label": [-5]})
+    )
+    with pytest.raises(Exception, match="natural"):
+        unpack_bv(pack_bv(neg, num_blocks=1, label_col="label"), labelled=True).count()
+
+    # unlabelled pack stores empty label streams, roundtrip unchanged
+    plain = pack_bv(edges.select("src", "dst"), num_blocks=4)
+    row = plain.limit(1).collect()[0]
+    assert row["lab_u"] == b"" and row["lab_v"] == b""
+    assert unpack_bv(plain).count() == len(pdf)

@@ -75,6 +75,44 @@ def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.unionByName(e2).unionByName(e3).distinct()
 
 
+def tpch_edges_labelled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGES_CTE's union WITHOUT the distinct, aggregated to unique arcs
+    with an arc-multiplicity label (how many order lines realize the
+    link) — a natural int label for the labelled-graph paths."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e1 = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(OFF_ORDER) + F.col("o_orderkey")).alias("dst"),
+    )
+    e2 = lineitem.select(
+        (F.lit(OFF_ORDER) + F.col("l_orderkey")).alias("src"),
+        (F.lit(OFF_PART) + F.col("l_partkey")).alias("dst"),
+    )
+    e3 = lineitem.select(
+        (F.lit(OFF_PART) + F.col("l_partkey")).alias("src"),
+        (F.lit(OFF_SUPP) + F.col("l_suppkey")).alias("dst"),
+    )
+    return (
+        e1.unionByName(e2)
+        .unionByName(e3)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("label"))
+    )
+
+
+LABELLED_EDGES_CTE = f"""
+ledges AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS label FROM (
+    SELECT o_custkey AS src, {OFF_ORDER} + o_orderkey AS dst FROM orders
+    UNION ALL
+    SELECT {OFF_ORDER} + l_orderkey AS src, {OFF_PART} + l_partkey AS dst FROM lineitem
+    UNION ALL
+    SELECT {OFF_PART} + l_partkey AS src, {OFF_SUPP} + l_suppkey AS dst FROM lineitem
+  ) t GROUP BY src, dst
+)"""
+
+
 # ------------------------------------------------------- SQL generators
 
 def _pagerank_body(iters: int, alpha: float) -> list[str]:

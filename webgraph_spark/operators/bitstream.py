@@ -196,7 +196,8 @@ def delta_bits(values: np.ndarray) -> int:
 BV_SCHEMA = (
     "block_id int, node_lo long, node_hi long, n_lists long, n_arcs long, code string, "
     "deg_u binary, deg_v binary, deg_w binary, src_u binary, src_v binary, src_w binary, "
-    "first_u binary, first_v binary, first_w binary, gap_u binary, gap_v binary, gap_w binary"
+    "first_u binary, first_v binary, first_w binary, gap_u binary, gap_v binary, gap_w binary, "
+    "lab_u binary, lab_v binary, lab_w binary"
 )
 
 
@@ -220,6 +221,7 @@ def pack_bv(
     num_blocks: int | None = None,
     bounds: list[int] | None = None,
     code: str = "gamma",
+    label_col: str | None = None,
 ) -> DataFrame:
     """Pack ``edges(src, dst)`` into γ-coded bit-stream blocks.
 
@@ -236,14 +238,24 @@ def pack_bv(
 
     ``code`` selects the component code — "gamma" (default) or "delta"
     (the reference's pluggable CompressionFlags, BVGraph.java:474-523);
-    δ wins on heavy-tailed gaps, γ on small ones."""
+    δ wins on heavy-tailed gaps, γ on small ones.
+
+    ``label_col``: γ/δ-code one natural-number label per arc into a
+    parallel substream in arc order — the BitStreamArcLabelledImmutable-
+    Graph + GammaCodedIntLabel analog (labelling/BitStreamArcLabelled-
+    ImmutableGraph.java:60-86 stores labels in a bitstream parallel to
+    the graph file; GammaCodedIntLabel.java:75 γ-codes each value).
+    Arcs must already be unique (merge duplicate-arc labels with a
+    LabelMergeStrategy first — transforms.union_labelled does); the
+    pack raises rather than silently dropping a label."""
     spark = edges.sparkSession
     if bounds is None:
         if num_blocks is None:
             num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         bounds = arc_balanced_bounds(edges, num_blocks)
 
-    tagged = edges.select("src", "dst").withColumn("block_id", _block_expr(bounds))
+    cols = ["src", "dst"] + ([label_col] if label_col else [])
+    tagged = edges.select(*cols).withColumn("block_id", _block_expr(bounds))
 
     def pack(key, pdf):
         block_id = int(key[0])
@@ -253,6 +265,20 @@ def pack_bv(
         src, dst = src[order], dst[order]
         keep = np.ones(len(src), dtype=bool)
         keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        if label_col is not None:
+            if not keep.all():
+                raise ValueError(
+                    "pack_bv(label_col=...) requires unique arcs: merge "
+                    "duplicate-arc labels (LabelMergeStrategy) before packing"
+                )
+            labels = pdf[label_col].to_numpy(np.int64)[order]
+            if len(labels) and labels.min() < 0:
+                raise ValueError(
+                    "labels must be natural numbers (GammaCodedIntLabel domain)"
+                )
+            lab_u, lab_v, lab_w = _enc(labels, code)
+        else:
+            lab_u, lab_v, lab_w = b"", b"", b""
         src, dst = src[keep], dst[keep]
         srcs, starts, counts = np.unique(src, return_index=True, return_counts=True)
         firsts = dst[starts]
@@ -279,6 +305,7 @@ def pack_bv(
                 "src_u": [src_u], "src_v": [src_v], "src_w": [src_w],
                 "first_u": [first_u], "first_v": [first_v], "first_w": [first_w],
                 "gap_u": [gap_u], "gap_v": [gap_v], "gap_w": [gap_w],
+                "lab_u": [lab_u], "lab_v": [lab_v], "lab_w": [lab_w],
             }
         )
 
@@ -313,17 +340,28 @@ def _decode_bv_block(row) -> tuple[np.ndarray, np.ndarray]:
     return src, dst
 
 
-def unpack_bv(blocks: DataFrame) -> DataFrame:
-    """BV bit-stream block table -> edge DataFrame (round-trip inverse)."""
+def unpack_bv(blocks: DataFrame, labelled: bool = False) -> DataFrame:
+    """BV bit-stream block table -> edge DataFrame (round-trip inverse).
+    ``labelled``: also decode the parallel label substream (packed with
+    ``label_col``) — labels come back in the same arc order the decoder
+    emits, so row i's label belongs to arc i by construction."""
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 src, dst = _decode_bv_block(row)
-                if len(src):
-                    yield pd.DataFrame({"src": src, "dst": dst})
+                if not len(src):
+                    continue
+                out = {"src": src, "dst": dst}
+                if labelled:
+                    out["label"] = _dec(
+                        row["lab_u"], row["lab_v"], row["lab_w"],
+                        int(row["n_arcs"]), row["code"],
+                    )
+                yield pd.DataFrame(out)
 
-    return blocks.mapInPandas(unpack, schema="src long, dst long")
+    schema = "src long, dst long" + (", label long" if labelled else "")
+    return blocks.mapInPandas(unpack, schema=schema)
 
 
 def bv_bits_per_link(blocks: DataFrame) -> DataFrame:

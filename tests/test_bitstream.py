@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 
 from webgraph_spark.operators.bitstream import (
     bv_bits_per_link,
+    zeta_bits_vec,
+    zeta_decode,
+    zeta_encode,
     bv_successors,
     gamma_bits,
     gamma_decode,
@@ -208,3 +211,50 @@ def test_labelled_pack_roundtrip(spark):
     row = plain.limit(1).collect()[0]
     assert row["lab_u"] == b"" and row["lab_v"] == b""
     assert unpack_bv(plain).count() == len(pdf)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**55 - 2), min_size=1, max_size=300)
+)
+@settings(max_examples=60, deadline=None)
+def test_zeta_roundtrip_property(vals):
+    v = np.array(vals, dtype=np.int64)
+    for k in (2, 3, 4):
+        u, f = zeta_encode(v, k=k)
+        assert np.array_equal(zeta_decode(u, f, len(v), k=k), v), k
+
+
+def test_zeta_bits_matches_bvcomp_scalar():
+    """Vectorized interleaved-ζ cost == the bvcomp scalar model summed
+    (the figure BVGraph's default ZETA_3 residuals would occupy)."""
+    from webgraph_spark.operators.bvcomp import zeta_bits as zb_scalar
+
+    rng = np.random.RandomState(5)
+    v = np.concatenate(
+        [np.arange(40), (rng.pareto(0.5, 500) * 100).astype(np.int64)]
+    )
+    for k in (2, 3, 5):
+        assert zeta_bits_vec(v, k=k) == sum(zb_scalar(int(x), k) for x in v)
+
+
+def test_pack_bv_zeta3(spark):
+    """pack_bv(code='zeta3'): roundtrip holds and ζ₃ beats γ on the
+    heavy-tailed gap fixture (the reason ZETA_3 is the reference's
+    default residual code)."""
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "src": rng.randint(0, 50, 8000),
+            "dst": (rng.pareto(0.5, 8000) * 50).astype(np.int64) % (2**30),
+        }
+    )
+    edges = spark.createDataFrame(pdf)
+    blocks = pack_bv(edges, num_blocks=4, code="zeta3")
+    back = unpack_bv(blocks).toPandas().sort_values(["src", "dst"])
+    want = (
+        edges.select("src", "dst").distinct().toPandas().sort_values(["src", "dst"])
+    )
+    assert list(map(tuple, back.to_numpy())) == list(map(tuple, want.to_numpy()))
+    z = bv_bits_per_link(blocks).collect()[0]
+    g = bv_bits_per_link(pack_bv(edges, num_blocks=4, code="gamma")).collect()[0]
+    assert z["gamma_bits"] < g["gamma_bits"], (z["gamma_bits"], g["gamma_bits"])

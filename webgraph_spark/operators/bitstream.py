@@ -193,6 +193,86 @@ def delta_bits(values: np.ndarray) -> int:
     return int((2 * _bitlen(n) - 1 + n - 1).sum())
 
 
+def zeta_encode(values: np.ndarray, k: int = 3) -> tuple[bytes, bytes]:
+    """Split-ζ_k encode non-negative int64 -> (unary_buf, field_buf).
+
+    ζ_k(v+1) = unary(h+1) + minimal-binary(v+1 − 2^(hk)) over an
+    interval of size 2^(hk)·(2^k − 1), h = (bitlen(v+1) − 1) // k — the
+    reference's DEFAULT residual code (ZETA_3, BVGraph.java:454-472;
+    OutputBitStream.writeZeta). Split layout: the unary substream is
+    the TRUE ζ unary part (Σ(h+1) bits); the field substream stores
+    s = v+1 − 2^(hk) at FIXED width k·(h+1) instead of minimal binary's
+    data-dependent (b−1 | b), because minimal binary's short/long
+    choice is only decidable by reading the field at its own position —
+    a sequential dependency that would kill whole-array decode. Cost of
+    the fixed width: exactly +1 bit per SHORT code (s < 2^(hk)) vs
+    interleaved ζ_k; the model-exact interleaved cost is reported by
+    :func:`zeta_bits_vec` (== bvcomp.zeta_bits summed). k=1 degenerates
+    to γ — use gamma_encode there (enforced)."""
+    if k < 2:
+        raise ValueError("zeta_encode: k must be >= 2 (k=1 is gamma)")
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b"", b""
+    if v.min() < 0:
+        raise ValueError("zeta_encode: values must be non-negative")
+    w = v + 1
+    h = (_bitlen(w) - 1) // k
+    ones = np.cumsum(h + 1) - 1
+    ubuf = np.zeros((int(ones[-1]) // 8) + 1, dtype=np.uint8)
+    _set_bits(ubuf, ones)
+    width = k * (h + 1)
+    s = w - (np.int64(1) << (h * k))
+    offs = np.cumsum(width) - width
+    total = int(offs[-1] + width[-1])
+    fbuf = np.zeros((total // 8) + 1 if total else 0, dtype=np.uint8)
+    for j in range(int(width.max())):
+        live = width > j
+        if not live.any():
+            break
+        shift = width[live] - 1 - j
+        bit_on = ((s[live] >> shift) & 1).astype(bool)
+        if bit_on.any():
+            _set_bits(fbuf, (offs[live] + j)[bit_on])
+    return ubuf.tobytes(), fbuf.tobytes()
+
+
+def zeta_decode(unary_buf: bytes, field_buf: bytes, n: int, k: int = 3) -> np.ndarray:
+    """Decode ``n`` split-ζ_k values back to int64."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ubits = np.unpackbits(np.frombuffer(unary_buf, dtype=np.uint8))
+    ones = np.flatnonzero(ubits)
+    if len(ones) < n:
+        raise ValueError(f"zeta_decode: stream has {len(ones)} codes, need {n}")
+    ones = ones[:n]
+    hp1 = np.diff(ones, prepend=-1)  # h+1 per value
+    h = hp1 - 1
+    width = k * hp1
+    offs = np.cumsum(width) - width
+    fbits = np.unpackbits(np.frombuffer(field_buf, dtype=np.uint8))
+    s = np.zeros(n, dtype=np.int64)
+    for j in range(int(width.max())):
+        live = width > j
+        if not live.any():
+            break
+        s[live] = (s[live] << 1) | fbits[offs[live] + j]
+    return (np.int64(1) << (h * k)) + s - 1
+
+
+def zeta_bits_vec(values: np.ndarray, k: int = 3) -> int:
+    """Exact INTERLEAVED ζ_k cost (the entropy-model figure webgraph
+    users compare; == Σ bvcomp.zeta_bits): (h+1) + (k(h+1) − 1) + 1 for
+    long codes (s >= 2^(hk)), i.e. values with bitlen(v+1) >= hk + 2."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return 0
+    nb = _bitlen(v + 1)
+    h = (nb - 1) // k
+    islong = (nb - h * k) >= 2
+    return int(((h + 1) + (k * (h + 1) - 1) + islong).sum())
+
+
 BV_SCHEMA = (
     "block_id int, node_lo long, node_hi long, n_lists long, n_arcs long, code string, "
     "deg_u binary, deg_v binary, deg_w binary, src_u binary, src_v binary, src_w binary, "
@@ -207,12 +287,17 @@ def _enc(vals: np.ndarray, code: str) -> tuple[bytes, bytes, bytes]:
         return u, v, b""
     if code == "delta":
         return delta_encode(vals)
-    raise ValueError(f"unknown code {code!r} (gamma|delta)")
+    if code.startswith("zeta"):
+        u, v = zeta_encode(vals, k=int(code[4:] or 3))
+        return u, v, b""
+    raise ValueError(f"unknown code {code!r} (gamma|delta|zeta<k>)")
 
 
 def _dec(u: bytes, v: bytes, w: bytes, n: int, code: str) -> np.ndarray:
     if code == "gamma":
         return gamma_decode(u, v, n)
+    if code.startswith("zeta"):
+        return zeta_decode(u, v, n, k=int(code[4:] or 3))
     return delta_decode(u, v, w, n)
 
 
@@ -395,6 +480,15 @@ def bv_bits_per_link(blocks: DataFrame) -> DataFrame:
                         )[:n]
                         n_bits = np.diff(ones, prepend=-1)
                         bits += int((2 * n_bits - 1).sum())
+                    elif code.startswith("zeta"):
+                        # interleaved-ζ model cost derived from the
+                        # DECODED values (the split layout itself pays
+                        # +1 bit per short code — see zeta_encode)
+                        vals = _dec(
+                            row[f"{stream}_u"], row[f"{stream}_v"],
+                            row[f"{stream}_w"], n, code,
+                        )
+                        bits += zeta_bits_vec(vals, k=int(code[4:] or 3))
                     else:  # delta: lengths live in the split-gamma part
                         n_bits = (
                             gamma_decode(row[f"{stream}_u"], row[f"{stream}_v"], n)

@@ -184,6 +184,21 @@ def q_bv_labelled_roundtrip(spark, sf_dir):
     return unpack_bv(pack_bv(e, num_blocks=8, label_col="label"), labelled=True)
 
 
+def q_bv_zeta_bits(spark, sf_dir):
+    """Interleaved-ζ₃ payload of a code='zeta3' physical pack, derived
+    by DECODING the stored split-ζ streams (the reference's default
+    residual code, BVGraph ZETA_3). Oracle: closed-form ζ₃ model with
+    integer-exact bit lengths."""
+    from webgraph_spark.operators.bitstream import bv_bits_per_link, pack_bv
+
+    e = _edges(spark, sf_dir)
+    return bv_bits_per_link(pack_bv(e, num_blocks=8, code="zeta3")).select(
+        F.col("gamma_bits").cast("long").alias("zeta_bits"),
+        F.col("n_arcs").cast("long").alias("n_arcs"),
+        F.round("bits_per_link", 6).alias("bits_per_link"),
+    )
+
+
 def q_bv_stream_bits(spark, sf_dir):
     """Payload of the PHYSICAL γ streams, measured by decoding the
     stored unary substreams (not echoed from pack-time counters). The
@@ -1110,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csr_roundtrip": q_csr_roundtrip,
         "bv_stream_roundtrip": q_bv_stream_roundtrip,
         "bv_labelled_roundtrip": q_bv_labelled_roundtrip,
+        "bv_zeta_bits": q_bv_zeta_bits,
         "bv_stream_bits": q_bv_stream_bits,
         "ef_roundtrip": q_ef_roundtrip,
         "ef_bits": q_ef_bits,
@@ -1431,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "csr_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "bv_stream_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "bv_labelled_roundtrip": f"WITH {td.LABELLED_EDGES_CTE} SELECT src, dst, label FROM ledges",
+        "bv_zeta_bits": td.zeta3_bits_sql(),
         "bv_stream_bits": td.gamma_bits_sql(),
         "ef_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "ef_bits": f"""WITH {td.EDGES_CTE},

@@ -476,6 +476,35 @@ def gamma_bits_sql() -> str:
     return f"WITH {EDGES_CTE},{_GAMMA_TAIL}"
 
 
+_ZETA3_TAIL = """
+lists AS (SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+            LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+          FROM edges),
+vals AS (SELECT CASE WHEN rn = 1
+                     THEN (CASE WHEN dst - src >= 0 THEN 2 * (dst - src)
+                           ELSE -2 * (dst - src) - 1 END)
+                     ELSE dst - prev - 1 END AS v
+         FROM lists),
+nb AS (SELECT LENGTH(BIN(CAST(v + 1 AS BIGINT))) AS nb FROM vals),
+z AS (SELECT (nb - 1) // 3 AS h, nb FROM nb),
+bits AS (SELECT CAST((h + 1) + (3 * h + 2)
+                + CASE WHEN nb - 3 * h >= 2 THEN 1 ELSE 0 END AS BIGINT) AS b
+         FROM z)
+SELECT CAST(SUM(b) AS BIGINT) AS zeta_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_arcs,
+       ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_link
+FROM bits"""
+
+
+def zeta3_bits_sql() -> str:
+    """Closed-form interleaved-ζ₃ cost of firsts(int2nat)+gaps — bit
+    lengths via BIN() string length, so INTEGER-exact (no float LOG2
+    rounding hazard). Twin of bitstream.bv_bits_per_link on a
+    code='zeta3' pack."""
+    return f"WITH {EDGES_CTE},{_ZETA3_TAIL}"
+
+
 def gray_gamma_bits_sql() -> str:
     """Twin of gray_code_permutation + gamma_bits_per_link: rebuilds the
     prefix-XOR Gray array key (transforms._succ_key) in SQL, dense-ranks

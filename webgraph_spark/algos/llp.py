@@ -124,9 +124,12 @@ def llp_permutation(
         li = li.withColumnRenamed("label", col)
         key = li if key is None else key.join(li, "node")
         label_cols.append(col)
-    order = [F.col(c) for c in label_cols] + [F.col("node")]
-    perm = key.select(
-        "node",
-        (F.row_number().over(Window.orderBy(*order)) - 1).alias("target"),
+    # distributed dense-rank (range-partition + per-partition offsets,
+    # util/ids.py) — a global row_number() window would funnel all n
+    # nodes through one task at 10^10-node scale
+    from ..util.ids import assign_dense_ids
+
+    perm = assign_dense_ids(key, label_cols + ["node"], id_col="target").select(
+        "node", "target"
     )
     return map_nodes(edges, perm), perm

@@ -121,6 +121,8 @@ def nf_exact(edges: DataFrame) -> DataFrame:
     hist = dists.groupBy("dist").agg(F.count("*").alias("c"))
     from pyspark.sql import Window
 
+    # global window is over the DISTANCE HISTOGRAM: O(diameter) rows,
+    # bounded regardless of graph size — not a scale hazard
     w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
     return hist.select(
         F.col("dist").cast("long").alias("t"),
@@ -213,6 +215,7 @@ def distance_cdf(edges: DataFrame, sample_sources: list[int]) -> DataFrame:
 
     dists = multi_source_bfs(edges, sample_sources)
     hist = dists.groupBy("dist").agg(F.count("*").alias("n_pairs"))
+    # O(diameter)-row histogram window — bounded, see nf_exact
     w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
     return hist.select(
         "dist", "n_pairs", F.sum("n_pairs").over(w).alias("cum_pairs")

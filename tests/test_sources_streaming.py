@@ -189,3 +189,34 @@ def test_streaming_distinct_outdegree_stateful(spark, tmp_path):
     # log2m=5 => RSD ~ 1.04/sqrt(32) ~ 0.18; small-range correction is
     # active at these cardinalities, allow 3x
     assert np.median(rel) < 0.2 and rel.max() < 0.55, (np.median(rel), rel.max())
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    """dedup_stream: duplicated events across micro-batches collapse to
+    one row per event_id, matching batch DISTINCT on the key set."""
+    from webgraph_spark.streaming.events import dedup_stream, stream_events
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(src).limit(500)
+    stage = str(tmp_path / "dedup_src")
+    # write the same rows TWICE (two files -> separate micro-batches
+    # with maxFilesPerTrigger=1) so duplicates span batches
+    events.coalesce(1).write.mode("overwrite").parquet(stage)
+    events.coalesce(1).write.mode("append").parquet(stage)
+
+    stream = stream_events(spark, stage, max_files=1)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_test").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)), "stream emitted a duplicate key"
+    assert sorted(ids) == sorted(
+        r.event_id for r in events.select("event_id").distinct().collect()
+    )

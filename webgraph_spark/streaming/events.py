@@ -57,6 +57,23 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival per key
+    within the watermark horizon (``dropDuplicates`` keyed state; rows
+    older than the watermark are expired from state, so memory is
+    bounded by keys-per-horizon, not stream length). The streaming twin
+    of functions/dedup.py's exact dedup — the first stage any
+    continuously-ingested training corpus runs. Keys default to
+    ``event_id``; state is hash-partitioned on the key, so dedup scales
+    with the shuffle like every other exact-dedup groupBy."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
 # namespace for turn nodes the batch dictionary has not seen yet: far
 # above any dense id, so streamed placeholder ids can never collide with
 # dictionary ids (they are remapped when the dictionary is rebuilt)

@@ -181,6 +181,7 @@ def main():
         "docs_minhash_sigs",
         "docs_simhash",
         "docs_text_stats",
+        "docs_dedup_clusters",
         "emb_cosine_top5",
     ]:
         fn = entry_mod.queries()[name]

@@ -70,8 +70,16 @@ def main():
         "median_efficiency": round(statistics.median(pair_eff), 3),
     }
     print(json.dumps(summary))
+    # AB_OUT may be a bare name, a BENCH-relative name, or absolute;
+    # normalize so a prefixed name can't double the BENCH dir and lose
+    # an hour of measurement to a failed open()
     out = os.environ.get("AB_OUT", "cluster_scaling_ab.json")
-    with open(os.path.join(REPO, "BENCH", out), "w") as f:
+    out_path = (
+        out if os.path.isabs(out)
+        else os.path.join(REPO, "BENCH", os.path.basename(out))
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
 
 

@@ -1071,6 +1071,25 @@ def q_sample_stratified(spark, sf_dir):
     return stratified_sample_k(docs, "lang", 20, "doc_id").select("doc_id", "lang")
 
 
+def q_contamination(spark, sf_dir):
+    """Decontamination scan (functions/dedup.py contamination_check):
+    training docs sharing >= 2 distinct 3-gram shingles with the eval
+    slice (doc_id < 40), with eval-side containment. Broadcast eval
+    shingles + one corpus pass."""
+    from webgraph_spark.functions.dedup import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") < 40)
+    return contamination_check(
+        docs, ev, "doc_id", "text", shingle=3, min_shared=2
+    ).select(
+        F.col("train_id").cast("long").alias("train_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        F.col("shared_shingles").cast("long").alias("shared_shingles"),
+        "containment",
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by portable-md5 bucket ranges
     (functions/sampling.py hash_split): per-split doc counts + token
@@ -1176,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eff_diameter": q_eff_diameter,
         "events_scattered_arcs": q_scattered_arcs,
         "docs_sample_stratified": q_sample_stratified,
+        "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
         "docs_pack_chunks": q_pack_chunks,
     }
@@ -1595,6 +1615,17 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_eff_diameter": _eff_diameter_sql(quantile=0.9),
         "events_scattered_arcs": td.scattered_arcs_events_sql(),
         "docs_sample_stratified": td.stratified_sample_sql(20),
+        "docs_contamination": f"""WITH {_SHINGLES_CTE},
+ev AS (SELECT id AS eval_id, shingle FROM sh WHERE id < 40),
+evn AS (SELECT eval_id, COUNT(*) AS n_ev FROM ev GROUP BY eval_id),
+s2 AS (SELECT t.id AS train_id, e.eval_id, COUNT(*) AS shared_shingles
+       FROM sh t JOIN ev e USING (shingle)
+       WHERE t.id <> e.eval_id
+       GROUP BY t.id, e.eval_id
+       HAVING COUNT(*) >= 2)
+SELECT train_id, eval_id, CAST(shared_shingles AS BIGINT) AS shared_shingles,
+       ROUND(CAST(shared_shingles AS DOUBLE) / n_ev, 6) AS containment
+FROM s2 JOIN evn USING (eval_id)""",
         "docs_hash_split": f"""WITH h AS (
   SELECT text,
          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

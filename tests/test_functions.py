@@ -468,3 +468,27 @@ def test_pack_greedy_budget_and_order(spark):
         for r in rs:
             assert r.batch_id == excl // 2048
             excl += r.tokens
+
+
+def test_contamination_check_containment(spark):
+    """An eval doc fully embedded in a training doc reaches containment
+    1.0 even though symmetric Jaccard would be tiny; unrelated docs
+    don't appear; self-pairs excluded."""
+    from webgraph_spark.functions.dedup import contamination_check
+
+    eval_text = "the quick brown fox jumps over dogs"
+    train_text = ("lorem ipsum " * 20) + eval_text + (" dolor sit" * 20)
+    docs = spark.createDataFrame(
+        [
+            (1, eval_text),            # the eval doc itself (self-pair)
+            (2, train_text),           # contains the whole eval doc
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.where(F.col("doc_id") == 1)
+    out = contamination_check(docs, ev, "doc_id", "text", shingle=3).collect()
+    by_train = {r.train_id: r for r in out}
+    assert 1 not in by_train, "self-pair leaked"
+    assert 3 not in by_train
+    assert by_train[2].containment == 1.0

@@ -282,3 +282,56 @@ def near_dup_clusters(
     return labelled.join(sizes, "canonical_id").select(
         "doc_id", "canonical_id", "cluster_size"
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = DEFAULT_SHINGLE,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Decontamination scan: (train_id, eval_id, shared_shingles,
+    containment) for every training document sharing >= ``min_shared``
+    distinct word n-grams with an eval document.
+
+    ``containment`` = shared / |eval doc's distinct shingles| — the
+    eval-side containment metric, NOT symmetric Jaccard: a long training
+    document that embeds a whole eval document is contamination even
+    though its Jaccard similarity is tiny.
+
+    Scale shape: eval sets are small (thousands of docs) next to the
+    corpus, so the eval shingle table is BROADCAST and the scan is one
+    pass over corpus shingles with a map-side join + one groupBy —
+    no shuffle of the corpus shingle table by shingle key. Self-pairs
+    (the eval doc found in the corpus under the same id) are excluded.
+    """
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle))
+        ).alias("shingle"),
+    )
+    ev_sizes = ev.groupBy("eval_id").agg(F.count("*").alias("n_ev"))
+    tr = corpus.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle))
+        ).alias("shingle"),
+    )
+    shared = (
+        tr.join(F.broadcast(ev), "shingle")
+        .where(F.col("train_id") != F.col("eval_id"))
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_shared)
+    )
+    return shared.join(F.broadcast(ev_sizes), "eval_id").select(
+        "train_id",
+        "eval_id",
+        "shared_shingles",
+        F.round(F.col("shared_shingles") / F.col("n_ev"), 6).alias(
+            "containment"
+        ),
+    )

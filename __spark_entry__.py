@@ -184,6 +184,37 @@ def q_bv_labelled_roundtrip(spark, sf_dir):
     return unpack_bv(pack_bv(e, num_blocks=8, label_col="label"), labelled=True)
 
 
+def q_bv_full_roundtrip(spark, sf_dir):
+    """PHYSICAL full-BV format (operators/bvfull.py): copy-blocks +
+    intervals + ζ₃ residuals stored as homogeneous split substreams,
+    reference chains resolved at decode — store -> load -> same arcs.
+    The reference's actual BVGraph.store grammar made physical."""
+    from webgraph_spark.operators.bvfull import pack_bv_full, unpack_bv_full
+
+    e = _edges(spark, sf_dir)
+    return unpack_bv_full(pack_bv_full(e, num_blocks=8)).select("src", "dst")
+
+
+def q_bv_full_bits(spark, sf_dir):
+    """The interleaved-BV model figure DERIVED FROM the physical pack's
+    decoded token streams (not pack-time counters), at the
+    oracle-checkable config (window=1, unlimited chain depth, single
+    block) — same oracle as graph_bv_bits, so the stored encoding is
+    pinned to the dry-run model end-to-end."""
+    from webgraph_spark.operators.bvfull import (
+        bv_full_model_bits,
+        pack_bv_full,
+    )
+
+    e = _edges(spark, sf_dir)
+    blocks = pack_bv_full(e, num_blocks=1, window=1, max_ref_count=None)
+    return bv_full_model_bits(blocks).select(
+        F.col("model_bits").cast("long").alias("bv_bits"),
+        F.col("n_arcs").cast("long").alias("n_arcs"),
+        F.round("bits_per_link", 6).alias("bits_per_link"),
+    )
+
+
 def q_bv_zeta_bits(spark, sf_dir):
     """Interleaved-ζ₃ payload of a code='zeta3' physical pack, derived
     by DECODING the stored split-ζ streams (the reference's default
@@ -1145,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bv_stream_roundtrip": q_bv_stream_roundtrip,
         "bv_labelled_roundtrip": q_bv_labelled_roundtrip,
         "bv_zeta_bits": q_bv_zeta_bits,
+        "bv_full_roundtrip": q_bv_full_roundtrip,
+        "bv_full_bits": q_bv_full_bits,
         "bv_stream_bits": q_bv_stream_bits,
         "ef_roundtrip": q_ef_roundtrip,
         "ef_bits": q_ef_bits,
@@ -1468,6 +1501,8 @@ def oracle_sql() -> dict[str, str]:
         "bv_stream_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "bv_labelled_roundtrip": f"WITH {td.LABELLED_EDGES_CTE} SELECT src, dst, label FROM ledges",
         "bv_zeta_bits": td.zeta3_bits_sql(),
+        "bv_full_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "bv_full_bits": td.bv_bits_sql(),
         "bv_stream_bits": td.gamma_bits_sql(),
         "ef_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "ef_bits": f"""WITH {td.EDGES_CTE},

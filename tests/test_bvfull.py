@@ -107,3 +107,15 @@ def test_bvfull_empty_and_singleton(spark):
     one = spark.createDataFrame([(5, 9)], "src long, dst long")
     got = unpack_bv_full(pack_bv_full(one, num_blocks=2)).collect()
     assert [(r.src, r.dst) for r in got] == [(5, 9)]
+
+
+def test_bvfull_random_access(spark):
+    g = erdos_renyi(spark, 250, 0.05, seed=3)
+    blocks = pack_bv_full(g, num_blocks=4).persist()
+    from webgraph_spark.operators.bvfull import bv_full_successors
+
+    pdf = g.toPandas()
+    for s in pdf["src"].unique()[:10]:
+        want = sorted(pdf[pdf["src"] == s]["dst"].tolist())
+        assert bv_full_successors(blocks, int(s)) == want
+    assert bv_full_successors(blocks, 10**9) == []

@@ -468,3 +468,20 @@ def bv_full_model_bits(blocks: DataFrame) -> DataFrame:
         F.sum("n_arcs").alias("n_arcs"),
         (F.sum("model_bits") / F.sum("n_arcs")).alias("bits_per_link"),
     )
+
+
+def bv_full_successors(blocks: DataFrame, node: int) -> list[int]:
+    """Random-access successor query on the full-BV table: prune to the
+    one block whose [node_lo, node_hi] covers the node, decode only that
+    block (entry point B, SURVEY.md §3.2; BVGraph.java:897-904 — the
+    reference also resolves the whole reference chain for one list; here
+    the chain lives inside the block by construction)."""
+    hit = blocks.where(
+        (F.col("node_lo") <= node) & (F.col("node_hi") >= node)
+    ).collect()
+    for row in hit:
+        src, dst = _decode_full_block(row)
+        sel = dst[src == node]
+        if len(sel):
+            return sel.tolist()
+    return []

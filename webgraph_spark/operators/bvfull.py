@@ -51,7 +51,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .bitstream import (
-    gamma_bits,
     gamma_decode,
     gamma_encode,
     zeta_bits_vec,

@@ -119,3 +119,19 @@ def test_bvfull_random_access(spark):
         want = sorted(pdf[pdf["src"] == s]["dst"].tolist())
         assert bv_full_successors(blocks, int(s)) == want
     assert bv_full_successors(blocks, 10**9) == []
+
+
+def test_bvfull_durable_roundtrip(spark, tmp_path):
+    """Block table -> parquet store -> load -> decode: the format
+    survives its durable representation (binary substream columns
+    roundtrip through parquet exactly)."""
+    from webgraph_spark.sources.storage import read_state, write_state
+
+    g = erdos_renyi(spark, 200, 0.05, seed=11)
+    blocks = pack_bv_full(g, num_blocks=3)
+    path = str(tmp_path / "bvfull_blocks")
+    write_state(blocks, path)
+    loaded = read_state(spark, path)
+    back = unpack_bv_full(loaded).toPandas().sort_values(["src", "dst"])
+    want = g.toPandas().drop_duplicates().sort_values(["src", "dst"])
+    assert list(map(tuple, back.to_numpy())) == list(map(tuple, want.to_numpy()))

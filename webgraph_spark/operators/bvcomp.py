@@ -115,9 +115,14 @@ def _int2nat(d: int) -> int:
 
 def _extras_bits(node: int, extras: np.ndarray, min_interval: int, zeta_k: int) -> int:
     """Interval + residual coding cost of the extras (diffComp's
-    interval/residual section, BVGraph.java:2146-2211)."""
+    interval/residual section, BVGraph.java:2146-2211). Residual gaps
+    are costed with the vectorized ζ kernel (bitstream.zeta_bits_vec ==
+    Σ zeta_bits, pinned by tests/test_bitstream.py) — this sum is the
+    inner loop of the whole reference-selection greedy."""
     if len(extras) == 0:
         return 0
+    from .bitstream import zeta_bits_vec
+
     lefts, lens, residuals = _intervalize(extras, min_interval)
     bits = gamma_bits(len(lefts))
     prev = 0
@@ -130,9 +135,13 @@ def _extras_bits(node: int, extras: np.ndarray, min_interval: int, zeta_k: int) 
         bits += gamma_bits(ln - min_interval)
     if len(residuals):
         bits += zeta_bits(_int2nat(int(residuals[0]) - node), zeta_k)
-        bits += int(
-            sum(zeta_bits(int(g), zeta_k) for g in np.diff(residuals) - 1)
-        )
+        if len(residuals) > 64:
+            bits += zeta_bits_vec(np.diff(residuals) - 1, k=zeta_k)
+        else:
+            # short lists: scalar bit_length beats numpy dispatch
+            bits += sum(
+                zeta_bits(int(g), zeta_k) for g in np.diff(residuals) - 1
+            )
     return bits
 
 

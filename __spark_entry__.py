@@ -1121,6 +1121,25 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Mixture curation (functions/sampling.py token_budget_sample):
+    per-source 3000-token budget in portable-md5 order; result is the
+    per-source doc count and token total of the selected mix."""
+    from webgraph_spark.functions.sampling import token_budget_sample
+    from webgraph_spark.functions.text import whitespace_token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        whitespace_token_count(F.col("text")).alias("n_tokens"),
+    )
+    sel = token_budget_sample(docs, "source", "n_tokens", 3000, "doc_id")
+    return sel.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by portable-md5 bucket ranges
     (functions/sampling.py hash_split): per-split doc counts + token
@@ -1230,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
+        "docs_mixture_sample": q_mixture_sample,
         "docs_pack_chunks": q_pack_chunks,
     }
 
@@ -1673,6 +1693,20 @@ SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len({_TOKS}) END) AS BIGINT) AS ws_tokens
 FROM s GROUP BY split""",
+        "docs_mixture_sample": f"""WITH tk AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS}) END AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+  FROM documents),
+sel AS (SELECT source, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY source ORDER BY hk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+        FROM tk)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens
+FROM sel WHERE excl < 3000 GROUP BY source""",
         "docs_pack_chunks": f"""WITH tk AS (
   SELECT doc_id, lang,
          CASE WHEN length(trim(text)) = 0 THEN 0

@@ -492,3 +492,32 @@ def test_contamination_check_containment(spark):
     assert 1 not in by_train, "self-pair leaked"
     assert 3 not in by_train
     assert by_train[2].containment == 1.0
+
+
+def test_token_budget_sample_mixture(spark):
+    """token_budget_sample: per-stratum token totals stay within budget
+    + one straddling doc; every stratum contributes; the selection is
+    identical under repartitioning."""
+    from webgraph_spark.functions.sampling import token_budget_sample
+
+    rows = [
+        (i, "s%d" % (i % 4), 100 + (i * 37) % 400) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, tok long")
+    sel = token_budget_sample(df, "stratum", "tok", 2000, "doc_id")
+    got = sel.groupBy("stratum").agg(
+        F.sum("tok").alias("t"), F.max("tok").alias("mx"), F.count("*").alias("n")
+    ).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r.n >= 1
+        # exclusive-cumsum rule: total < budget + last doc's tokens
+        assert r.t < 2000 + r.mx
+    a = sorted(r.doc_id for r in sel.collect())
+    b = sorted(
+        r.doc_id
+        for r in token_budget_sample(
+            df.repartition(13), "stratum", "tok", 2000, "doc_id"
+        ).collect()
+    )
+    assert a == b

@@ -95,3 +95,35 @@ def hash_split(
         cond = h < F.lit(cum)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(split_col, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budget: int,
+    key_col: str,
+) -> DataFrame:
+    """Mixture curation: per stratum (source/domain/language), keep the
+    deterministic hash-ordered prefix of documents whose EXCLUSIVE
+    running token total stays under ``budget`` — how a training mix is
+    drawn to hit per-source token ratios. The one document straddling
+    the budget boundary is kept (exclusive cumsum), so every stratum
+    with any data contributes at least one document.
+
+    Hash order (portable md5 of the key, ties by key) makes the prefix
+    a uniform draw that is identical at any parallelism and across
+    re-runs of the same corpus. Unlike hash_split, membership is NOT
+    stable under corpus growth (a new key can hash into the prefix and
+    push the tail out) — budgets bound the mix, splits guard eval sets;
+    use both accordingly. One window per stratum, all JVM.
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(_key_hash(F.col(key_col)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("_excl", excl).where(
+        F.col("_excl") < F.lit(budget)
+    ).drop("_excl")

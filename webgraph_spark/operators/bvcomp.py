@@ -71,11 +71,16 @@ def _copy_blocks(cur: np.ndarray, ref: np.ndarray) -> tuple[list[int], np.ndarra
     by an explicit empty copy block); the trailing run is recorded only
     if it is a copy run that ends before the reference does."""
     p = int(np.searchsorted(ref, cur[-1], side="right"))
-    extras = np.setdiff1d(cur, ref[:p], assume_unique=True)
     if p == 0:
         # exit still in the initial (empty) copy phase with ref unconsumed
-        return [0], extras
-    mask = np.isin(ref[:p], cur, assume_unique=True)
+        return [0], cur
+    # both lists are sorted unique: membership via searchsorted beats
+    # isin/setdiff1d (which re-sort) — this runs window+1 times per list
+    refp = ref[:p]
+    i = np.minimum(np.searchsorted(refp, cur), p - 1)
+    extras = cur[refp[i] != cur]
+    j = np.minimum(np.searchsorted(cur, refp), len(cur) - 1)
+    mask = cur[j] == refp
     change = np.flatnonzero(mask[1:] != mask[:-1]) + 1
     run_starts = np.concatenate(([0], change))
     run_lens = np.diff(np.concatenate((run_starts, [p])))

@@ -46,27 +46,26 @@ def write_arclist(edges: DataFrame, path: str, sep: str = "\t") -> None:
 
 def read_asciigraph(spark: SparkSession, path: str) -> DataFrame:
     """ASCIIGraph: first line n, line i+1 = space-separated successors of
-    node i. Line order is recovered from a whole-file read (this format
-    is inherently sequential — used for small fixtures, as in the
-    reference's tests)."""
-    import re
-
-    # the format is line-positional; read through the driver (fixtures
-    # only — the reference itself calls this a small-graph format)
-    txt = "\n".join(
-        r.value for r in spark.read.text(path).collect()
+    node i. The format is line-POSITIONAL, so the reader recovers global
+    line numbers with ``textFile(...).zipWithIndex()`` (stable file
+    order per split + one partition-count pass) and then the parse is
+    fully distributed: node id = line index − 1, successors exploded
+    from the split line. No driver-side collect — a positional file of
+    10^9 lines parses like any other text source."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = spark.createDataFrame(rdd, "line string, idx long")
+    n = int(lines.where(F.col("idx") == 0).head()["line"].strip())
+    toks = F.filter(
+        F.split(F.trim("line"), r"\s+"), lambda x: x != F.lit("")
     )
-    lines = [ln.strip() for ln in txt.splitlines()]
-    n = int(lines[0])
-    rows = []
-    for i in range(n):
-        succ = lines[1 + i] if 1 + i < len(lines) else ""
-        for d in re.split(r"\s+", succ):
-            if d:
-                rows.append((i, int(d)))
-    if not rows:
-        return spark.createDataFrame([], "src long, dst long")
-    return spark.createDataFrame(rows, "src long, dst long")
+    return (
+        lines.where((F.col("idx") >= 1) & (F.col("idx") <= n))
+        .select(
+            (F.col("idx") - 1).alias("src"),
+            F.explode(toks).alias("d"),
+        )
+        .select("src", F.col("d").cast("long").alias("dst"))
+    )
 
 
 def write_asciigraph(edges: DataFrame, path: str, num_nodes: int | None = None) -> None:

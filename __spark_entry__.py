@@ -1179,6 +1179,100 @@ def q_pack_chunks(spark, sf_dir):
     )
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021): top-bigram
+    coverage and duplicated-trigram fraction per document, with the
+    repetitive flag. All-JVM split/transform/explode/groupBy."""
+    from webgraph_spark.functions.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+def q_docs_window_dedup(spark, sf_dir):
+    """Exact substring-level duplication at 8-token window granularity
+    (Lee et al. 2022 ExactSubstr posture): per-doc duplicated-window
+    counts from one corpus-wide hash-partitioned window count."""
+    from webgraph_spark.functions.dedup import window_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return window_dedup_stats(docs, "doc_id", "text", k=8)
+
+
+def q_compose_minplus(spark, sf_dir):
+    """Min-plus semiring composition (Transform.compose with a
+    LabelSemiring, Transform.java:2125-2265): cheapest customer->part
+    2-hop cost over the multiplicity-labelled layers."""
+    from webgraph_spark.operators.transforms import compose_semiring
+
+    le = td.tpch_edges_labelled(spark, sf_dir)
+    g0 = le.where(F.col("src") < td.OFF_ORDER)
+    g1 = le.where((F.col("src") >= td.OFF_ORDER) & (F.col("src") < td.OFF_PART))
+    out = compose_semiring(g0, g1, "label")
+    return out.select("src", "dst", F.col("label").cast("long").alias("label"))
+
+
+def q_union_labelled(spark, sf_dir):
+    """Labelled union with SUM merge strategy
+    (labelling/UnionArcLabelledImmutableGraph + LabelMergeStrategy):
+    full labelled arcs unioned with the multiplicity>1 arcs re-labelled
+    1, so overlap arcs exercise the merge and singletons pass through."""
+    from webgraph_spark.operators.transforms import union_labelled
+
+    le = td.tpch_edges_labelled(spark, sf_dir)
+    boost = le.where(F.col("label") > 1).select(
+        "src", "dst", F.lit(1).alias("label")
+    )
+    out = union_labelled(le, boost, "label", merge="sum")
+    return out.select("src", "dst", F.col("label").cast("long").alias("label"))
+
+
+def q_seeded_perm(spark, sf_dir):
+    """Portable seeded random permutation
+    (Transform.randomPermutation, Transform.java:2436-2453): nodes
+    relabelled by dense rank over (md5_long(node || ':seed'), node) —
+    an engine-portable total order — then the arc table remapped.
+    Distributed rank via assign_dense_ids (no global window)."""
+    from webgraph_spark.functions.hashing import md5_long
+    from webgraph_spark.operators.transforms import map_nodes
+    from webgraph_spark.util.ids import assign_dense_ids
+
+    e = _edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn(
+            "_h", md5_long(F.concat(F.col("node").cast("string"), F.lit(":42")))
+        )
+    )
+    perm = assign_dense_ids(nodes, ["_h", "node"], id_col="target").drop("_h")
+    return map_nodes(e, perm)
+
+
+def q_ecc_sample(spark, sf_dir):
+    """Forward eccentricity + reachable-set size from the 5 smallest
+    customer sources (examples/BreadthFirst analog, BreadthFirst.java):
+    per-source max BFS level over the batched multi-source BFS."""
+    from webgraph_spark.algos.centrality import multi_source_bfs
+
+    e = _edges(spark, sf_dir)
+    srcs = [
+        r[0]
+        for r in e.where(F.col("src") < td.OFF_ORDER)
+        .select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(5)
+        .collect()
+    ]
+    d = multi_source_bfs(e, srcs)
+    return d.groupBy("source").agg(
+        F.max("dist").cast("long").alias("ecc"),
+        F.count("*").cast("long").alias("n_reached"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1251,6 +1345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_split": q_hash_split,
         "docs_mixture_sample": q_mixture_sample,
         "docs_pack_chunks": q_pack_chunks,
+        "docs_repetition": q_docs_repetition,
+        "docs_window_dedup": q_docs_window_dedup,
+        "graph_compose_minplus": q_compose_minplus,
+        "graph_union_labelled": q_union_labelled,
+        "graph_seeded_perm": q_seeded_perm,
+        "graph_ecc_sample": q_ecc_sample,
     }
 
 
@@ -1721,4 +1821,58 @@ b AS (SELECT lang, n_tokens,
 SELECT lang, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS tokens
 FROM b GROUP BY lang, batch_id""",
+        "docs_repetition": """WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents),
+bi AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, n),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS g
+    FROM base WHERE n >= 2) t GROUP BY doc_id, g),
+bia AS (SELECT doc_id, MAX(c) AS top2 FROM bi GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, n - 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS g
+    FROM base WHERE n >= 3) t GROUP BY doc_id, g),
+tria AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+                SUM(c) AS tot3 FROM tri GROUP BY doc_id),
+fr AS (
+  SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+    ROUND(COALESCE((2 * bia.top2) / CAST(b.n AS DOUBLE), 0.0), 6)
+      AS top_bigram_frac,
+    ROUND(COALESCE(tria.dup3 / CAST(tria.tot3 AS DOUBLE), 0.0), 6)
+      AS dup_trigram_frac
+  FROM base b LEFT JOIN bia ON b.doc_id = bia.doc_id
+              LEFT JOIN tria ON b.doc_id = tria.doc_id)
+SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
+  CAST(CASE WHEN top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30
+       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+FROM fr""",
+        "docs_window_dedup": """WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, n - 6),
+                i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+  FROM base WHERE n >= 8),
+cnt AS (SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS c FROM occ),
+per AS (SELECT doc_id, COUNT(*) AS n_windows,
+               SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_windows
+        FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+  CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(COALESCE(per.dup_windows, 0) AS BIGINT) AS dup_windows,
+  ROUND(COALESCE(per.dup_windows / CAST(per.n_windows AS DOUBLE), 0.0), 6)
+    AS dup_frac
+FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
+        "graph_compose_minplus": td.compose_minplus_sql(),
+        "graph_union_labelled": td.union_labelled_boost_sql(),
+        "graph_seeded_perm": td.seeded_perm_sql(seed=42),
+        "graph_ecc_sample": td.ecc_sample_sql(n_sources=5),
     }

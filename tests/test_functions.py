@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from webgraph_spark.functions.dedup import (
@@ -521,3 +522,57 @@ def test_token_budget_sample_mixture(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_repetition_stats_planted(spark):
+    """A doc that is one bigram repeated flags as repetitive; a
+    no-repeat doc does not; a short doc gets zero fractions."""
+    from webgraph_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab cd ab cd ab cd ab cd"),          # one bigram wall
+            (2, "a b c d e f g h i j k l m n o p q r s t"),  # all grams unique
+            (3, "x"),                                # shorter than any gram
+            (4, "p q r p q r s t u v w z"),          # partial repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    # doc 1: "ab cd" occurs 4 times among 7 bigrams -> 8/8 tokens covered
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["repetitive"] == 1
+    # doc 1 trigram "ab cd ab" x3 + "cd ab cd" x3 -> all 6 duplicated
+    assert out[1]["dup_trigram_frac"] == 1.0
+    assert out[2]["top_bigram_frac"] == pytest.approx(2 / 20)
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[2]["repetitive"] == 0
+    assert out[3]["top_bigram_frac"] == 0.0 and out[3]["dup_trigram_frac"] == 0.0
+    # doc 4: "p q r" trigram twice among 10 -> 2/10 duplicated
+    assert out[4]["dup_trigram_frac"] == pytest.approx(0.2)
+
+
+def test_window_dedup_planted(spark):
+    """Two docs sharing an 8-token run show duplicated windows; an
+    unrelated doc shows none; sub-window docs get zero windows."""
+    from webgraph_spark.functions.dedup import window_dedup_stats
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head0 " + shared),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in window_dedup_stats(df, "doc_id", "text", k=8).collect()
+    }
+    # doc1 has 3 windows (10 tokens), exactly one (the shared run) duplicated
+    assert out[1]["n_windows"] == 3 and out[1]["dup_windows"] == 1
+    assert out[2]["n_windows"] == 2 and out[2]["dup_windows"] == 1
+    assert out[3]["n_windows"] == 2 and out[3]["dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
+    assert out[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)

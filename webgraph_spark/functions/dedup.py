@@ -335,3 +335,59 @@ def contamination_check(
             "containment"
         ),
     )
+
+
+# -------------------------------------------------- window (substring) dedup
+
+def window_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact substring-level duplication at token-window granularity
+    (the public Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" ExactSubstr posture, at window = ``k``
+    whitespace tokens instead of a suffix array): every k-token sliding
+    window is hashed (portable md5); a window occurrence is *duplicated*
+    iff its hash occurs more than once in the corpus.
+
+    Returns per document: ``n_windows``, ``dup_windows`` and the rounded
+    ``dup_frac``.
+
+    Scale shape: one explode (rows ~ total tokens), ONE hash-partitioned
+    shuffle on the window hash (count via a partition window function —
+    no second join back), then the per-doc aggregation. Hot windows (a
+    boilerplate sentence duplicated across millions of docs) all land in
+    one partition per hash — the count itself stays O(1) state per key;
+    for adversarial single-hash skew the groupBy path would salt, but the
+    window count here is a streaming count, which AQE splits fine."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+    )
+    wins_arr = F.when(
+        F.col("_n") >= k,
+        F.expr(
+            f"transform(sequence(1, _n - {k - 1}),"
+            f" i -> md5(concat_ws(' ', slice(_toks, i, {k}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("doc_id", F.explode(wins_arr).alias("h"))
+    occ = occ.withColumn("_c", F.count("*").over(Window.partitionBy("h")))
+    per = occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("dup_windows"),
+    )
+    return (
+        base.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias("dup_windows"),
+            F.round(
+                F.coalesce(F.col("dup_windows") / F.col("n_windows"), F.lit(0.0)), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -132,3 +132,79 @@ def lang_id_ngram(texts: pd.Series) -> pd.Series:
 
 def with_language(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
     return df.withColumn(out_col, lang_id_ngram(F.col(text_col)))
+
+
+# ----------------------------------------------------------- repetition
+
+def _ngram_array(toks_col: str, n: int) -> Column:
+    """Array of space-joined n-grams of the token array column; empty
+    array when the document is shorter than n tokens (guarded because
+    Spark's ``sequence(1, x)`` with x < 1 generates a DESCENDING range
+    rather than an empty one)."""
+    expr = F.expr(
+        f"transform(sequence(1, size({toks_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks_col}, i, {n})))"
+    )
+    return F.when(F.size(F.col(toks_col)) >= n, expr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str,
+                     top2_flag: float = 0.18,
+                     dup3_flag: float = 0.30) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1 —
+    public): per document,
+
+    - ``top_bigram_frac``: fraction of tokens covered by the single most
+      frequent bigram (2 * its count / n_tokens);
+    - ``dup_trigram_frac``: fraction of trigram occurrences whose trigram
+      appears more than once in the document;
+    - ``repetitive``: 1 iff either fraction exceeds its flag threshold.
+
+    Entirely JVM-side (split/transform/explode/groupBy with map-side
+    combine); per-document aggregation keys on the document id, so the
+    shuffle is uniform — no hot keys regardless of corpus skew. At
+    cluster scale the explode multiplies rows by ~n_tokens, but each
+    document's grams stay in its input partition until the one
+    (doc_id, gram) aggregation."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            base.select("doc_id", F.explode(_ngram_array("_toks", n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    bi = gram_counts(2).groupBy("doc_id").agg(F.max("c").alias("_top2"))
+    tri = gram_counts(3).groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("_dup3"),
+        F.sum("c").alias("_tot3"),
+    )
+    out = (
+        base.select("doc_id", F.col("_n").alias("n_tokens"))
+        .join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.lit(2) * F.col("_top2") / F.col("n_tokens"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("_dup3") / F.col("_tot3"), F.lit(0.0)), 6
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    return out.withColumn(
+        "repetitive",
+        (
+            (F.col("top_bigram_frac") > top2_flag)
+            | (F.col("dup_trigram_frac") > dup3_flag)
+        ).cast("long"),
+    )

@@ -1149,3 +1149,74 @@ x{k} AS MATERIALIZED (
         "WITH " + ",".join(parts)
         + f"\nSELECT node, ROUND(x, {round_to}) AS katz FROM x{iterations}"
     )
+
+
+def ecc_sample_sql(n_sources: int = 5, max_depth: int = 4) -> str:
+    """Twin of forward eccentricity from the first ``n_sources``
+    customers (examples/BreadthFirst analog): the same level-synchronous
+    unrolled BFS as distance_cdf_sql, aggregated per source."""
+    parts = [EDGES_CTE]
+    parts.append(f"""
+srcs AS (SELECT o_custkey AS source FROM orders GROUP BY o_custkey
+         ORDER BY source LIMIT {n_sources})""")
+    parts.append("""
+v0 AS MATERIALIZED (SELECT source, source AS node, 0 AS dist FROM srcs)""")
+    for k in range(1, max_depth + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT source, node FROM v{j}" for j in range(k)
+        )
+        parts.append(f"""
+v{k} AS MATERIALIZED (SELECT DISTINCT f.source, e.dst AS node, {k} AS dist
+         FROM edges e JOIN v{k - 1} f ON e.src = f.node
+         WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p
+                           WHERE p.source = f.source AND p.node = e.dst))""")
+    all_v = " UNION ALL ".join(
+        f"SELECT source, node, dist FROM v{j}" for j in range(max_depth + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+dists AS ({all_v})
+SELECT source, CAST(MAX(dist) AS BIGINT) AS ecc,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM dists GROUP BY source"""
+    )
+
+
+def seeded_perm_sql(seed: int = 42) -> str:
+    """Twin of the portable seeded random permutation: dense rank over
+    (md5_long(node || ':' || seed), node) — identical total order in both
+    engines — then arc remap."""
+    h = f"('0x' || substr(md5(CAST(node AS VARCHAR) || ':{seed}'), 1, 15))::BIGINT"
+    return f"""WITH {EDGES_CTE},{NODES_CTE},
+dic AS MATERIALIZED (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY {h}, node) - 1 AS target
+  FROM nodes)
+SELECT DISTINCT ds.target AS src, dd.target AS dst
+FROM edges e JOIN dic ds ON e.src = ds.node
+             JOIN dic dd ON e.dst = dd.node"""
+
+
+def compose_minplus_sql() -> str:
+    """Twin of min-plus semiring composition of the customer->order and
+    order->part labelled layers (Transform.compose with LabelSemiring)."""
+    return f"""WITH {LABELLED_EDGES_CTE}
+SELECT a.src, b.dst, CAST(MIN(a.label + b.label) AS BIGINT) AS label
+FROM ledges a JOIN ledges b ON a.dst = b.src
+WHERE a.src < {OFF_ORDER}
+  AND b.src >= {OFF_ORDER} AND b.src < {OFF_PART}
+GROUP BY a.src, b.dst"""
+
+
+def union_labelled_boost_sql() -> str:
+    """Twin of the labelled union with SUM merge: the full labelled arc
+    table unioned with (multiplicity > 1 arcs re-labelled 1) — overlap
+    arcs exercise the merge strategy, singleton arcs pass through."""
+    return f"""WITH {LABELLED_EDGES_CTE},
+boost AS (SELECT src, dst, 1 AS label FROM ledges WHERE label > 1),
+both_arcs AS (
+  SELECT src, dst, label FROM ledges
+  UNION ALL
+  SELECT src, dst, label FROM boost)
+SELECT src, dst, CAST(SUM(label) AS BIGINT) AS label
+FROM both_arcs GROUP BY src, dst"""

@@ -1273,6 +1273,41 @@ def q_ecc_sample(spark, sf_dir):
     )
 
 
+def q_kcore5(spark, sf_dir):
+    """5-core of the simplified TPC-H link graph by iterative degree
+    peeling (not a reference operator — first-class dense-subgraph
+    analytic; one degree shuffle + two semi-joins per round, shrinking
+    monotonically). Oracle: 8 unrolled peel rounds (fixpoint is 4 at
+    both sf0.001 and sf0.01; extra rounds are no-ops)."""
+    from webgraph_spark.algos.kcore import kcore
+
+    return kcore(_edges(spark, sf_dir), k=5)
+
+
+def q_docs_pii(spark, sf_dir):
+    """PII scrub pass (emails / IPv4s / phone numbers -> typed
+    placeholders). The synthetic corpus carries no PII, so the query
+    plants a deterministic contact line per doc, then counts matches per
+    class and fingerprints the scrubbed output — the oracle re-runs the
+    identical RE2-safe patterns in DuckDB."""
+    from webgraph_spark.functions.pii import pii_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_stats(aug, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1351,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_union_labelled": q_union_labelled,
         "graph_seeded_perm": q_seeded_perm,
         "graph_ecc_sample": q_ecc_sample,
+        "graph_kcore5": q_kcore5,
+        "docs_pii_scrub": q_docs_pii,
     }
 
 
@@ -1412,6 +1449,37 @@ def _simhash_sql() -> str:
 hh AS (SELECT id, (('0x' || substr(md5(tk), 1, 15))::BIGINT % 65536) AS h FROM tok),
 bits AS (SELECT id, {bit_sums} FROM hh GROUP BY id)
 SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM bits"""
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    from webgraph_spark.algos.kcore import peel_rounds_sql
+
+    return (
+        f"WITH {td.EDGES_CTE},{td.SYM_CTE},"
+        + peel_rounds_sql(k, rounds)
+        + "\nSELECT node, deg FROM core"
+    )
+
+
+def _pii_sql() -> str:
+    from webgraph_spark.functions.pii import PII_PATTERNS
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.2.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 call +1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "t"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
+SELECT doc_id, {counts},
+  ('0x' || substr(md5({scrub}), 1, 15))::BIGINT AS scrubbed_fp
+FROM aug"""
 
 
 def _text_stats_sql() -> str:
@@ -1875,4 +1943,6 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
         "graph_union_labelled": td.union_labelled_boost_sql(),
         "graph_seeded_perm": td.seeded_perm_sql(seed=42),
         "graph_ecc_sample": td.ecc_sample_sql(n_sources=5),
+        "graph_kcore5": _kcore_sql(k=5, rounds=8),
+        "docs_pii_scrub": _pii_sql(),
     }

@@ -225,3 +225,17 @@ def test_cc_stars_self_loops_and_isolates(spark):
     res = connected_components_stars(g)
     got = {r.node: r.component for r in res.labels.collect()}
     assert got == {7: 7, 9: 9, 1: 1, 2: 1}
+
+
+def test_kcore_planted(spark):
+    """6-clique + pendant path: the 3-core is exactly the clique (all
+    in-core degrees 5); k larger than the max core is empty."""
+    from webgraph_spark.algos.kcore import kcore
+
+    clique = [(i, j) for i in range(6) for j in range(6) if i < j]
+    path = [(5, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(clique + path, "src long, dst long")
+    core3 = kcore(e, k=3).collect()
+    assert sorted(r["node"] for r in core3) == [0, 1, 2, 3, 4, 5]
+    assert all(r["deg"] == 5 for r in core3)
+    assert kcore(e, k=6).count() == 0

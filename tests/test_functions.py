@@ -576,3 +576,23 @@ def test_window_dedup_planted(spark):
     assert out[3]["n_windows"] == 2 and out[3]["dup_windows"] == 0
     assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
     assert out[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_pii_scrub_planted(spark):
+    """Each PII class is counted and replaced; clean text untouched."""
+    from webgraph_spark.functions.pii import pii_stats, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo.org and d@bar.io, ip 192.168.0.1, tel +44 20 7946 0958"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_ip"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_email"] == 0 and out[2]["n_ip"] == 0 and out[2]["n_phone"] == 0
+    scrubbed = df.select("doc_id", scrub_pii(F.col("text")).alias("s")).collect()
+    s1 = next(r["s"] for r in scrubbed if r["doc_id"] == 1)
+    assert "<EMAIL>" in s1 and "<IP>" in s1 and "<PHONE>" in s1
+    assert "foo.org" not in s1 and "192.168" not in s1

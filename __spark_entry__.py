@@ -1308,6 +1308,17 @@ def q_docs_pii(spark, sf_dir):
     return pii_stats(aug, "doc_id", "text")
 
 
+def q_coreness(spark, sf_dir):
+    """Full core decomposition by the h-index iteration (Lü et al. 2016:
+    iterating per-node h-index of neighbour values from degree converges
+    to coreness). Oracle: 10 unrolled h-index rounds (fixpoint is 6/5
+    rounds at sf0.001/sf0.01; the operator is a no-op past it)."""
+    from webgraph_spark.algos.kcore import coreness
+
+    out = coreness(_edges(spark, sf_dir))
+    return out.select("node", F.col("c").alias("coreness"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1388,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ecc_sample": q_ecc_sample,
         "graph_kcore5": q_kcore5,
         "docs_pii_scrub": q_docs_pii,
+        "graph_coreness": q_coreness,
     }
 
 
@@ -1449,6 +1461,16 @@ def _simhash_sql() -> str:
 hh AS (SELECT id, (('0x' || substr(md5(tk), 1, 15))::BIGINT % 65536) AS h FROM tok),
 bits AS (SELECT id, {bit_sums} FROM hh GROUP BY id)
 SELECT id, CAST({assemble} AS BIGINT) AS simhash FROM bits"""
+
+
+def _coreness_sql(rounds: int) -> str:
+    from webgraph_spark.algos.kcore import coreness_rounds_sql
+
+    return (
+        f"WITH {td.EDGES_CTE},{td.SYM_CTE},"
+        + coreness_rounds_sql(rounds)
+        + "\nSELECT node, coreness FROM core_final"
+    )
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -1945,4 +1967,5 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
         "graph_ecc_sample": td.ecc_sample_sql(n_sources=5),
         "graph_kcore5": _kcore_sql(k=5, rounds=8),
         "docs_pii_scrub": _pii_sql(),
+        "graph_coreness": _coreness_sql(rounds=10),
     }

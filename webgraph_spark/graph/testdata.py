@@ -330,8 +330,8 @@ GROUP BY t"""
     )
 
 
-def cc_sql(rounds: int = 8) -> str:
-    """Unrolled k-round hash-min connected components."""
+def _cc_parts(rounds: int) -> list[str]:
+    """The unrolled hash-min CC recurrence CTEs (labels in ``l{rounds}``)."""
     parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
     parts.append("""
 l0 AS MATERIALIZED (SELECT node, node AS component FROM nodes)""")
@@ -344,7 +344,36 @@ m{k} AS MATERIALIZED (SELECT s.dst AS node, MIN(l.component) AS mn
 l{k} AS MATERIALIZED (SELECT l.node,
          LEAST(l.component, COALESCE(m.mn, l.component)) AS component
          FROM {prev} l LEFT JOIN m{k} m ON l.node = m.node)""")
-    return "WITH " + ",".join(parts) + f"\nSELECT node, component FROM l{rounds}"
+    return parts
+
+
+def cc_sql(rounds: int = 8) -> str:
+    """Unrolled k-round hash-min connected components."""
+    return (
+        "WITH " + ",".join(_cc_parts(rounds))
+        + f"\nSELECT node, component FROM l{rounds}"
+    )
+
+
+def extract_component_sql(rounds: int = 8) -> str:
+    """Twin of tool/ExtractComponent.java: largest component's
+    node-induced subgraph of the DIRECTED edge table, re-indexed to
+    dense ids in node order (the ImmutableSubgraph translation)."""
+    parts = _cc_parts(rounds)
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+comp AS (SELECT component, COUNT(*) AS sz FROM l{rounds} GROUP BY component),
+topc AS (SELECT component FROM comp ORDER BY sz DESC, component LIMIT 1),
+keepn AS (SELECT node FROM l{rounds} JOIN topc USING (component)),
+dic AS MATERIALIZED (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS target FROM keepn),
+sub AS (SELECT e.src, e.dst FROM edges e
+        JOIN keepn a ON e.src = a.node JOIN keepn b ON e.dst = b.node)
+SELECT DISTINCT ds.target AS src, dd.target AS dst
+FROM sub JOIN dic ds ON sub.src = ds.node
+         JOIN dic dd ON sub.dst = dd.node"""
+    )
 
 
 def lp_sql(rounds: int = 3) -> str:

@@ -71,4 +71,18 @@ def assign_dense_ids(
             pos += len(pdf)
             yield out
 
-    return sorted_df.mapInPandas(add_ids, schema=out_schema)
+    out = sorted_df.mapInPandas(add_ids, schema=out_schema)
+    # Materialize the assignment EXACTLY ONCE. When the returned
+    # dictionary appears twice in one plan (map_nodes joins it against
+    # both src and dst), Spark re-executes this subtree per branch, and
+    # repartitionByRange samples fresh range bounds on each execution —
+    # the two branches can then disagree on node->id (observed: 16k/18k
+    # nodes differing between the src- and dst-side evaluations, arcs
+    # silently merged by the downstream distinct). persist +
+    # localCheckpoint pins one evaluation (plans/iterate.py posture); at
+    # cluster scale this is the dictionary's durable table write.
+    cached = out.persist()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    sorted_df.unpersist()
+    return out

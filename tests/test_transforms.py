@@ -348,3 +348,20 @@ def test_bidirectional_graph_views(spark):
     bwd = sorted((r.dst, r.src) for r in bg.bwd.collect())
     assert fwd == bwd
     bg.unpersist()
+
+
+def test_assign_dense_ids_stable_under_plan_duplication(spark):
+    """Regression: the dictionary used on BOTH sides of a join (the
+    map_nodes shape) must be one evaluation, not two — re-executed
+    range partitioning samples fresh bounds and can disagree between
+    branches, silently corrupting remaps."""
+    from webgraph_spark.util.ids import assign_dense_ids
+
+    df = spark.range(0, 5000).select(F.col("id").alias("node"))
+    idm = assign_dense_ids(df, ["node"], id_col="target")
+    a = idm.select("node", F.col("target").alias("t1"))
+    b = idm.select("node", F.col("target").alias("t2"))
+    assert a.join(b, "node").where("t1 <> t2").count() == 0
+    # and the assignment is the total order over the key
+    rows = idm.orderBy("node").collect()
+    assert [r["target"] for r in rows] == list(range(5000))

@@ -314,6 +314,26 @@ def q_gray_gamma_bits(spark, sf_dir):
     return _gamma_row(g, spark)
 
 
+def q_hostgray_gamma_bits(spark, sf_dir):
+    """Group-major Gray ordering (hostByHostGrayCodePermutation,
+    Transform.java:2455-2516): the node-id layer (customer/order/part/
+    supplier decade) plays the host; the Gray sort runs within each
+    group. Oracle replicates the group-major rank bit-for-bit."""
+    from webgraph_spark.operators.transforms import gray_code_permutation
+
+    e = _edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    groups = nodes.withColumn(
+        "group", F.floor(F.col("node") / F.lit(td.OFF_ORDER)).cast("long")
+    )
+    g, _ = gray_code_permutation(e, groups)
+    return _gamma_row(g, spark)
+
+
 # ------------------------------------------------------------- documents
 
 def _docs(spark, sf_dir):
@@ -1414,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii,
         "graph_coreness": q_coreness,
         "graph_extract_component": q_extract_component,
+        "graph_hostgray_gamma_bits": q_hostgray_gamma_bits,
     }
 
 
@@ -1983,4 +2004,7 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
         "docs_pii_scrub": _pii_sql(),
         "graph_coreness": _coreness_sql(rounds=10),
         "graph_extract_component": td.extract_component_sql(rounds=8),
+        "graph_hostgray_gamma_bits": td.gray_gamma_bits_sql(
+            group_expr=f"CAST(FLOOR(node / {td.OFF_ORDER}) AS BIGINT)"
+        ),
     }

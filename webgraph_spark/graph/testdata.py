@@ -534,10 +534,13 @@ def zeta3_bits_sql() -> str:
     return f"WITH {EDGES_CTE},{_ZETA3_TAIL}"
 
 
-def gray_gamma_bits_sql() -> str:
+def gray_gamma_bits_sql(group_expr: str | None = None) -> str:
     """Twin of gray_code_permutation + gamma_bits_per_link: rebuilds the
     prefix-XOR Gray array key (transforms._succ_key) in SQL, dense-ranks
-    it, relabels the arcs, and costs the result under the gamma model."""
+    it, relabels the arcs, and costs the result under the gamma model.
+    ``group_expr`` (over ``node``) makes the rank group-major — the
+    hostByHostGrayCodePermutation twin (Transform.java:2455-2516)."""
+    grp = f"{group_expr}, " if group_expr else ""
     return f"""WITH {EDGES_CTE}, {NODES_CTE},
 succ AS MATERIALIZED (SELECT src AS node, list_sort(list(dst)) AS s
                       FROM (SELECT DISTINCT src, dst FROM edges) e GROUP BY src),
@@ -553,7 +556,7 @@ gkey AS (
                 ELSE -{_GRAY_BIG_SQL} END) AS k
   FROM keyed),
 perm AS MATERIALIZED (
-  SELECT node, ROW_NUMBER() OVER (ORDER BY k, node) - 1 AS target FROM gkey),
+  SELECT node, ROW_NUMBER() OVER (ORDER BY {grp}k, node) - 1 AS target FROM gkey),
 edges2 AS MATERIALIZED (
   SELECT DISTINCT ps.target AS src, pd.target AS dst
   FROM edges e

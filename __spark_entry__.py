@@ -334,6 +334,24 @@ def q_hostgray_gamma_bits(spark, sf_dir):
     return _gamma_row(g, spark)
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (DeepWalk/node2vec sampling):
+    2 walks of length 4 from each of the 5 smallest customer sources;
+    step choice = portable md5(walk:step:node) mod outdeg over the
+    dst-sorted successor index — the oracle replays identical walks."""
+    from webgraph_spark.algos.walks import random_walks
+
+    e = _edges(spark, sf_dir)
+    srcs = (
+        e.where(F.col("src") < td.OFF_ORDER)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+    )
+    return random_walks(e, srcs, length=4, n_walks=2)
+
+
 # ------------------------------------------------------------- documents
 
 def _docs(spark, sf_dir):
@@ -1435,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": q_coreness,
         "graph_extract_component": q_extract_component,
         "graph_hostgray_gamma_bits": q_hostgray_gamma_bits,
+        "graph_random_walks": q_random_walks,
     }
 
 
@@ -1505,6 +1524,17 @@ def _coreness_sql(rounds: int) -> str:
         f"WITH {td.EDGES_CTE},{td.SYM_CTE},"
         + coreness_rounds_sql(rounds)
         + "\nSELECT node, coreness FROM core_final"
+    )
+
+
+def _random_walks_sql() -> str:
+    from webgraph_spark.algos.walks import random_walks_sql
+
+    return (
+        f"""WITH {td.EDGES_CTE},
+wsrc AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
+         ORDER BY node LIMIT 5),"""
+        + random_walks_sql(length=4, n_walks=2)
     )
 
 
@@ -2007,4 +2037,5 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
         "graph_hostgray_gamma_bits": td.gray_gamma_bits_sql(
             group_expr=f"CAST(FLOOR(node / {td.OFF_ORDER}) AS BIGINT)"
         ),
+        "graph_random_walks": _random_walks_sql(),
     }

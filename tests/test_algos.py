@@ -277,3 +277,29 @@ def test_coreness_vs_peel(spark):
     want = peel_coreness([(r["src"], r["dst"]) for r in e.collect()])
     got = {r["node"]: r["c"] for r in coreness(e).collect()}
     assert got == want
+
+
+def test_random_walks_valid_and_deterministic(spark):
+    """Every step follows an arc, walks restart identically, dangling
+    ends truncate."""
+    from webgraph_spark.algos.walks import random_walks
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )  # 4 is dangling
+    srcs = spark.createDataFrame([(0,)], "node long")
+    w1 = random_walks(e, srcs, length=6, n_walks=3).collect()
+    w2 = random_walks(e, srcs, length=6, n_walks=3).collect()
+    key = lambda rows: sorted((r["walk_id"], r["step"], r["node"]) for r in rows)
+    assert key(w1) == key(w2)
+    arcs = {(r["src"], r["dst"]) for r in e.collect()}
+    byw = {}
+    for r in w1:
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for wid, steps in byw.items():
+        assert steps[0] == 0
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in arcs
+        # if the walk ended early, it must have ended at the dangling node
+        if max(steps) < 6:
+            assert steps[max(steps)] == 4

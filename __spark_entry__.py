@@ -352,6 +352,29 @@ def q_random_walks(spark, sf_dir):
     return random_walks(e, srcs, length=4, n_walks=2)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Link-prediction scores (Liben-Nowell & Kleinberg 2003): common
+    neighbours / Jaccard / Adamic-Adar for all pairs among the 20
+    smallest customers, on the simplified graph. AA terms are rounded
+    then decimal-summed so both engines agree order-independently."""
+    from webgraph_spark.algos.linkpred import link_prediction_scores
+
+    e = _edges(spark, sf_dir)
+    custs = (
+        e.where(F.col("src") < td.OFF_ORDER)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(20)
+    )
+    ids = [r["node"] for r in custs.collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]],
+        "a long, b long",
+    )
+    return link_prediction_scores(e, pairs)
+
+
 # ------------------------------------------------------------- documents
 
 def _docs(spark, sf_dir):
@@ -1454,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_extract_component": q_extract_component,
         "graph_hostgray_gamma_bits": q_hostgray_gamma_bits,
         "graph_random_walks": q_random_walks,
+        "graph_link_prediction": q_link_prediction,
     }
 
 
@@ -1525,6 +1549,32 @@ def _coreness_sql(rounds: int) -> str:
         + coreness_rounds_sql(rounds)
         + "\nSELECT node, coreness FROM core_final"
     )
+
+
+def _link_prediction_sql() -> str:
+    return f"""WITH {td.EDGES_CTE},{td.SYM_CTE},
+custs AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
+          ORDER BY node LIMIT 20),
+prs AS (SELECT a.node AS a, b.node AS b FROM custs a JOIN custs b
+        ON a.node < b.node),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+wed AS (
+  SELECT p.a, p.b, COUNT(*) AS common,
+         CAST(SUM(ROUND(1.0 / ln(d.deg), 9)::DECIMAL(38,9)) AS DOUBLE) AS aa
+  FROM prs p
+  JOIN sym na ON na.src = p.a
+  JOIN sym nb ON nb.src = p.b AND nb.dst = na.dst
+  JOIN deg d ON d.src = na.dst
+  GROUP BY p.a, p.b)
+SELECT p.a, p.b,
+  CAST(COALESCE(w.common, 0) AS BIGINT) AS common,
+  ROUND(COALESCE(w.common / CAST(da.deg + db.deg - w.common AS DOUBLE), 0.0), 6)
+    AS jaccard,
+  ROUND(COALESCE(w.aa, 0.0), 6) AS adamic_adar
+FROM prs p
+LEFT JOIN wed w ON w.a = p.a AND w.b = p.b
+LEFT JOIN deg da ON da.src = p.a
+LEFT JOIN deg db ON db.src = p.b"""
 
 
 def _random_walks_sql() -> str:
@@ -2038,4 +2088,5 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
             group_expr=f"CAST(FLOOR(node / {td.OFF_ORDER}) AS BIGINT)"
         ),
         "graph_random_walks": _random_walks_sql(),
+        "graph_link_prediction": _link_prediction_sql(),
     }

@@ -303,3 +303,27 @@ def test_random_walks_valid_and_deterministic(spark):
         # if the walk ended early, it must have ended at the dangling node
         if max(steps) < 6:
             assert steps[max(steps)] == 4
+
+
+def test_link_prediction_planted(spark):
+    """Hand-checkable 5-node graph: AA and Jaccard match numpy math."""
+    import math
+
+    from webgraph_spark.algos.linkpred import link_prediction_scores
+
+    # undirected: 0-2, 1-2, 0-3, 1-3, 3-4  (common nbrs of (0,1) = {2,3})
+    e = spark.createDataFrame(
+        [(0, 2), (1, 2), (0, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    pairs = spark.createDataFrame([(0, 1), (0, 4), (2, 4)], "a long, b long")
+    out = {(r["a"], r["b"]): r for r in link_prediction_scores(e, pairs).collect()}
+    r01 = out[(0, 1)]
+    assert r01["common"] == 2
+    # deg: 0->2, 1->2, 2->2, 3->3, 4->1 ; jaccard = 2/(2+2-2) = 1.0
+    assert r01["jaccard"] == 1.0
+    want_aa = round(round(1 / math.log(2), 9) + round(1 / math.log(3), 9), 6)
+    assert r01["adamic_adar"] == want_aa
+    # (0,4): common = {3}; jaccard = 1/(2+1-1) = 0.5
+    assert out[(0, 4)]["common"] == 1 and out[(0, 4)]["jaccard"] == 0.5
+    # (2,4): no common neighbours -> zeros, row preserved
+    assert out[(2, 4)]["common"] == 0 and out[(2, 4)]["adamic_adar"] == 0.0

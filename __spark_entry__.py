@@ -375,6 +375,72 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction_scores(e, pairs)
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient: triangles_per_node over
+    the degree-oriented wedge join, degree from the simplified graph,
+    cc = 2T / d(d-1). Nodes below degree 2 report 0."""
+    from webgraph_spark.algos.triangles import triangles_per_node
+    from webgraph_spark.operators.transforms import simplify
+
+    e = _edges(spark, sf_dir)
+    tri = triangles_per_node(e)
+    deg = (
+        simplify(e).groupBy("src").agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0)
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the simplified graph:
+    Pearson correlation of endpoint degrees over the symmetric arc
+    list. The three moments are EXACT int64 sums (degrees are
+    integers), so both engines compute the identical final double."""
+    from webgraph_spark.operators.transforms import simplify
+
+    sym = simplify(_edges(spark, sf_dir))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    j = (
+        sym.join(deg.select(F.col("src"), F.col("deg").alias("dj")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dk")), "dst"
+        )
+    )
+    agg = j.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+        F.sum("dj").alias("sj"),
+        F.sum(F.col("dj") * F.col("dj")).alias("sj2"),
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("n_sym_arcs"),
+        F.round(
+            (
+                F.col("m").cast("double") * F.col("sjk")
+                - F.col("sj").cast("double") * F.col("sj")
+            )
+            / (
+                F.col("m").cast("double") * F.col("sj2")
+                - F.col("sj").cast("double") * F.col("sj")
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 # ------------------------------------------------------------- documents
 
 def _docs(spark, sf_dir):
@@ -1478,6 +1544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hostgray_gamma_bits": q_hostgray_gamma_bits,
         "graph_random_walks": q_random_walks,
         "graph_link_prediction": q_link_prediction,
+        "graph_clustering_coeff": q_clustering_coeff,
+        "graph_assortativity": q_assortativity,
     }
 
 
@@ -1549,6 +1617,50 @@ def _coreness_sql(rounds: int) -> str:
         + coreness_rounds_sql(rounds)
         + "\nSELECT node, coreness FROM core_final"
     )
+
+
+def _clustering_sql() -> str:
+    return f"""WITH {td.EDGES_CTE},
+und AS (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY src),
+orient AS MATERIALIZED (
+  SELECT u.src, u.dst FROM und u
+  JOIN deg ds ON ds.node = u.src
+  JOIN deg dd ON dd.node = u.dst
+  WHERE ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM orient e1
+  JOIN orient e2 ON e1.dst = e2.src
+  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (
+  SELECT u AS node FROM tri UNION ALL
+  SELECT v FROM tri UNION ALL
+  SELECT w FROM tri),
+pt AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node)
+SELECT d.node, CAST(d.d AS BIGINT) AS deg,
+  CAST(COALESCE(pt.t, 0) AS BIGINT) AS triangles,
+  ROUND(CASE WHEN d.d >= 2
+        THEN 2.0 * COALESCE(pt.t, 0) / (d.d * (d.d - 1))
+        ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN pt ON d.node = pt.node"""
+
+
+def _assortativity_sql() -> str:
+    return f"""WITH {td.EDGES_CTE},{td.SYM_CTE},
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+j AS (SELECT a.deg AS dj, b.deg AS dk
+      FROM sym s JOIN deg a ON s.src = a.src JOIN deg b ON s.dst = b.src),
+m AS (SELECT COUNT(*) AS m, SUM(dj * dk) AS sjk, SUM(dj) AS sj,
+             SUM(dj * dj) AS sj2 FROM j)
+SELECT CAST(m AS BIGINT) AS n_sym_arcs,
+  ROUND((CAST(m AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
+      / (CAST(m AS DOUBLE) * sj2 - CAST(sj AS DOUBLE) * sj), 6)
+    AS assortativity
+FROM m"""
 
 
 def _link_prediction_sql() -> str:
@@ -2089,4 +2201,6 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
         ),
         "graph_random_walks": _random_walks_sql(),
         "graph_link_prediction": _link_prediction_sql(),
+        "graph_clustering_coeff": _clustering_sql(),
+        "graph_assortativity": _assortativity_sql(),
     }

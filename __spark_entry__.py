@@ -441,6 +441,28 @@ def q_assortativity(spark, sf_dir):
     )
 
 
+def q_avg_neighbor_degree(spark, sf_dir):
+    """Average-nearest-neighbour degree per node (the ANND curve that
+    complements scalar assortativity): mean neighbour degree over the
+    simplified graph — integer sum / integer count, identical double."""
+    from webgraph_spark.operators.transforms import simplify
+
+    sym = simplify(_edges(spark, sf_dir))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    j = sym.join(
+        deg.select(F.col("src").alias("dst"), F.col("deg").alias("dk")), "dst"
+    )
+    return (
+        j.groupBy("src")
+        .agg(F.count("*").alias("d"), F.sum("dk").alias("sk"))
+        .select(
+            F.col("src").alias("node"),
+            F.col("d").cast("long").alias("deg"),
+            F.round(F.col("sk") / F.col("d"), 6).alias("avg_nbr_deg"),
+        )
+    )
+
+
 # ------------------------------------------------------------- documents
 
 def _docs(spark, sf_dir):
@@ -1546,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_prediction": q_link_prediction,
         "graph_clustering_coeff": q_clustering_coeff,
         "graph_assortativity": q_assortativity,
+        "graph_avg_nbr_degree": q_avg_neighbor_degree,
     }
 
 
@@ -2203,4 +2226,10 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
         "graph_link_prediction": _link_prediction_sql(),
         "graph_clustering_coeff": _clustering_sql(),
         "graph_assortativity": _assortativity_sql(),
+        "graph_avg_nbr_degree": f"""WITH {td.EDGES_CTE},{td.SYM_CTE},
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src)
+SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS deg,
+       ROUND(SUM(b.deg) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_nbr_deg
+FROM sym s JOIN deg b ON s.dst = b.src
+GROUP BY s.src""",
     }

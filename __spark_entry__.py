@@ -34,6 +34,7 @@ from webgraph_spark.functions.dedup import (
 )
 from webgraph_spark.functions.hashing import MERSENNE_P, hash_family
 from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
+from webgraph_spark.functions import retrieval as _retrieval
 from webgraph_spark.functions.text import STOPWORDS_EN, text_stats
 from webgraph_spark.graph import testdata as td
 from webgraph_spark.operators.csr import pack_csr, unpack_csr
@@ -1481,6 +1482,75 @@ def q_extract_component(spark, sf_dir):
     return sub
 
 
+def q_sssp6(spark, sf_dir):
+    """Weighted shortest distances: 6 synchronous Bellman-Ford rounds
+    over the labelled edge table (weight = arc multiplicity) from the
+    customer nodes with key < 100. Integer distances — exact compare."""
+    from webgraph_spark.algos.paths import sssp
+
+    e = td.tpch_edges_labelled(spark, sf_dir)
+    sources = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") < 100)
+    )
+    res = sssp(e, sources, weight_col="label", rounds=6, num_partitions=16)
+    return res.distances.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def q_dag_layers(spark, sf_dir):
+    """Longest-path layering of the (structurally acyclic) TPC-H link
+    graph: 4 max-propagation rounds reach the fixpoint (longest path 3)."""
+    from webgraph_spark.algos.paths import dag_layers
+
+    res = dag_layers(_edges(spark, sf_dir), rounds=4, num_partitions=16)
+    return res.layers.select("node", F.col("layer").cast("long").alias("layer"))
+
+
+def q_eigenvector8(spark, sf_dir):
+    """Eigenvector centrality: 8 L1-normalized power-iteration rounds on
+    the simplified (symmetrized, loop-free) graph — on the directed DAG
+    the iterate drains to zero past the longest path, so the undirected
+    score is the meaningful one."""
+    from webgraph_spark.algos.spectral import eigenvector_centrality
+    from webgraph_spark.operators.transforms import simplify
+
+    return eigenvector_centrality(
+        simplify(_edges(spark, sf_dir)), iters=8, num_partitions=16, round_to=9
+    )
+
+
+def q_salsa4(spark, sf_dir):
+    """SALSA authority chain, 4 rounds from uniform-over-authorities."""
+    from webgraph_spark.algos.spectral import salsa_authority
+
+    return salsa_authority(
+        _edges(spark, sf_dir), iters=4, num_partitions=16, round_to=9
+    )
+
+
+BM25_QUERY_TERMS = ["data", "model", "learning", "spark", "graph"]
+
+
+def q_bm25_top10(spark, sf_dir):
+    """Okapi BM25 top-10 documents for a fixed bag-of-terms query
+    (inverted-index DataFrame plan; ties break on doc_id)."""
+    from webgraph_spark.functions.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, BM25_QUERY_TERMS, k=10)
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Corpus-trained add-one bigram LM: per-document mean negative
+    log2 bigram probability (the statistical perplexity filter)."""
+    from webgraph_spark.functions.retrieval import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_scores(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1569,6 +1639,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coeff": q_clustering_coeff,
         "graph_assortativity": q_assortativity,
         "graph_avg_nbr_degree": q_avg_neighbor_degree,
+        "graph_sssp6": q_sssp6,
+        "graph_dag_layers": q_dag_layers,
+        "graph_eigenvector8": q_eigenvector8,
+        "graph_salsa4": q_salsa4,
+        "docs_bm25_top10": q_bm25_top10,
+        "docs_bigram_lm": q_bigram_lm,
     }
 
 
@@ -2232,4 +2308,10 @@ SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS deg,
        ROUND(SUM(b.deg) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_nbr_deg
 FROM sym s JOIN deg b ON s.dst = b.src
 GROUP BY s.src""",
+        "graph_sssp6": td.sssp_sql(rounds=6, source_pred="node < 100"),
+        "graph_dag_layers": td.dag_layers_sql(rounds=4),
+        "graph_eigenvector8": td.eigenvector_sql(iters=8, round_to=9),
+        "graph_salsa4": td.salsa_sql(iters=4, round_to=9),
+        "docs_bm25_top10": _retrieval.bm25_topk_sql(BM25_QUERY_TERMS, k=10),
+        "docs_bigram_lm": _retrieval.bigram_lm_sql(),
     }

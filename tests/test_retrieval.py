@@ -1,0 +1,114 @@
+"""BM25 and bigram-LM scoring vs independent Python models."""
+
+import math
+import re
+
+import pytest
+
+from webgraph_spark.functions.retrieval import bigram_lm_scores, bm25_topk
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "spark graph processing at scale with data frames"),
+    (2, "model training data pipelines need dedup and quality"),
+    (3, "graph model of the data; spark, spark, spark!"),
+    (4, "tiny"),
+    (5, ""),
+    (6, "Data DATA data learning LEARNING"),
+]
+
+
+def _tok(t):
+    return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+
+def _bm25_py(docs, terms, k1=1.2, b=0.75):
+    toks = {d: _tok(t) for d, t in docs}
+    dls = {d: len(ts) for d, ts in toks.items() if ts}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    scores = {}
+    for term in terms:
+        df = sum(1 for ts in toks.values() if term in ts)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, ts in toks.items():
+            tf = ts.count(term)
+            if tf:
+                scores[d] = scores.get(d, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dls[d] / avgdl)
+                )
+    return scores
+
+
+def test_bm25_vs_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = bm25_topk(df, ["data", "spark", "graph"], k=10).collect()
+    want = _bm25_py(DOCS, ["data", "spark", "graph"])
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert abs(got[d] - s) < 1e-5
+    # descending by score, doc_id tiebreak
+    rows = [(r["score"], r["doc_id"]) for r in out]
+    assert rows == sorted(rows, key=lambda t: (-t[0], t[1]))
+
+
+def test_bm25_topk_cut(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = bm25_topk(df, ["data"], k=2).collect()
+    assert len(out) == 2
+    want = _bm25_py(DOCS, ["data"])
+    best = sorted(want.items(), key=lambda t: (-round(t[1], 6), t[0]))[:2]
+    assert [r["doc_id"] for r in out] == [d for d, _ in best]
+
+
+def _bigram_py(docs):
+    toks = {d: _tok(t) for d, t in docs}
+    c2, c1 = {}, {}
+    vocab = set()
+    for ts in toks.values():
+        for w in ts:
+            c1[w] = c1.get(w, 0) + 1
+            vocab.add(w)
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    v = len(vocab)
+    out = {}
+    for d, ts in toks.items():
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            out[d] = (0, None)
+            continue
+        nll = [
+            -math.log2((c2[(a, b)] + 1) / (c1[a] + v)) for a, b in bgs
+        ]
+        out[d] = (len(bgs), sum(nll) / len(nll))
+    return out
+
+
+def test_bigram_lm_vs_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    want = _bigram_py(DOCS)
+    assert set(out) == set(want)
+    for d, (nb, sc) in want.items():
+        assert out[d][0] == nb
+        if sc is None:
+            assert out[d][1] is None
+        else:
+            assert abs(out[d][1] - sc) < 1e-5
+
+
+def test_bigram_lm_short_docs_null(spark):
+    df = spark.createDataFrame(
+        [(0, "one"), (1, ""), (2, "two words")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert out[0]["n_bigrams"] == 0 and out[0]["lm_score"] is None
+    assert out[1]["n_bigrams"] == 0 and out[1]["lm_score"] is None
+    assert out[2]["n_bigrams"] == 1 and out[2]["lm_score"] is not None

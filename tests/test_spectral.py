@@ -66,3 +66,71 @@ def test_hits_star_extremes(spark):
     for i in range(1, 6):
         assert got[i][0] == pytest.approx(0.0)
         assert got[i][1] == pytest.approx(0.2)
+
+
+# ------------------------- eigenvector centrality + SALSA (round 3)
+
+def _eigen_numpy(adj, iters):
+    n = adj.shape[0]
+    x = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        y = adj.T.astype(float) @ x
+        s = y.sum()
+        x = y / s if s > 0 else np.zeros(n)
+    return x
+
+
+def _salsa_numpy(adj, iters):
+    n = adj.shape[0]
+    ind = adj.sum(axis=0)
+    outd = adj.sum(axis=1)
+    auth_nodes = ind > 0
+    a = np.where(auth_nodes, 1.0 / auth_nodes.sum(), 0.0)
+    for _ in range(iters):
+        h = adj.astype(float) @ np.divide(
+            a, ind, out=np.zeros(n), where=ind > 0
+        )
+        a = adj.T.astype(float) @ np.divide(
+            h, outd, out=np.zeros(n), where=outd > 0
+        )
+    return a
+
+
+@pytest.mark.parametrize("n,p,seed", [(50, 0.08, 61)])
+def test_eigenvector_vs_numpy(spark, n, p, seed):
+    from webgraph_spark.algos.spectral import eigenvector_centrality
+    from webgraph_spark.operators.transforms import simplify
+
+    edges = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    sym = ((adj | adj.T) & ~np.eye(n, dtype=bool))
+    out = eigenvector_centrality(simplify(edges), iters=8).toPandas()
+    got = np.zeros(n)
+    got[out["node"].to_numpy()] = out["score"].to_numpy()
+    want = _eigen_numpy(sym, 8)
+    present = sym.any(axis=1)
+    np.testing.assert_allclose(got[present], want[present], atol=1e-12)
+
+
+def test_eigenvector_dag_drains_to_zero(spark):
+    from webgraph_spark.algos.spectral import eigenvector_centrality
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = eigenvector_centrality(edges, iters=5).toPandas()
+    assert (out["score"] == 0.0).all()
+
+
+@pytest.mark.parametrize("n,p,seed", [(50, 0.08, 62)])
+def test_salsa_vs_numpy(spark, n, p, seed):
+    from webgraph_spark.algos.spectral import salsa_authority
+
+    edges = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    out = salsa_authority(edges, iters=4).toPandas()
+    got = np.zeros(n)
+    got[out["node"].to_numpy()] = out["auth"].to_numpy()
+    want = _salsa_numpy(adj, 4)
+    nz = want > 0
+    np.testing.assert_allclose(got[nz], want[nz], atol=1e-12)
+    # stochastic chain: mass preserved
+    assert abs(out["auth"].sum() - 1.0) < 1e-9

@@ -1,0 +1,183 @@
+"""Weighted shortest paths and DAG layering as iterative DataFrame jobs.
+
+Beyond-reference additions (SURVEY.md §2.12): the reference's traversal
+surface is unweighted BFS (ParallelBreadthFirstVisit.java:44-110); a
+link-graph user with arc labels (multiplicities, costs) also needs
+
+- :func:`sssp` — synchronous Bellman-Ford relaxation over a labelled
+  edge table: dist_{t+1}(v) = min(dist_t(v), min_{u->v} dist_t(u) + w).
+  Each round is ONE co-partitioned join (edges x current frontier of
+  improved nodes) + ONE min-aggregation — the frontier filter mirrors
+  BFS: only nodes whose distance improved last round can improve a
+  neighbour this round, so the convergence tail touches O(arcs out of
+  changed nodes), not O(|E|).
+- :func:`dag_layers` — longest-path layering of a DAG (topological
+  levels): layer_{t+1}(v) = max(layer_t(v), max_{u->v} layer_t(u) + 1),
+  run to fixpoint. On an acyclic graph this converges in (longest path)
+  rounds to the classic scheduling/stratification order; on a cyclic
+  input it hits ``max_rounds`` and raises (a DAG layering that silently
+  truncates on a cycle would be wrong).
+
+Both keep integer distances/layers when the weights are integers, so
+oracle comparison is exact (no floating-point rounding contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.iterate import iterate, iteration_confs
+
+
+@dataclass
+class SSSPResult:
+    distances: DataFrame  # (node: long, dist: long) — reached nodes only
+    rounds: int
+    converged: bool
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame | list[int],
+    weight_col: str | None = None,
+    rounds: int | None = None,
+    max_rounds: int = 10_000,
+    num_partitions: int | None = None,
+) -> SSSPResult:
+    """Multi-source weighted shortest distances over ``edges(src, dst[,
+    weight])``. ``weight_col=None`` uses weight 1 (plain BFS distances).
+    ``rounds`` runs exactly that many synchronous relaxations (the
+    oracle-checkable fixed-round mode); otherwise iterate to fixpoint.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    e = (
+        edges.select(F.col("src"), F.col("dst"), w.alias("w"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    if isinstance(sources, list):
+        sources = spark.createDataFrame([(int(s),) for s in sources], "node long")
+    state0 = (
+        sources.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"),
+                F.lit(True).alias("chg"))
+        .repartition(num_partitions, "node")
+    )
+
+    def step(state, k):
+        from pyspark.sql import Observation
+
+        relaxed = (
+            e.join(
+                state.where("chg").select(F.col("node").alias("src"), "dist"),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("cand"))
+        )
+        obs = Observation()
+        new_state = (
+            state.select("node", "dist")
+            .join(relaxed.hint("shuffle_hash"), "node", "full")
+            .select(
+                "node",
+                # least() skips nulls (returns null only if BOTH are)
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                F.coalesce(
+                    F.col("dist").isNull() | (F.col("cand") < F.col("dist")),
+                    F.lit(False),
+                ).alias("chg"),
+            )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("nchg"))
+        )
+        return new_state, {}, obs
+
+    if rounds is not None:
+        max_iter, stop = rounds, None
+    else:
+        max_iter = max_rounds
+        stop = lambda m, k: int(m.get("nchg") or 0) == 0  # noqa: E731
+
+    with iteration_confs(spark, {"spark.sql.shuffle.partitions": str(num_partitions)}):
+        state, k, done = iterate(spark, state0, step, max_iter, stop=stop)
+    e.unpersist()
+    return SSSPResult(state.select("node", "dist"), k, done or rounds is not None)
+
+
+@dataclass
+class LayerResult:
+    layers: DataFrame  # (node: long, layer: long)
+    rounds: int
+
+
+def dag_layers(
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int = 10_000,
+    num_partitions: int | None = None,
+) -> LayerResult:
+    """Longest-path layer of every node of a DAG (0 for roots). With
+    ``rounds`` runs exactly k synchronous max-propagation rounds (the
+    unrolled-oracle mode); otherwise to fixpoint, raising if the input
+    still changes after ``max_rounds`` (cycle detection)."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = edges.select("src", "dst").distinct().repartition(num_partitions, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state0 = nodes.select(
+        "node", F.lit(0).cast("long").alias("layer"), F.lit(True).alias("chg")
+    ).repartition(num_partitions, "node")
+
+    def step(state, k):
+        from pyspark.sql import Observation
+
+        pushed = (
+            e.join(
+                state.where("chg").select(F.col("node").alias("src"), "layer"),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), (F.col("layer") + 1).alias("cand"))
+            .groupBy("node")
+            .agg(F.max("cand").alias("cand"))
+        )
+        obs = Observation()
+        new_state = (
+            state.select("node", "layer")
+            .join(pushed.hint("shuffle_hash"), "node", "left")
+            .select(
+                "node",
+                F.greatest("layer", F.coalesce("cand", F.lit(0))).alias("layer"),
+                (F.coalesce("cand", F.lit(0)) > F.col("layer")).alias("chg"),
+            )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("nchg"))
+        )
+        return new_state, {}, obs
+
+    if rounds is not None:
+        max_iter, stop = rounds, None
+    else:
+        max_iter, stop = max_rounds, (
+            lambda m, k: int(m.get("nchg") or 0) == 0
+        )
+
+    with iteration_confs(spark, {"spark.sql.shuffle.partitions": str(num_partitions)}):
+        state, k, done = iterate(spark, state0, step, max_iter, stop=stop)
+    e.unpersist()
+    if rounds is None and not done:
+        raise RuntimeError(
+            f"dag_layers did not converge after {max_rounds} rounds — "
+            "input graph likely contains a cycle"
+        )
+    return LayerResult(state.select("node", "layer"), k)

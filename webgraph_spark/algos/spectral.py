@@ -1,4 +1,5 @@
-"""Spectral link-analysis ranks: HITS (hubs/authorities) and Katz.
+"""Spectral link-analysis ranks: HITS (hubs/authorities), Katz,
+eigenvector centrality, and SALSA authorities.
 
 Reference analog: the LAW rank family shipped alongside webgraph
 (it.unimi.dsi.law.rank — PageRank, KatzParallelGaussSeidel, HITS/SALSA
@@ -23,6 +24,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.iterate import iterate, iteration_confs
 from .pagerank import _prepare
 
 
@@ -166,3 +168,121 @@ def katz_centrality(
     e.unpersist()
     nodes.unpersist()
     return x.select("node", F.col("x").alias("katz"))
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    iters: int = 8,
+    num_partitions: int | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """L1-normalized power iteration x <- A^T x / ||A^T x||_1 from the
+    uniform vector: after k rounds x(v) approximates the principal left
+    eigenvector (eigenvector centrality). Nodes the walk cannot reach in
+    k steps score 0. On a DAG the iterate drains to the all-zero vector
+    once k exceeds the longest path — the normalizer uses zero-safe
+    division so the operator returns that mathematical limit (all zeros)
+    instead of erroring; symmetrize first for the classic undirected
+    score. Returns (node, score [rounded])."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = edges.select("src", "dst").distinct().repartition(num_partitions, "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    state0 = nodes.select(
+        "node", (F.lit(1.0) / F.lit(float(n))).alias("score")
+    ).repartition(num_partitions, "node")
+
+    def step(state, k):
+        y = (
+            e.join(
+                state.select(F.col("node").alias("src"), "score").hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score").alias("y"))
+        )
+        tot = y.agg(F.sum("y").alias("s"))
+        new_state = (
+            nodes.join(y.hint("shuffle_hash"), "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.coalesce(
+                    F.try_divide(F.coalesce("y", F.lit(0.0)), F.col("s")),
+                    F.lit(0.0),
+                ).alias("score"),
+            )
+        )
+        return new_state, {}, None
+
+    with iteration_confs(spark, {"spark.sql.shuffle.partitions": str(num_partitions)}):
+        state, _, _ = iterate(spark, state0, step, iters)
+    e.unpersist()
+    nodes.unpersist()
+    if round_to is not None:
+        state = state.select("node", F.round("score", round_to).alias("score"))
+    return state
+
+
+def salsa_authority(
+    edges: DataFrame,
+    iters: int = 4,
+    num_partitions: int | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """SALSA authority scores: the stationary chain a'(v) =
+    sum_{u->v} (1/out(u)) * sum_{u->w} a(w)/in(w), iterated ``iters``
+    rounds from the uniform distribution over authority nodes (nodes
+    with indegree > 0). Probability mass is preserved by construction,
+    so no renormalization step is needed. Returns (node, auth)."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = edges.select("src", "dst").distinct().repartition(num_partitions, "dst").persist()
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("ind")).persist()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outd")).persist()
+    n_auth = indeg.count()
+    state0 = indeg.select(
+        "node", (F.lit(1.0) / F.lit(float(n_auth))).alias("auth")
+    ).repartition(num_partitions, "node")
+
+    def step(state, k):
+        # h(u) = sum over u's successors w of a(w)/in(w)
+        h = (
+            e.join(
+                state.join(indeg, "node")
+                .select(F.col("node").alias("dst"), (F.col("auth") / F.col("ind")).alias("frac"))
+                .hint("shuffle_hash"),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("frac").alias("h"))
+        )
+        # a'(v) = sum over v's predecessors u of h(u)/out(u)
+        new_state = (
+            e.join(
+                h.join(outdeg, "node")
+                .select(F.col("node").alias("src"), (F.col("h") / F.col("outd")).alias("push"))
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("push").alias("auth"))
+        )
+        return new_state, {}, None
+
+    with iteration_confs(spark, {"spark.sql.shuffle.partitions": str(num_partitions)}):
+        state, _, _ = iterate(spark, state0, step, iters)
+    e.unpersist()
+    indeg.unpersist()
+    outdeg.unpersist()
+    if round_to is not None:
+        state = state.select("node", F.round("auth", round_to).alias("auth"))
+    return state

@@ -1252,3 +1252,116 @@ both_arcs AS (
   SELECT src, dst, label FROM boost)
 SELECT src, dst, CAST(SUM(label) AS BIGINT) AS label
 FROM both_arcs GROUP BY src, dst"""
+
+
+# ------------------------------------------------- weighted paths / layers
+
+def sssp_sql(rounds: int = 6, source_pred: str = "node < 100") -> str:
+    """Twin of algos.paths.sssp over the labelled edge table (weight =
+    arc multiplicity label), k synchronous Bellman-Ford relaxations from
+    the source set. Integer distances — exact comparison, no rounding."""
+    parts = [LABELLED_EDGES_CTE]
+    parts.append("""
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM ledges UNION SELECT dst AS node FROM ledges)""")
+    parts.append(f"""
+d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+      WHERE {source_pred})""")
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+d{k} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.label AS dist
+    FROM ledges e JOIN d{k - 1} d ON e.src = d.node
+  ) t GROUP BY node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
+def dag_layers_sql(rounds: int = 4) -> str:
+    """Twin of algos.paths.dag_layers: k max-propagation rounds of
+    layer(v) = max(layer(v), max over in-edges layer(u) + 1). The TPC-H
+    link graph is a DAG by construction (offsets strictly increase along
+    customer -> order -> part -> supplier), with longest path 3, so 4
+    rounds reach the fixpoint."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append("""
+l0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS layer FROM nodes)""")
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+l{k} AS MATERIALIZED (
+  SELECT n.node, GREATEST(n.layer, COALESCE(p.cand, 0)) AS layer
+  FROM l{k - 1} n LEFT JOIN (
+    SELECT e.dst AS node, MAX(l.layer + 1) AS cand
+    FROM edges e JOIN l{k - 1} l ON e.src = l.node GROUP BY e.dst
+  ) p ON n.node = p.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, CAST(layer AS BIGINT) AS layer FROM l{rounds}"
+    )
+
+
+# --------------------------------------------------- spectral link analysis
+
+def eigenvector_sql(iters: int = 8, round_to: int = 9) -> str:
+    """Twin of algos.spectral.eigenvector_centrality over the simplified
+    (symmetrized, loop-free) graph: k rounds of x <- A^T x / ||A^T x||_1
+    from the uniform vector (zero-safe normalizer, matching the
+    operator's try_divide)."""
+    parts = [EDGES_CTE, SYM_CTE]
+    parts.append("""
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM sym UNION SELECT dst AS node FROM sym)""")
+    parts.append("""
+nn AS (SELECT COUNT(*) AS n FROM nodes)""")
+    parts.append("""
+x0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS score FROM nodes)""")
+    for k in range(1, iters + 1):
+        parts.append(f"""
+y{k} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(x.score) AS y
+  FROM sym e JOIN x{k - 1} x ON e.src = x.node GROUP BY e.dst)""")
+        parts.append(f"""
+x{k} AS MATERIALIZED (
+  SELECT n.node,
+         COALESCE(COALESCE(y.y, 0.0) / NULLIF((SELECT SUM(y) FROM y{k}), 0.0),
+                  0.0) AS score
+  FROM nodes n LEFT JOIN y{k} y ON n.node = y.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, ROUND(score, {round_to}) AS score FROM x{iters}"
+    )
+
+
+def salsa_sql(iters: int = 4, round_to: int = 9) -> str:
+    """Twin of algos.spectral.salsa_authority: the SALSA authority chain
+    a'(v) = sum_{u->v} (1/out(u)) sum_{u->w} a(w)/in(w), k rounds from
+    uniform over indegree>0 nodes."""
+    parts = [EDGES_CTE]
+    parts.append("""
+indeg AS MATERIALIZED (SELECT dst AS node, COUNT(*) AS ind FROM edges GROUP BY dst)""")
+    parts.append("""
+outdeg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS outd FROM edges GROUP BY src)""")
+    parts.append("""
+na AS (SELECT COUNT(*) AS n FROM indeg)""")
+    parts.append("""
+a0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM na) AS auth FROM indeg)""")
+    for k in range(1, iters + 1):
+        parts.append(f"""
+h{k} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.auth / i.ind) AS h
+  FROM edges e JOIN a{k - 1} a ON e.dst = a.node JOIN indeg i ON a.node = i.node
+  GROUP BY e.src)""")
+        parts.append(f"""
+a{k} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(h.h / o.outd) AS auth
+  FROM edges e JOIN h{k} h ON e.src = h.node JOIN outdeg o ON h.node = o.node
+  GROUP BY e.dst)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, ROUND(auth, {round_to}) AS auth FROM a{iters}"
+    )

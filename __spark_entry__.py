@@ -34,7 +34,9 @@ from webgraph_spark.functions.dedup import (
 )
 from webgraph_spark.functions.hashing import MERSENNE_P, hash_family
 from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
+from webgraph_spark.functions import clustering as _clustering
 from webgraph_spark.functions import retrieval as _retrieval
+from webgraph_spark.functions import sketches as _sketches
 from webgraph_spark.functions.text import STOPWORDS_EN, text_stats
 from webgraph_spark.graph import testdata as td
 from webgraph_spark.operators.csr import pack_csr, unpack_csr
@@ -1551,6 +1553,27 @@ def q_bigram_lm(spark, sf_dir):
     return bigram_lm_scores(docs)
 
 
+def q_kmeans(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=4, 3 iterations, init = 4
+    smallest vec_ids) over the embedding table; per-vector cluster and
+    rounded squared distance to the final centroid."""
+    from webgraph_spark.functions.clustering import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _cents = kmeans(emb, k=4, iters=3)
+    return assigned.select(F.col("id").alias("vec_id"), "cluster", "dist")
+
+
+def q_hll_users(spark, sf_dir):
+    """Portable-HLL approximate distinct users per event type (log2m=8),
+    with the exact count and relative error — the sketch-quality gate
+    (registers bit-identical to the SQL twin, not just the estimate)."""
+    from webgraph_spark.functions.sketches import hll_approx_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_approx_distinct(ev, ["event_type"], "user_id", log2m=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1645,6 +1668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_salsa4": q_salsa4,
         "docs_bm25_top10": q_bm25_top10,
         "docs_bigram_lm": q_bigram_lm,
+        "emb_kmeans": q_kmeans,
+        "events_hll_users": q_hll_users,
     }
 
 
@@ -2314,4 +2339,12 @@ GROUP BY s.src""",
         "graph_salsa4": td.salsa_sql(iters=4, round_to=9),
         "docs_bm25_top10": _retrieval.bm25_topk_sql(BM25_QUERY_TERMS, k=10),
         "docs_bigram_lm": _retrieval.bigram_lm_sql(),
+        "emb_kmeans": (
+            "SELECT id AS vec_id, cluster, dist FROM ("
+            + _clustering.kmeans_assign_sql(k=4, iters=3)
+            + ")"
+        ),
+        "events_hll_users": _sketches.hll_approx_distinct_sql(
+            "events", ["event_type"], "user_id", log2m=8
+        ),
     }

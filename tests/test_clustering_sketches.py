@@ -1,0 +1,92 @@
+"""k-means vs an independent numpy Lloyd's loop; portable-HLL accuracy."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from webgraph_spark.functions.clustering import kmeans
+from webgraph_spark.functions.sketches import hll_approx_distinct
+
+
+def _lloyd_numpy(X, k, iters, round_to=9):
+    cents = np.round(X[:k].astype(float), round_to)  # ids 0..k-1 smallest
+    for _ in range(iters):
+        d = np.round(
+            ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), round_to
+        )
+        assign = d.argmin(axis=1)  # numpy argmin ties -> first = smallest
+        new = cents.copy()
+        for j in range(k):
+            sel = X[assign == j]
+            if len(sel):
+                new[j] = np.round(sel.mean(axis=0), round_to)
+        cents = new
+    d = np.round(((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), round_to)
+    return d.argmin(axis=1), cents
+
+
+def test_kmeans_vs_numpy(spark):
+    rng = np.random.RandomState(7)
+    # three well-separated blobs in 8 dims
+    X = np.concatenate(
+        [rng.randn(30, 8) * 0.3 + c for c in (0.0, 5.0, -5.0)]
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got, cents = kmeans(df, k=3, iters=4, dim=8)
+    gmap = {r["id"]: r["cluster"] for r in got.collect()}
+    want, wcents = _lloyd_numpy(X.astype(float), 3, 4)
+    for i in range(len(X)):
+        assert gmap[i] == want[i], f"vec {i}"
+    np.testing.assert_allclose(np.array(cents), wcents, atol=1e-9)
+
+
+def test_kmeans_separated_blobs_recovered(spark):
+    rng = np.random.RandomState(11)
+    X = np.concatenate([rng.randn(40, 4) + c for c in (0.0, 20.0)])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got, _ = kmeans(df, k=2, iters=3, dim=4)
+    pdf = got.toPandas().sort_values("id")
+    a = set(pdf.cluster[:40])
+    b = set(pdf.cluster[40:])
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_hll_rsd_bound(spark):
+    # one group with 5000 distinct values: |err| within 3 RSD at log2m=8
+    df = spark.range(5000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    out = hll_approx_distinct(df, ["grp"], "v", log2m=8).collect()[0]
+    rsd = 1.04 / np.sqrt(256)
+    assert out["exact_distinct"] == 5000
+    assert out["rel_err"] <= 3 * rsd
+
+
+def test_hll_small_range_linear_counting_is_tight(spark):
+    # 40 distinct values in 256 registers -> linear counting regime
+    df = spark.range(40).select(F.lit("g").alias("grp"), F.col("id").alias("v"))
+    out = hll_approx_distinct(df, ["grp"], "v", log2m=8).collect()[0]
+    assert abs(out["approx_distinct"] - 40) <= 5
+
+
+def test_hll_deterministic_and_multiset_invariant(spark):
+    df1 = spark.range(300).select(
+        (F.col("id") % 7).cast("string").alias("grp"), F.col("id").alias("v")
+    )
+    # duplicating every row must not change the sketch
+    df2 = df1.unionAll(df1)
+    a = {r["grp"]: r["approx_distinct"] for r in
+         hll_approx_distinct(df1, ["grp"], "v").collect()}
+    b = {r["grp"]: r["approx_distinct"] for r in
+         hll_approx_distinct(df2, ["grp"], "v").collect()}
+    assert a == b
+
+
+def test_hll_log2m_bounds():
+    import pyspark.sql  # noqa: F401
+
+    with pytest.raises(ValueError):
+        hll_approx_distinct(None, ["g"], "v", log2m=3)

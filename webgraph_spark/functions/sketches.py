@@ -1,0 +1,158 @@
+"""Engine-portable HyperLogLog approximate distinct counts per group.
+
+The HyperBall machinery (algos/hyperball.py) keeps per-NODE HLL counters
+for neighbourhood functions; this module exposes the same sketch as a
+general aggregation surface — ``APPROX COUNT DISTINCT ... GROUP BY`` —
+built on the portable md5 hash family (functions/hashing.py) so the
+whole register file, not just the final estimate, is bit-identical in
+Spark and the DuckDB oracle:
+
+- hash: md5_long(value) — 60 non-negative bits in both engines;
+- register index = h % m, rank rho = (#leading zero bits of the
+  remaining 60 - log2m bits) + 1, computed by base-2 string length
+  (integer-exact, no libm);
+- the HLL indicator Z is carried as the EXACT integer
+  zs = sum over registers of 2^(R - r) (absent registers contribute
+  2^R), R = 61 - log2m; zs <= m * 2^R = 2^61 fits int64, so the only
+  floating-point steps are the final estimate formula itself.
+
+Scale posture: one groupBy (group, register) max + one groupBy (group)
+sum — two uniform shuffles with map-side combine, the same shape Spark's
+own approx_count_distinct lowers to, but with a deterministic,
+cross-engine-reproducible register file (Spark's builtin uses its own
+xxhash64 seeding, which no other engine reproduces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import md5_long, md5_long_sql
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_approx_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    log2m: int = 8,
+    round_to: int = 6,
+    with_exact: bool = True,
+) -> DataFrame:
+    """(group..., approx_distinct [, exact_distinct, rel_err]) via the
+    portable HLL sketch with linear-counting small-range correction."""
+    if not 4 <= log2m <= 16:
+        raise ValueError("log2m must be in [4, 16]")
+    m = 1 << log2m
+    budget = 60 - log2m
+    R = budget + 1
+    h = md5_long(F.col(value_col).cast("string"))
+    rest = F.shiftright(h, log2m)
+    rho = F.when(rest == 0, F.lit(R)).otherwise(
+        F.lit(R) - F.length(F.conv(rest.cast("string"), 10, 2))
+    )
+    regs = (
+        df.select(*group_cols, (h % m).alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+    zterm = F.expr(f"shiftleft(cast(1 as bigint), {R} - cast(r as int))")
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(zterm).alias("zp"), F.count("*").alias("nnz")
+    )
+    zs = F.col("zp") + (F.lit(m) - F.col("nnz")) * F.lit(1 << R)
+    raw = F.lit(_alpha(m) * m * m) / (zs.cast("double") / F.lit(float(2**R)))
+    est = F.when(
+        (raw < 2.5 * m) & (F.col("nnz") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("nnz"))),
+    ).otherwise(raw)
+    out = agg.select(*group_cols, F.round(est, round_to).alias("approx_distinct"))
+    if with_exact:
+        exact = df.groupBy(*group_cols).agg(
+            F.countDistinct(value_col).cast("long").alias("exact_distinct")
+        )
+        out = out.join(exact, group_cols).select(
+            *group_cols,
+            "approx_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                round_to,
+            ).alias("rel_err"),
+        )
+    return out
+
+
+def hll_approx_distinct_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    log2m: int = 8,
+    round_to: int = 6,
+    with_exact: bool = True,
+) -> str:
+    """DuckDB twin of :func:`hll_approx_distinct` — same hash, same
+    registers, same exact-integer Z, same estimate formula."""
+    m = 1 << log2m
+    budget = 60 - log2m
+    R = budget + 1
+    alpha = _alpha(m)
+    g = ", ".join(group_cols)
+    h = md5_long_sql(f"CAST({value_col} AS VARCHAR)")
+    sql = f"""
+WITH hashed AS MATERIALIZED (
+  SELECT {g}, ({h}) AS h FROM {table}
+),
+regs AS MATERIALIZED (
+  SELECT {g}, h % {m} AS reg,
+         MAX(CASE WHEN h // {1 << log2m} = 0 THEN {R}
+                  ELSE {R} - length(bin(h // {1 << log2m})) END) AS r
+  FROM hashed GROUP BY {g}, reg
+),
+agg AS (
+  SELECT {g},
+         SUM(CAST(1 AS BIGINT) << ({R} - r)) AS zp,
+         COUNT(*) AS nnz
+  FROM regs GROUP BY {g}
+),
+est AS (
+  -- zs is assembled in exact HUGEINT then converted once to DOUBLE, the
+  -- same int->IEEE rounding Spark's int64 cast performs; literals are
+  -- CAST to DOUBLE because DuckDB parses bare decimals as DECIMAL
+  SELECT {g}, nnz,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m}
+           / (CAST(CAST(zp AS HUGEINT)
+                   + ({m} - nnz) * CAST({1 << R} AS HUGEINT) AS DOUBLE)
+              / CAST({float(2 ** R)!r} AS DOUBLE)) AS raw
+  FROM agg
+),
+final AS (
+  SELECT {g},
+         ROUND(CASE WHEN raw < 2.5 * {m} AND nnz < {m}
+                    THEN CAST({float(m)!r} AS DOUBLE)
+                         * LN(CAST({float(m)!r} AS DOUBLE) / ({m} - nnz))
+                    ELSE raw END, {round_to}) AS approx_distinct
+  FROM est
+)"""
+    if with_exact:
+        sql += f"""
+SELECT f.*, CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       ROUND(ABS(f.approx_distinct - x.exact_distinct) / x.exact_distinct,
+             {round_to}) AS rel_err
+FROM final f JOIN (
+  SELECT {g}, COUNT(DISTINCT {value_col}) AS exact_distinct
+  FROM {table} GROUP BY {g}
+) x USING ({g})"""
+    else:
+        sql += "\nSELECT * FROM final"
+    return sql

@@ -35,6 +35,7 @@ from webgraph_spark.functions.dedup import (
 from webgraph_spark.functions.hashing import MERSENNE_P, hash_family
 from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
 from webgraph_spark.functions import clustering as _clustering
+from webgraph_spark.functions import mining as _mining
 from webgraph_spark.functions import retrieval as _retrieval
 from webgraph_spark.functions import sketches as _sketches
 from webgraph_spark.functions.text import STOPWORDS_EN, text_stats
@@ -1574,6 +1575,23 @@ def q_hll_users(spark, sf_dir):
     return hll_approx_distinct(ev, ["event_type"], "user_id", log2m=8)
 
 
+def q_tool_pairs(spark, sf_dir):
+    """Market-basket mining on the transcript payload: which tools
+    co-occur in a conversation, with support and lift vs independence
+    (same tool derivation as the transcript pipeline: event_type on
+    every third event)."""
+    from webgraph_spark.functions.mining import cooccurrence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tr = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+    )
+    return cooccurrence(tr, "conv_id", "tool")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1670,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bigram_lm": q_bigram_lm,
         "emb_kmeans": q_kmeans,
         "events_hll_users": q_hll_users,
+        "transcript_tool_pairs": q_tool_pairs,
     }
 
 
@@ -2346,5 +2365,10 @@ GROUP BY s.src""",
         ),
         "events_hll_users": _sketches.hll_approx_distinct_sql(
             "events", ["event_type"], "user_id", log2m=8
+        ),
+        "transcript_tool_pairs": _mining.cooccurrence_sql(
+            "src AS (SELECT CAST(user_id AS VARCHAR) AS g, "
+            "CASE WHEN event_id % 3 = 0 THEN event_type ELSE NULL END AS it "
+            "FROM events)"
         ),
     }

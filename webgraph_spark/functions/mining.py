@@ -1,0 +1,117 @@
+"""Co-occurrence / association mining over grouped item sets.
+
+Beyond-reference addition (SURVEY.md §2.12): the transcript payload's
+natural "market-basket" question — which tools are used together in a
+conversation, and is the pairing more frequent than independence
+predicts (lift > 1)? The same operator serves doc-tag affinity, host
+co-citation, and label co-occurrence.
+
+Plan shape: distinct (group, item) -> per-item group counts -> pair
+counts via a per-group self-join with ``item_a < item_b``. The
+self-join is quadratic in a group's item count, so ``max_items_per_
+group`` (default 1000) drops pathological groups the same way the LSH
+hub-bucket cap does (functions/dedup.py) — at 100 TB one conversation
+touching every tool would otherwise dominate the shuffle; dropped
+groups still count toward the per-item totals and N, so support/lift
+remain probabilities over ALL qualifying groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cooccurrence(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+    max_items_per_group: int | None = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """(item_a, item_b, n_both, support, lift) for unordered item pairs
+    co-occurring in a group; support = n_both/N and lift =
+    n_both*N/(n_a*n_b) over N = #groups with at least one item."""
+    gi = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("it"))
+        .where(F.col("it").isNotNull())
+        .distinct()
+        .persist()
+    )
+    n_groups = gi.select("g").distinct().count()
+    item_counts = gi.groupBy("it").agg(F.count("*").alias("n_i"))
+    basket = gi
+    if max_items_per_group is not None:
+        sizes = gi.groupBy("g").agg(F.count("*").alias("sz"))
+        basket = gi.join(
+            sizes.where(F.col("sz") <= max_items_per_group).select("g"), "g"
+        )
+    pairs = (
+        basket.alias("a")
+        .join(basket.alias("b"), "g")
+        .where(F.col("a.it") < F.col("b.it"))
+        .groupBy(
+            F.col("a.it").alias("item_a"), F.col("b.it").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= min_pair_count)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(item_counts.select(F.col("it").alias("item_a"),
+                                           F.col("n_i").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("it").alias("item_b"),
+                                           F.col("n_i").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(F.col("n_both") / F.lit(n_groups), round_to).alias("support"),
+            F.round(
+                F.col("n_both") * F.lit(n_groups)
+                / (F.col("n_a") * F.col("n_b")),
+                round_to,
+            ).alias("lift"),
+        )
+    )
+    gi.unpersist()
+    return out
+
+
+def cooccurrence_sql(
+    source_cte: str,
+    group_col: str = "g",
+    item_col: str = "it",
+    min_pair_count: int = 1,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cooccurrence` (no size cap — oracle scale
+    has no pathological groups; the cap is a scale guard, and driver
+    fixtures stay far below it). ``source_cte`` must define relation
+    ``src(g, it)``."""
+    return f"""
+WITH {source_cte},
+gi AS MATERIALIZED (
+  SELECT DISTINCT {group_col} AS g, {item_col} AS it FROM src
+  WHERE {item_col} IS NOT NULL
+),
+ng AS (SELECT COUNT(DISTINCT g) AS n FROM gi),
+ic AS MATERIALIZED (SELECT it, COUNT(*) AS n_i FROM gi GROUP BY it),
+pairs AS (
+  SELECT a.it AS item_a, b.it AS item_b, COUNT(*) AS n_both
+  FROM gi a JOIN gi b ON a.g = b.g AND a.it < b.it
+  GROUP BY a.it, b.it
+  HAVING COUNT(*) >= {min_pair_count}
+)
+SELECT p.item_a, p.item_b, CAST(p.n_both AS BIGINT) AS n_both,
+       ROUND(p.n_both / CAST((SELECT n FROM ng) AS DOUBLE), {round_to})
+         AS support,
+       ROUND(p.n_both * CAST((SELECT n FROM ng) AS DOUBLE)
+             / (ia.n_i * ib.n_i), {round_to}) AS lift
+FROM pairs p JOIN ic ia ON p.item_a = ia.it JOIN ic ib ON p.item_b = ib.it
+"""

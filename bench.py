@@ -186,6 +186,10 @@ def main():
         "docs_window_dedup",
         "emb_cosine_top5",
         "graph_kcore5",
+        "docs_bm25_top10",
+        "emb_kmeans",
+        "events_hll_users",
+        "transcript_tool_pairs",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

@@ -1592,6 +1592,33 @@ def q_tool_pairs(spark, sf_dir):
     return cooccurrence(tr, "conv_id", "tool")
 
 
+def q_wpagerank5(spark, sf_dir):
+    """Weighted PageRank over the labelled edge table: transition
+    probability proportional to arc multiplicity (rank*w/W(u)), uniform
+    dangling redistribution — 5 fixed iterations vs the unrolled SQL
+    recurrence."""
+    from webgraph_spark.algos.pagerank import pagerank_weighted
+
+    ledges = td.tpch_edges_labelled(spark, sf_dir)
+    res = pagerank_weighted(
+        ledges, weight_col="label", fixed_iterations=5, num_partitions=16
+    )
+    return res.ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Count-Min top-10 heavy hitters over events.user_id with a
+    deliberately tight sketch (4x32 cells) so bucket collisions are real:
+    est >= exact (one-sided CM guarantee), overcount column shows the
+    collision inflation. Sketch cells bit-match the SQL twin."""
+    from webgraph_spark.functions.sketches import count_min_topk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return count_min_topk(
+        ev, "user_id", d=4, w=32, k=10, seed=HASH_SEED
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1689,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_kmeans,
         "events_hll_users": q_hll_users,
         "transcript_tool_pairs": q_tool_pairs,
+        "graph_wpagerank5": q_wpagerank5,
+        "events_heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -2370,5 +2399,9 @@ GROUP BY s.src""",
             "src AS (SELECT CAST(user_id AS VARCHAR) AS g, "
             "CASE WHEN event_id % 3 = 0 THEN event_type ELSE NULL END AS it "
             "FROM events)"
+        ),
+        "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
+        "events_heavy_hitters": _sketches.count_min_topk_sql(
+            "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED
         ),
     }

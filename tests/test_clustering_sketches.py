@@ -90,3 +90,47 @@ def test_hll_log2m_bounds():
 
     with pytest.raises(ValueError):
         hll_approx_distinct(None, ["g"], "v", log2m=3)
+
+
+# ------------------------------------------------- Count-Min heavy hitters
+
+def _zipf_items(spark):
+    # item i appears (20 - i) times, i = 0..19: known exact counts
+    rows = [(i,) for i in range(20) for _ in range(20 - i)]
+    return spark.createDataFrame(rows, "item_id long")
+
+
+def test_count_min_one_sided_and_exact_when_wide(spark):
+    from webgraph_spark.functions.sketches import count_min_topk
+
+    df = _zipf_items(spark)
+    # w >> distinct items: no collisions possible to matter after min over d
+    out = count_min_topk(df, "item_id", d=4, w=4096, k=20).toPandas()
+    assert (out["overcount"] >= 0).all()  # CM one-sided guarantee
+    assert (out["overcount"] == 0).all()  # wide sketch: exact
+    top = out.sort_values(
+        ["est_count", "item"], ascending=[False, True]
+    ).reset_index(drop=True)
+    assert top.loc[0, "item"] == "0" and top.loc[0, "est_count"] == 20
+
+
+def test_count_min_tight_sketch_overcounts_but_never_under(spark):
+    from webgraph_spark.functions.sketches import count_min_topk
+
+    df = _zipf_items(spark)
+    out = count_min_topk(df, "item_id", d=2, w=4, k=20).toPandas()
+    # 20 distinct items in 4 buckets: collisions certain, but never undercount
+    assert (out["est_count"] >= out["exact_count"]).all()
+    assert (out["overcount"] > 0).any()
+
+
+def test_count_min_multiset_additivity(spark):
+    from webgraph_spark.functions.sketches import count_min_topk
+
+    df = _zipf_items(spark)
+    a = count_min_topk(df, "item_id", d=4, w=64, k=5).toPandas()
+    b = count_min_topk(df.unionAll(df), "item_id", d=4, w=64, k=5).toPandas()
+    pa = a.sort_values("item").reset_index(drop=True)
+    pb = b.sort_values("item").reset_index(drop=True)
+    assert list(pa["item"]) == list(pb["item"])
+    assert (pb["est_count"].to_numpy() == 2 * pa["est_count"].to_numpy()).all()

@@ -509,3 +509,115 @@ def personalized_pagerank(
         done or fixed_iterations is not None,
         float(carry["delta"]),
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    weight_col: str = "label",
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    fixed_iterations: int | None = None,
+) -> PageRankResult:
+    """PageRank over a labelled edge table with arc-weight-proportional
+    transition probabilities: contribution of u to v is
+    rank(u) * w(u,v) / W(u), W(u) = sum of u's out-weights. Dangling
+    mass (nodes with no out-arcs) redistributes uniformly, exactly as in
+    :func:`pagerank`; with all weights equal the two agree. Same
+    iteration shape — one co-partitioned shuffle_hash join + one
+    map-side-combinable groupBy per iteration."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    ew = e.join(out_w, "src").repartition(num_partitions, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            out_w.select(F.col("src").alias("node"), F.lit(0.0).alias("z")),
+            "node",
+            "left",
+        )
+        .select("node", F.when(F.col("z").isNull(), 1.0).otherwise(0.0).alias("dang"))
+        .repartition(num_partitions, "node")
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        ew.unpersist()
+        nodes.unpersist()
+        return PageRankResult(
+            spark.createDataFrame([], "node long, rank double"), 0, True, 0.0
+        )
+    ranks0 = nodes.select("node", F.lit(1.0 / n).alias("rank"), "dang")
+    carry: dict = {"dmass": None, "delta": float("inf")}
+
+    def step(ranks: DataFrame, k: int):
+        if carry["dmass"] is None:
+            carry["dmass"] = (
+                ranks.where(F.col("dang") > 0).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
+        base = (1.0 - alpha) / n + alpha * carry["dmass"] / n
+        contribs = (
+            ew.join(
+                ranks.select(F.col("node").alias("src"), "rank").hint("shuffle_hash"),
+                "src",
+            )
+            .select(
+                "dst",
+                (F.col("rank") * F.col("w") / F.col("wsum")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        obs = Observation()
+        new_ranks = (
+            ranks.withColumnRenamed("rank", "_old")
+            .join(
+                contribs.withColumnRenamed("dst", "node").hint("shuffle_hash"),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+                "dang",
+                "_old",
+            )
+            .observe(
+                obs,
+                F.sum(F.col("rank") * F.col("dang")).alias("dmass"),
+                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+            )
+            .select("node", "rank", "dang")
+        )
+        return new_ranks, {"base": base}, obs
+
+    def stop(obs_metrics: dict, k: int) -> bool:
+        carry["dmass"] = obs_metrics.get("dmass", carry["dmass"]) or 0.0
+        carry["delta"] = obs_metrics.get("delta", float("inf"))
+        if fixed_iterations is not None:
+            return False
+        return carry["delta"] < tol
+
+    max_it = fixed_iterations if fixed_iterations is not None else max_iter
+    with iteration_confs(spark):
+        state, iters, done = iterate(
+            spark, ranks0, step, max_iter=max_it, stop=stop
+        )
+    ew.unpersist()
+    nodes.unpersist()
+    return PageRankResult(
+        state.select("node", "rank"),
+        iters,
+        done or fixed_iterations is not None,
+        float(carry["delta"]),
+    )

@@ -156,3 +156,146 @@ FROM final f JOIN (
     else:
         sql += "\nSELECT * FROM final"
     return sql
+
+
+# ------------------------------------------------- Count-Min heavy hitters
+
+def count_min_topk(
+    df: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 10,
+    seed: int = 12345,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Top-k heavy hitters by Count-Min-estimated occurrence count.
+
+    The sketch is d x w integer cells: cell(i, h_i(x) % w) accumulates
+    every occurrence of x under the i-th portable universal hash;
+    est(x) = min_i cell(i, h_i(x)) >= true count (one-sided error,
+    classic CM guarantee). Building the sketch is ONE map-side-combined
+    groupBy over d*w <= a few thousand cells — the aggregation state is
+    sketch-sized no matter how many rows stream through, which is the
+    whole point at 100 TB. Estimates for candidate items join the tiny
+    sketch broadcast-side. All arithmetic is int64 — the oracle matches
+    exactly, and ``overcount = est - exact`` is provably >= 0 (asserted
+    by tests and visible in the driver query output).
+
+    Returns (item, est_count, exact_count, overcount) top-k by
+    (est_count desc, item asc).
+    """
+    from .hashing import hash_family, universal_hash
+
+    a, b = hash_family(d, seed)
+    occ = df.select(F.col(item_col).cast("string").alias("it"))
+    h = md5_long(F.col("it"))
+    bkts = [
+        (universal_hash(h, a[i], b[i]) % w).alias(f"b{i}") for i in range(d)
+    ]
+    cells = (
+        occ.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (universal_hash(h, a[i], b[i]) % w).alias("bkt"),
+                        )
+                        for i in range(d)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.bkt")
+        .groupBy("i", "bkt")
+        .agg(F.count("*").alias("cnt"))
+    )
+    items = occ.distinct().select("it", *bkts)
+    melted = items.select(
+        "it",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("bkt"))
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("it", "c.i", "c.bkt")
+    est = (
+        melted.join(F.broadcast(cells), ["i", "bkt"])
+        .groupBy("it")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+    out = est
+    if with_exact:
+        exact = occ.groupBy("it").agg(F.count("*").cast("long").alias("exact_count"))
+        out = est.join(exact, "it").select(
+            "it",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+    return (
+        out.orderBy(F.col("est_count").desc(), F.col("it"))
+        .limit(k)
+        .withColumnRenamed("it", "item")
+    )
+
+
+def count_min_topk_sql(
+    table: str,
+    item_col: str,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 10,
+    seed: int = 12345,
+    with_exact: bool = True,
+) -> str:
+    """DuckDB twin of :func:`count_min_topk` (same hashes, same cells)."""
+    from .hashing import hash_family, universal_hash_sql
+
+    a, b = hash_family(d, seed)
+    h = md5_long_sql(f"CAST({item_col} AS VARCHAR)")
+    cell_selects = " UNION ALL ".join(
+        f"SELECT {i} AS i, ({universal_hash_sql('h', a[i], b[i])}) % {w} AS bkt"
+        f" FROM occ"
+        for i in range(d)
+    )
+    exact_cols = (
+        ", CAST(x.exact_count AS BIGINT) AS exact_count,"
+        " CAST(e.est_count - x.exact_count AS BIGINT) AS overcount"
+        if with_exact
+        else ""
+    )
+    exact_join = (
+        "JOIN (SELECT it, COUNT(*) AS exact_count FROM occ GROUP BY it) x"
+        " ON e.it = x.it"
+        if with_exact
+        else ""
+    )
+    return f"""
+WITH occ AS MATERIALIZED (
+  SELECT CAST({item_col} AS VARCHAR) AS it, ({h}) AS h FROM {table}
+),
+melt AS MATERIALIZED ({cell_selects}),
+cells AS MATERIALIZED (
+  SELECT i, bkt, COUNT(*) AS cnt FROM melt GROUP BY i, bkt
+),
+cand AS MATERIALIZED (SELECT DISTINCT it, h FROM occ),
+cand_b AS (
+  {" UNION ALL ".join(
+    f"SELECT it, {i} AS i, ({universal_hash_sql('h', a[i], b[i])}) % {w} AS bkt FROM cand"
+    for i in range(d)
+  )}
+),
+est AS (
+  SELECT cb.it, CAST(MIN(c.cnt) AS BIGINT) AS est_count
+  FROM cand_b cb JOIN cells c ON cb.i = c.i AND cb.bkt = c.bkt
+  GROUP BY cb.it
+)
+SELECT e.it AS item, e.est_count{exact_cols}
+FROM est e {exact_join}
+ORDER BY e.est_count DESC, e.it LIMIT {k}
+"""

@@ -1365,3 +1365,41 @@ a{k} AS MATERIALIZED (
         "WITH " + ",".join(parts)
         + f"\nSELECT node, ROUND(auth, {round_to}) AS auth FROM a{iters}"
     )
+
+
+def wpagerank_sql(iters: int = 5, alpha: float = 0.85, round_to: int = 9) -> str:
+    """Twin of algos.pagerank.pagerank_weighted over the labelled edge
+    table (weight = arc multiplicity): contribution rank*w/W(u), uniform
+    dangling redistribution."""
+    parts = [LABELLED_EDGES_CTE]
+    parts.append("""
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM ledges UNION SELECT dst AS node FROM ledges)""")
+    parts.append("""
+outw AS MATERIALIZED (SELECT src, CAST(SUM(label) AS BIGINT) AS wsum
+                      FROM ledges GROUP BY src)""")
+    parts.append("""
+dangling AS MATERIALIZED (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outw))""")
+    parts.append("""
+nn AS (SELECT COUNT(*) AS n FROM nodes)""")
+    parts.append("""
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""")
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(f"""
+dm{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM {prev} r
+          JOIN dangling d ON r.node = d.node)""")
+        parts.append(f"""
+c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank * e.label / o.wsum) AS contrib
+         FROM ledges e JOIN {prev} r ON e.src = r.node
+         JOIN outw o ON o.src = e.src GROUP BY e.dst)""")
+        parts.append(f"""
+r{k} AS MATERIALIZED (SELECT n.node,
+         (1.0 - {alpha}) / (SELECT n FROM nn)
+         + {alpha} * ((SELECT m FROM dm{k}) / (SELECT n FROM nn)
+                       + COALESCE(c.contrib, 0.0)) AS rank
+         FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, ROUND(rank, {round_to}) AS rank FROM r{iters}"
+    )

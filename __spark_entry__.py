@@ -1619,6 +1619,43 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_cocitation2(spark, sf_dir):
+    """Co-citation matrix off-diagonals (pairs of nodes cited by >= 2
+    common sources): wedge self-join on the citing endpoint + one
+    count aggregation (algos/motifs.py)."""
+    from webgraph_spark.algos.motifs import common_neighbor_counts
+
+    return common_neighbor_counts(
+        _edges(spark, sf_dir), mode="cocitation", min_count=2
+    )
+
+
+def q_quad_count(spark, sf_dir):
+    """Exact 4-cycle count of the symmetrized simple graph via the
+    diagonal-pair identity quads = sum C(cn,2) / 2 (all-int64)."""
+    from webgraph_spark.algos.motifs import common_neighbor_counts
+
+    cn = common_neighbor_counts(_edges(spark, sf_dir), mode="undirected")
+    return cn.agg(
+        (F.sum(F.col("common") * (F.col("common") - 1)) / 4)
+        .cast("long")
+        .alias("quads")
+    )
+
+
+def q_reciprocity(spark, sf_dir):
+    """Arc reciprocity over the graph unioned with the reversed even-dst
+    arcs (the base graph is a layered DAG with reciprocity 0; the
+    deterministic partial reversal makes the fraction non-trivial)."""
+    from webgraph_spark.algos.motifs import reciprocity
+
+    e = _edges(spark, sf_dir)
+    rev = e.where(F.col("dst") % 2 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return reciprocity(e.unionByName(rev))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1718,6 +1755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_pairs": q_tool_pairs,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
+        "graph_cocitation2": q_cocitation2,
+        "graph_quad_count": q_quad_count,
+        "graph_reciprocity": q_reciprocity,
     }
 
 
@@ -2404,4 +2444,31 @@ GROUP BY s.src""",
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED
         ),
+        "graph_cocitation2": f"""WITH {td.EDGES_CTE},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+p AS (SELECT l.dst AS a, r.dst AS b
+      FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common
+FROM p GROUP BY a, b HAVING COUNT(*) >= 2""",
+        "graph_quad_count": f"""WITH {td.EDGES_CTE},
+d AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+und AS (SELECT src, dst FROM d UNION SELECT dst, src FROM d),
+p AS (SELECT l.dst AS a, r.dst AS b
+      FROM und l JOIN und r ON l.src = r.src AND l.dst < r.dst),
+cn AS (SELECT a, b, COUNT(*) AS c FROM p GROUP BY a, b)
+SELECT CAST(SUM(c * (c - 1)) / 4 AS BIGINT) AS quads FROM cn""",
+        "graph_reciprocity": f"""WITH {td.EDGES_CTE},
+base AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges WHERE dst % 2 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM base WHERE src <> dst),
+m AS (SELECT e.src, e.dst FROM e
+      WHERE EXISTS (SELECT 1 FROM e r
+                    WHERE r.src = e.dst AND r.dst = e.src))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS arcs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS mutual_arcs,
+       ROUND((SELECT COUNT(*) FROM m) * 1.0 /
+             (SELECT COUNT(*) FROM e), 6) AS reciprocity""",
     }

@@ -1,0 +1,88 @@
+"""Motif counts vs dense numpy oracles (co-citation, coupling, quads,
+reciprocity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from webgraph_spark.algos.motifs import (
+    common_neighbor_counts,
+    quad_count,
+    reciprocity,
+)
+from webgraph_spark.datagen.graphs import erdos_renyi, erdos_renyi_numpy
+
+
+def _dense(adj: np.ndarray, mode: str) -> np.ndarray:
+    a = adj.astype(np.int64)
+    np.fill_diagonal(a, 0)
+    if mode == "cocitation":
+        return a.T @ a
+    if mode == "coupling":
+        return a @ a.T
+    u = ((a + a.T) > 0).astype(np.int64)
+    np.fill_diagonal(u, 0)
+    return u @ u
+
+
+@pytest.mark.parametrize("mode", ["cocitation", "coupling", "undirected"])
+def test_common_neighbors_vs_numpy(spark, mode):
+    n, p, seed = 30, 0.15, 3
+    e = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    m = _dense(adj, mode)
+    got = {
+        (r["a"], r["b"]): r["common"]
+        for r in common_neighbor_counts(e, mode=mode).collect()
+    }
+    want = {
+        (i, j): int(m[i, j])
+        for i in range(n)
+        for j in range(i + 1, n)
+        if m[i, j] > 0
+    }
+    assert got == want
+
+
+def test_quad_count_vs_numpy(spark):
+    n, p, seed = 25, 0.2, 5
+    e = erdos_renyi(spark, n, p, seed=seed)
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    u = ((adj + adj.T) > 0).astype(np.int64)
+    np.fill_diagonal(u, 0)
+    # trace-based 4-cycle count: (tr(A^4) - 2m - sum deg(deg-1)*2) / 8
+    a4 = np.linalg.matrix_power(u, 4)
+    deg = u.sum(axis=1)
+    m2 = u.sum()  # 2m
+    closed4 = np.trace(a4)
+    want = int(closed4 - m2 - 2 * (deg * (deg - 1)).sum()) // 8
+    assert quad_count(e) == want
+
+
+def test_quad_count_square_plus_tail(spark):
+    # one rectangle 0-1-2-3 plus a pendant 3-4: exactly one 4-cycle
+    arcs = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4)]
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    assert quad_count(e) == 1
+
+
+def test_center_degree_cap_drops_hub_wedges(spark):
+    # star center 0 with 5 leaves: all common-neighbor pairs are centered
+    # at the hub; capping below its degree empties the result
+    arcs = [(0, i) for i in range(1, 6)]
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    full = common_neighbor_counts(e, mode="undirected").count()
+    capped = common_neighbor_counts(
+        e, mode="undirected", max_center_degree=3
+    ).count()
+    assert full == 10 and capped == 0
+
+
+def test_reciprocity(spark):
+    arcs = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (4, 4)]
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    row = reciprocity(e).collect()[0]
+    # loop dropped: 5 arcs, 4 mutual (0<->1, 2<->3)
+    assert row["arcs"] == 5 and row["mutual_arcs"] == 4
+    assert abs(row["reciprocity"] - 0.8) < 1e-9

@@ -37,6 +37,7 @@ from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
 from webgraph_spark.functions import clustering as _clustering
 from webgraph_spark.functions import mining as _mining
 from webgraph_spark.functions import retrieval as _retrieval
+from webgraph_spark.functions import mlscore as _mlscore
 from webgraph_spark.functions import sketches as _sketches
 from webgraph_spark.functions.text import STOPWORDS_EN, text_stats
 from webgraph_spark.graph import testdata as td
@@ -1656,6 +1657,18 @@ def q_reciprocity(spark, sf_dir):
     return reciprocity(e.unionByName(rev))
 
 
+def q_logreg_score(spark, sf_dir):
+    """Quality-classifier stage: full-batch logistic regression (8 GD
+    steps, lr=1) trained INSIDE the engine on rounded JVM-expression
+    features (punct/stopword ratios, log-length; label = lang='en'),
+    then scored as a pure projection. One 4-scalar aggregation per step,
+    zero shuffles (functions/mlscore.py)."""
+    from webgraph_spark.functions.mlscore import train_and_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_and_score(docs, lr=1.0, iters=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1758,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cocitation2": q_cocitation2,
         "graph_quad_count": q_quad_count,
         "graph_reciprocity": q_reciprocity,
+        "docs_logreg_score": q_logreg_score,
     }
 
 
@@ -2471,4 +2485,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS arcs,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS mutual_arcs,
        ROUND((SELECT COUNT(*) FROM m) * 1.0 /
              (SELECT COUNT(*) FROM e), 6) AS reciprocity""",
+        "docs_logreg_score": _mlscore.logreg_sql(
+            "documents", lr=1.0, iters=8
+        ),
     }

@@ -1669,6 +1669,16 @@ def q_logreg_score(spark, sf_dir):
     return train_and_score(docs, lr=1.0, iters=8)
 
 
+def q_tfidf_pairs(spark, sf_dir):
+    """Exact TF-IDF cosine similarity pairs >= 0.85 via inverted-index
+    self-join; idf=0 terms dropped pre-join (exact no-op that removes
+    the hottest join keys) — functions/retrieval.py."""
+    from webgraph_spark.functions.retrieval import tfidf_pair_similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_pair_similarity(docs, min_sim=0.85)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1772,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_quad_count": q_quad_count,
         "graph_reciprocity": q_reciprocity,
         "docs_logreg_score": q_logreg_score,
+        "docs_tfidf_pairs": q_tfidf_pairs,
     }
 
 
@@ -2488,4 +2499,5 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS arcs,
         "docs_logreg_score": _mlscore.logreg_sql(
             "documents", lr=1.0, iters=8
         ),
+        "docs_tfidf_pairs": _retrieval.tfidf_pair_similarity_sql(min_sim=0.85),
     }

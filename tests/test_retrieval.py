@@ -112,3 +112,60 @@ def test_bigram_lm_short_docs_null(spark):
     assert out[0]["n_bigrams"] == 0 and out[0]["lm_score"] is None
     assert out[1]["n_bigrams"] == 0 and out[1]["lm_score"] is None
     assert out[2]["n_bigrams"] == 1 and out[2]["lm_score"] is not None
+
+
+# ---------------------------------------------- TF-IDF pair similarity
+
+def test_tfidf_pairs_vs_numpy(spark):
+    import numpy as np
+    from webgraph_spark.functions.retrieval import tfidf_pair_similarity
+
+    texts = [
+        "apple banana apple cherry",
+        "apple banana cherry",
+        "dog cat mouse",
+        "dog cat mouse dog",
+        "apple dog zebra",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_pair_similarity(df, min_sim=0.0).collect()
+    }
+    # numpy oracle
+    vocab = sorted({w for t in texts for w in t.split()})
+    n = len(texts)
+    tf = np.zeros((n, len(vocab)))
+    for i, t in enumerate(texts):
+        for w in t.split():
+            tf[i, vocab.index(w)] += 1
+    dfreq = (tf > 0).sum(axis=0)
+    keep = dfreq < n
+    W = tf[:, keep] * np.log(n / dfreq[keep])
+    nrm = np.sqrt((W * W).sum(axis=1))
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = float(W[i] @ W[j] / (nrm[i] * nrm[j]))
+            if (i, j) in got:
+                assert abs(got[(i, j)] - round(c, 6)) < 1e-9
+            else:
+                assert c < 1e-12  # absent pairs share no weighted term
+
+
+def test_tfidf_max_df_drops_common_terms(spark):
+    from webgraph_spark.functions.retrieval import tfidf_pair_similarity
+
+    # "shared" appears in 3 of 4 docs; with max_df=2 it is dropped and
+    # docs 2,3 (only linked through it) no longer pair
+    texts = ["shared alpha", "shared beta", "shared gamma", "delta gamma"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    full = {(r["id_a"], r["id_b"]) for r in
+            tfidf_pair_similarity(df, min_sim=0.0).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              tfidf_pair_similarity(df, min_sim=0.0, max_df=2).collect()}
+    assert (0, 1) in full and (0, 1) not in capped
+    assert (2, 3) in capped  # gamma (df=2) survives the cap

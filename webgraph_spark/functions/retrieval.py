@@ -248,3 +248,116 @@ SELECT b.doc_id,
        s.lm_score
 FROM base b LEFT JOIN scored s ON b.doc_id = s.doc_id
 """
+
+
+# ------------------------------------------- TF-IDF pair similarity
+
+def tfidf_pair_similarity(
+    docs: DataFrame,
+    min_sim: float = 0.8,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine >= ``min_sim`` — sparse
+    lexical near-duplicate / similarity search via an inverted-index
+    self-join (the exact counterpart of the MinHash-Jaccard pipeline in
+    functions/dedup.py, under the cosine rather than Jaccard measure).
+
+    Plan: tokenize -> (doc, term, tf) -> per-term df -> weight
+    w = tf * ln(N / df) -> self-join on term -> groupBy-(pair) dot ->
+    normalize. Skew control: terms present in EVERY document carry
+    idf = 0 and are dropped BEFORE the join (an exact no-op on scores
+    that removes precisely the highest-fanout join keys); ``max_df``
+    optionally drops further high-df terms (then scores are exact over
+    the retained vocabulary — same documented-cap posture as the LSH
+    ``max_bucket`` guard). A term with df = d fans out C(d, 2) pairs, so
+    the retained-df cap bounds join work at scale.
+
+    The threshold compares the ROUNDed cosine on both engines, so the
+    cross-engine frontier is identical up to sum-order noise at the
+    6th decimal of an exact boundary value.
+
+    Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_array(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = tf.select("doc_id").distinct().count()
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    cap = max_df if max_df is not None else n_docs
+    keep = df.where(F.col("df") < F.least(F.lit(cap + 1), F.lit(n_docs)))
+    w = (
+        tf.join(F.broadcast(keep), "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    out = (
+        dot.join(nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), round_to).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_sim)
+    )
+    return out
+
+
+def tfidf_pair_similarity_sql(
+    min_sim: float = 0.8,
+    max_df: int | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`tfidf_pair_similarity`."""
+    cap_pred = f"AND d.df <= {max_df}" if max_df is not None else ""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, unnest({tokens_array_sql(text_col)}) AS term
+  FROM {table}
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+w AS MATERIALIZED (
+  SELECT t.doc_id, t.term,
+         t.tf * ln((SELECT n FROM nn) * 1.0 / d.df) AS w
+  FROM tf t JOIN dfr d USING (term)
+  WHERE d.df < (SELECT n FROM nn) {cap_pred}
+),
+nrm AS MATERIALIZED (
+  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+),
+dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(dot / (na.nrm * nb.nrm), {round_to}) AS cosine
+FROM dot
+JOIN nrm na ON na.doc_id = id_a
+JOIN nrm nb ON nb.doc_id = id_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), {round_to}) >= {min_sim}
+"""

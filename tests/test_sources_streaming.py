@@ -220,3 +220,57 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
     assert sorted(ids) == sorted(
         r.event_id for r in events.select("event_id").distinct().collect()
     )
+
+
+def test_streaming_count_min_equals_batch_sketch(spark, tmp_path):
+    """Linearity gate: the cell-wise sum of per-micro-batch Count-Min
+    cells must make estimates IDENTICAL to a single batch sketch over
+    the full stream (CM is a linear sketch), and >= exact counts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from webgraph_spark.functions.sketches import count_min_topk
+    from webgraph_spark.streaming.events import (
+        count_min_stream_sink,
+        count_min_stream_topk,
+    )
+
+    rng = np.random.RandomState(9)
+    items = rng.zipf(1.5, size=3000) % 200
+    pdf = pd.DataFrame({"item_id": items.astype(np.int64)})
+    stage = str(tmp_path / "item_stream")
+    spark.createDataFrame(pdf).repartition(3).write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("item_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    cells_path = str(tmp_path / "cm_cells")
+    q = count_min_stream_sink(
+        stream, "item_id", cells_path,
+        checkpoint=str(tmp_path / "cm_ckpt"), d=3, w=64, seed=7,
+    ).start()
+    q.awaitTermination(120)
+
+    n_batches = (
+        spark.read.parquet(cells_path).select("batch_id").distinct().count()
+    )
+    assert n_batches == 3  # one sketch chunk per micro-batch
+
+    full = spark.createDataFrame(pdf)
+    streamed = count_min_stream_topk(
+        spark, cells_path, full, "item_id", k=300, d=3, w=64, seed=7
+    ).toPandas().sort_values("item").reset_index(drop=True)
+    batch = (
+        count_min_topk(full, "item_id", d=3, w=64, k=300, seed=7)
+        .toPandas().sort_values("item").reset_index(drop=True)
+    )
+    assert list(streamed["item"]) == list(batch["item"])
+    assert (streamed["est_count"].to_numpy() == batch["est_count"].to_numpy()).all()
+    exact = full.groupBy("item_id").agg(F.count("*").alias("c")).toPandas()
+    exact_map = {str(r.item_id): r.c for r in exact.itertuples()}
+    assert all(
+        r.est_count >= exact_map[r.item] for r in streamed.itertuples()
+    )

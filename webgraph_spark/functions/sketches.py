@@ -160,6 +160,78 @@ FROM final f JOIN (
 
 # ------------------------------------------------- Count-Min heavy hitters
 
+def count_min_cells(
+    df: DataFrame, item_col: str, d: int, w: int, seed: int
+) -> DataFrame:
+    """(i, bkt, cnt) sketch cells for one input chunk — ONE
+    map-side-combined groupBy whose state is d*w cells regardless of row
+    count. Count-Min is a LINEAR sketch: cells from disjoint chunks add
+    cell-wise to the whole-stream sketch, which is what the streaming
+    sink (streaming/events.py count_min_stream_sink) exploits."""
+    from .hashing import universal_hash, hash_family
+
+    a, b = hash_family(d, seed)
+    occ = df.select(F.col(item_col).cast("string").alias("it"))
+    h = md5_long(F.col("it"))
+    return (
+        occ.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (universal_hash(h, a[i], b[i]) % w).alias("bkt"),
+                        )
+                        for i in range(d)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.bkt")
+        .groupBy("i", "bkt")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimates(
+    cells: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    d: int,
+    w: int,
+    seed: int,
+) -> DataFrame:
+    """(item, est_count) for every distinct item in ``items``, looked up
+    against a (possibly merged) cell table: min over the d probed cells.
+    The sketch side is broadcast (d*w cells)."""
+    from .hashing import universal_hash, hash_family
+
+    a, b = hash_family(d, seed)
+    occ = items.select(F.col(item_col).cast("string").alias("it")).distinct()
+    h = md5_long(F.col("it"))
+    melted = occ.select(
+        "it",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (universal_hash(h, a[i], b[i]) % w).alias("bkt"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("it", "c.i", "c.bkt")
+    merged = cells.groupBy("i", "bkt").agg(F.sum("cnt").alias("cnt"))
+    return (
+        melted.join(F.broadcast(merged), ["i", "bkt"])
+        .groupBy("it")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+        .withColumnRenamed("it", "item")
+    )
+
+
 def count_min_topk(
     df: DataFrame,
     item_col: str,
@@ -185,63 +257,20 @@ def count_min_topk(
     Returns (item, est_count, exact_count, overcount) top-k by
     (est_count desc, item asc).
     """
-    from .hashing import hash_family, universal_hash
-
-    a, b = hash_family(d, seed)
     occ = df.select(F.col(item_col).cast("string").alias("it"))
-    h = md5_long(F.col("it"))
-    bkts = [
-        (universal_hash(h, a[i], b[i]) % w).alias(f"b{i}") for i in range(d)
-    ]
-    cells = (
-        occ.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("i"),
-                            (universal_hash(h, a[i], b[i]) % w).alias("bkt"),
-                        )
-                        for i in range(d)
-                    ]
-                )
-            ).alias("c")
-        )
-        .select("c.i", "c.bkt")
-        .groupBy("i", "bkt")
-        .agg(F.count("*").alias("cnt"))
-    )
-    items = occ.distinct().select("it", *bkts)
-    melted = items.select(
-        "it",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("bkt"))
-                    for i in range(d)
-                ]
-            )
-        ).alias("c"),
-    ).select("it", "c.i", "c.bkt")
-    est = (
-        melted.join(F.broadcast(cells), ["i", "bkt"])
-        .groupBy("it")
-        .agg(F.min("cnt").cast("long").alias("est_count"))
-    )
-    out = est
+    cells = count_min_cells(df, item_col, d, w, seed)
+    out = count_min_estimates(cells, occ, "it", d, w, seed)
     if with_exact:
-        exact = occ.groupBy("it").agg(F.count("*").cast("long").alias("exact_count"))
-        out = est.join(exact, "it").select(
-            "it",
+        exact = occ.groupBy("it").agg(
+            F.count("*").cast("long").alias("exact_count")
+        ).withColumnRenamed("it", "item")
+        out = out.join(exact, "item").select(
+            "item",
             "est_count",
             "exact_count",
             (F.col("est_count") - F.col("exact_count")).alias("overcount"),
         )
-    return (
-        out.orderBy(F.col("est_count").desc(), F.col("it"))
-        .limit(k)
-        .withColumnRenamed("it", "item")
-    )
+    return out.orderBy(F.col("est_count").desc(), F.col("item")).limit(k)
 
 
 def count_min_topk_sql(

@@ -127,3 +127,54 @@ def incremental_edge_append(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def count_min_stream_sink(
+    stream: DataFrame,
+    item_col: str,
+    out_path: str,
+    checkpoint: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 12345,
+):
+    """Streaming heavy-hitter sketching: each micro-batch's Count-Min
+    cells (functions/sketches.py count_min_cells) are APPENDED to a
+    durable cell table; because Count-Min is a linear sketch, the
+    whole-stream sketch is the cell-wise SUM of the appended chunks, so
+    estimates after any prefix of batches equal a batch sketch of the
+    same prefix EXACTLY (tested). State per batch is d*w cells — the
+    sink writes kilobytes per trigger no matter how wide the stream is,
+    the streaming analog of the reference's push-based incremental
+    builder (IncrementalImmutableSequentialGraph.java:26-46)."""
+    from ..functions.sketches import count_min_cells
+
+    def sink(batch: DataFrame, batch_id: int):
+        cells = count_min_cells(batch, item_col, d, w, seed).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        cells.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def count_min_stream_topk(
+    spark: SparkSession,
+    cells_path: str,
+    items: DataFrame,
+    item_col: str,
+    k: int = 10,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 12345,
+) -> DataFrame:
+    """Top-k estimates from the accumulated streaming cell table."""
+    from ..functions.sketches import count_min_estimates
+
+    cells = spark.read.parquet(cells_path).select("i", "bkt", "cnt")
+    est = count_min_estimates(cells, items, item_col, d, w, seed)
+    return est.orderBy(F.col("est_count").desc(), F.col("item")).limit(k)

@@ -61,3 +61,44 @@ def state_complete(fs, Path, path: str, fmt: str) -> bool:
         meta = Path(f"{path}/metadata")
         return fs.exists(meta) and len(fs.listStatus(meta)) > 0
     return fs.exists(Path(f"{path}/_SUCCESS"))
+
+
+# ------------------------------------------------- bucketed edge tables
+
+def write_bucketed_edges(
+    edges: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 32,
+    bucket_col: str = "src",
+    sort_cols: tuple[str, ...] = ("src", "dst"),
+) -> None:
+    """Persist an edge table hash-BUCKETED on ``bucket_col`` and sorted
+    within buckets (``bucketBy`` + ``sortBy`` external parquet table).
+
+    This is the storage-level analog of the reference's offset-indexed
+    .graph file: the physical layout carries the partitioning, so every
+    later job that joins or aggregates on ``bucket_col`` — PageRank's
+    rank×edge join, degree aggregation, CSR packing — starts from
+    co-located data and the scan-side Exchange disappears entirely
+    (asserted by tests/test_storage_bucketed.py on the physical plan).
+    At 100 TB this converts the per-job repartition(src) of a hot graph
+    into a one-time write cost amortized across every downstream run;
+    two tables bucketed the same way join with NO shuffle on either
+    side. Buckets should be sized so one bucket's arcs fit an executor
+    (n_arcs/buckets ~ 10^7 at 10^10 arcs -> buckets ~ 10^3)."""
+    (
+        edges.write.format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, bucket_col)
+        .sortBy(*sort_cols)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table WITH its bucket metadata (spark.table —
+    reading the parquet path directly would drop the bucketing spec and
+    reintroduce the shuffle)."""
+    return spark.table(table_name)

@@ -37,6 +37,7 @@ from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
 from webgraph_spark.functions import clustering as _clustering
 from webgraph_spark.functions import mining as _mining
 from webgraph_spark.functions import retrieval as _retrieval
+from webgraph_spark.algos import features as _features
 from webgraph_spark.functions import mlscore as _mlscore
 from webgraph_spark.functions import sketches as _sketches
 from webgraph_spark.functions.text import STOPWORDS_EN, text_stats
@@ -1679,6 +1680,33 @@ def q_tfidf_pairs(spark, sf_dir):
     return tfidf_pair_similarity(docs, min_sim=0.85)
 
 
+def q_sage_features(spark, sf_dir):
+    """One GraphSAGE-mean message-passing layer: graph nodes map onto
+    the embedding table via node % 500; each node's output is the
+    elementwise mean of its in-neighbors' vectors (identity fallback
+    for message-less nodes). Exploded to (node, pos, val) for
+    deterministic cross-engine hashing (algos/features.py)."""
+    from webgraph_spark.algos.features import neighborhood_mean_features
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    e = (
+        _edges(spark, sf_dir)
+        .select(
+            (F.col("src") % n_vec).alias("src"),
+            (F.col("dst") % n_vec).alias("dst"),
+        )
+        .distinct()
+    )
+    out = neighborhood_mean_features(
+        e, emb, hops=1, id_col="vec_id", vec_col="embedding",
+        direction="in", round_to=6,
+    )
+    return out.select("node", F.posexplode("vec").alias("pos", "val")).select(
+        "node", F.col("pos").cast("long").alias("pos"), "val"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1783,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": q_reciprocity,
         "docs_logreg_score": q_logreg_score,
         "docs_tfidf_pairs": q_tfidf_pairs,
+        "graph_sage_features": q_sage_features,
     }
 
 
@@ -2500,4 +2529,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS arcs,
             "documents", lr=1.0, iters=8
         ),
         "docs_tfidf_pairs": _retrieval.tfidf_pair_similarity_sql(min_sim=0.85),
+        "graph_sage_features": _features.neighborhood_mean_sql(
+            td.EDGES_CTE, node_mod=500
+        ),
     }

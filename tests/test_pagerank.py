@@ -141,3 +141,32 @@ def test_weighted_vs_numpy_weighted_power_iteration(spark):
         r = (1 - alpha) / n + alpha * (dmass / n + contrib)
     np.testing.assert_allclose(got, r, atol=1e-12)
     assert abs(got.sum() - 1.0) < 1e-9
+
+
+# ----------------------------------------------- warm-start / incremental
+
+def test_warm_start_same_fixpoint_fewer_iterations(spark):
+    from pyspark.sql import functions as F
+
+    n, p, seed = 60, 0.08, 11
+    e = erdos_renyi(spark, n, p, seed=seed)
+    cold = pagerank(e, tol=1e-8, max_iter=200)
+    # perturb: add a handful of new arcs (including a new node n)
+    extra = spark.createDataFrame(
+        [(0, 7), (3, 41), (n - 1, 0), (5, 60)], "src long, dst long"
+    )
+    e2 = e.unionByName(extra).distinct()
+    cold2 = pagerank(e2, tol=1e-8, max_iter=200)
+    warm = pagerank(e2, tol=1e-8, max_iter=200, init_ranks=cold.ranks)
+    assert warm.converged and cold2.converged
+    assert warm.iterations < cold2.iterations, (
+        warm.iterations, cold2.iterations
+    )
+    a = {r["node"]: r["rank"] for r in cold2.ranks.collect()}
+    b = {r["node"]: r["rank"] for r in warm.ranks.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-6
+    # mass conserved
+    m = warm.ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(m - 1.0) < 1e-9

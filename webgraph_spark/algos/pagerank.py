@@ -279,6 +279,7 @@ def pagerank(
     fixed_iterations: int | None = None,
     checkpoint_dir: str | None = None,
     run_id: str = "pagerank",
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """PageRank over ``edges(src, dst)``.
 
@@ -286,6 +287,15 @@ def pagerank(
     with no convergence stop (used for unrolled-SQL oracle parity);
     otherwise iterate to L-inf < ``tol`` or ``max_iter``.
     ``checkpoint_dir`` enables durable resumable checkpoints + lineage.
+
+    ``init_ranks`` (node, rank) WARM-STARTS the iteration — the
+    incremental-maintenance path for a continuously-ingested graph
+    (streaming/events.py): seed with the previous snapshot's converged
+    ranks, new nodes default to 1/n, and the vector is renormalized to
+    unit mass. Power iteration converges from any probability vector,
+    so the fixpoint is identical (same tol); only the iteration count
+    shrinks (tested: small edge deltas converge in a fraction of the
+    cold-start rounds).
     """
     spark = edges.sparkSession
     ew, nodes, P = _prepare(edges, num_partitions)
@@ -297,7 +307,20 @@ def pagerank(
 
     # state: (node, rank, dang); dang is static but riding it in the
     # state frame keeps each iteration a single self-contained join tree
-    ranks0 = nodes.select("node", F.lit(1.0 / n).alias("rank"), "dang")
+    if init_ranks is not None:
+        seeded = nodes.join(
+            init_ranks.select("node", F.col("rank").alias("_r0")), "node", "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank"),
+            "dang",
+        )
+        total = seeded.agg(F.sum("rank")).collect()[0][0] or 1.0
+        ranks0 = seeded.select(
+            "node", (F.col("rank") / F.lit(float(total))).alias("rank"), "dang"
+        )
+    else:
+        ranks0 = nodes.select("node", F.lit(1.0 / n).alias("rank"), "dang")
     carry: dict = {"dmass": None, "delta": float("inf")}
 
     def step(ranks: DataFrame, k: int):

@@ -1707,6 +1707,18 @@ def q_sage_features(spark, sf_dir):
     )
 
 
+def q_value_quantiles(spark, sf_dir):
+    """Histogram-sketch quantiles of events.value (256 fixed-width bins,
+    ONE sketch-sized aggregation; error bound = bin width) — the third
+    member of the sketch family after HLL and Count-Min."""
+    from webgraph_spark.functions.sketches import histogram_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return histogram_quantiles(
+        ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], bins=256
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1812,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_logreg_score": q_logreg_score,
         "docs_tfidf_pairs": q_tfidf_pairs,
         "graph_sage_features": q_sage_features,
+        "events_value_quantiles": q_value_quantiles,
     }
 
 
@@ -2531,5 +2544,8 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS arcs,
         "docs_tfidf_pairs": _retrieval.tfidf_pair_similarity_sql(min_sim=0.85),
         "graph_sage_features": _features.neighborhood_mean_sql(
             td.EDGES_CTE, node_mod=500
+        ),
+        "events_value_quantiles": _sketches.histogram_quantiles_sql(
+            "events", "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], bins=256
         ),
     }

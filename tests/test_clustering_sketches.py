@@ -134,3 +134,48 @@ def test_count_min_multiset_additivity(spark):
     pb = b.sort_values("item").reset_index(drop=True)
     assert list(pa["item"]) == list(pb["item"])
     assert (pb["est_count"].to_numpy() == 2 * pa["est_count"].to_numpy()).all()
+
+
+# ------------------------------------------------- histogram quantiles
+
+def test_histogram_quantiles_error_bound(spark):
+    from webgraph_spark.functions.sketches import histogram_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.randn(5000) * 10 + 50
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {r["q"]: r["est"] for r in
+           histogram_quantiles(df, "v", [0.1, 0.5, 0.9], bins=256).collect()}
+    width = (vals.max() - vals.min()) / 256
+    for q in (0.1, 0.5, 0.9):
+        exact = np.quantile(vals, q)
+        assert abs(got[q] - exact) <= width + 1e-9, (q, got[q], exact)
+
+
+def test_histogram_quantiles_merge_linearity(spark):
+    from webgraph_spark.functions.sketches import histogram_quantiles
+
+    rng = np.random.RandomState(8)
+    vals = rng.rand(2000) * 100
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    lo, hi = float(vals.min()), float(vals.max())
+    whole = histogram_quantiles(df, "v", [0.5], bins=64, lo=lo, hi=hi).collect()
+    # same sketch computed over the doubled multiset: same quantiles
+    doubled = histogram_quantiles(
+        df.unionAll(df), "v", [0.5], bins=64, lo=lo, hi=hi
+    ).collect()
+    # doubling every count moves rank interpolation by at most one
+    # in-bin position; estimates stay within one bin width
+    assert abs(whole[0]["est"] - doubled[0]["est"]) <= (hi - lo) / 64 + 1e-9
+
+
+def test_histogram_quantiles_monotone_and_extremes(spark):
+    from webgraph_spark.functions.sketches import histogram_quantiles
+
+    df = spark.range(1000).selectExpr("cast(id as double) as v")
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    got = [r["est"] for r in sorted(
+        histogram_quantiles(df, "v", qs, bins=128).collect(),
+        key=lambda r: r["q"])]
+    assert got == sorted(got)
+    assert got[0] >= 0.0 and got[-1] <= 999.0 + (999.0 / 128)

@@ -328,3 +328,114 @@ SELECT e.it AS item, e.est_count{exact_cols}
 FROM est e {exact_join}
 ORDER BY e.est_count DESC, e.it LIMIT {k}
 """
+
+
+# ------------------------------------------------- histogram quantiles
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    bins: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram sketch.
+
+    The third member of the engine's sketch family (HLL distinct,
+    Count-Min heavy hitters, histogram quantiles): ONE
+    map-side-combined groupBy over <= ``bins`` cells — aggregation
+    state is sketch-sized regardless of row count, and histograms from
+    disjoint chunks merge by cell-wise addition (linear, like CM).
+    Estimate = left-closed linear interpolation inside the bin that
+    crosses the target rank; the error bound is the bin width
+    (hi - lo) / bins. ``lo``/``hi`` default to the exact min/max
+    (one extra aggregation; pass them to stay single-pass at scale).
+
+    Returns (q, est) — one row per requested quantile, deterministic
+    integer-rank arithmetic so the SQL twin matches exactly.
+    """
+    if not quantiles or any(not (0.0 <= q <= 1.0) for q in quantiles):
+        raise ValueError("quantiles must be in [0, 1]")
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    bin_col = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    cells = (
+        df.select(bin_col.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("b")
+        .collect()
+    )
+    # cumulative walk over <= bins rows on the driver (sketch-sized)
+    total = sum(r["cnt"] for r in cells)
+    spark = df.sparkSession
+    out_rows = []
+    for q in quantiles:
+        rank = q * (total - 1)  # 0-based fractional rank
+        cum = 0
+        est = hi
+        for r in cells:
+            b, cnt = r["b"], r["cnt"]
+            if cum + cnt > rank:
+                # interpolate inside this bin by rank position
+                frac = (rank - cum + 1.0) / cnt
+                est = lo + width * (b + min(1.0, max(0.0, frac)))
+                break
+            cum += cnt
+        out_rows.append((float(q), round(est, round_to)))
+    return spark.createDataFrame(out_rows, "q double, est double")
+
+
+def histogram_quantiles_sql(
+    table: str,
+    value_col: str,
+    quantiles: list[float],
+    bins: int = 256,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` (lo/hi from the same
+    min/max aggregation, identical bin + interpolation arithmetic)."""
+    qs = ", ".join(str(q) for q in quantiles)
+    return f"""
+WITH v AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM {table}),
+mm AS (SELECT MIN(v) AS lo,
+              CASE WHEN MAX(v) <= MIN(v) THEN MIN(v) + 1.0 ELSE MAX(v) END AS hi
+       FROM v),
+cells AS MATERIALIZED (
+  SELECT LEAST({bins} - 1, GREATEST(0,
+           CAST(FLOOR((v - mm.lo) / ((mm.hi - mm.lo) / {bins})) AS INT))) AS b,
+         COUNT(*) AS cnt
+  FROM v, mm GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS n FROM cells),
+cum AS (
+  SELECT b, cnt,
+         SUM(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS cum0
+  FROM cells
+),
+qs AS (SELECT CAST(unnest([{qs}]) AS DOUBLE) AS q),
+hit AS (
+  SELECT q.q, c.b, c.cnt, COALESCE(c.cum0, 0) AS cum0,
+         ROW_NUMBER() OVER (PARTITION BY q.q ORDER BY c.b) AS rn
+  FROM qs q JOIN cum c
+    ON COALESCE(c.cum0, 0) + c.cnt > q.q * ((SELECT n FROM tot) - 1)
+)
+SELECT h.q,
+       ROUND(mm.lo + ((mm.hi - mm.lo) / {bins}) *
+             (h.b + LEAST(1.0, GREATEST(0.0,
+               (h.q * ((SELECT n FROM tot) - 1) - h.cum0 + 1.0) / h.cnt))),
+             {round_to}) AS est
+FROM hit h, mm WHERE h.rn = 1
+"""

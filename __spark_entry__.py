@@ -32,7 +32,11 @@ from webgraph_spark.functions.dedup import (
     ngram_jaccard,
     simhash16,
 )
-from webgraph_spark.functions.hashing import MERSENNE_P, hash_family
+from webgraph_spark.functions.hashing import (
+    MERSENNE_P,
+    hash_family,
+    md5_long_sql as _md5_sql,
+)
 from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
 from webgraph_spark.functions import clustering as _clustering
 from webgraph_spark.functions import mining as _mining
@@ -1719,6 +1723,53 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_decay_pagerank(spark, sf_dir):
+    """Temporal graph analytics: user -> event-type arcs weighted by
+    INTEGER half-life decay (1000 >> weeks-of-age — exact in both
+    engines, no libm pow), then weighted PageRank (5 iters). The
+    recency-biased engagement rank over a continuously-growing event
+    log."""
+    from webgraph_spark.algos.pagerank import pagerank_weighted
+    from webgraph_spark.functions.hashing import md5_long
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_d = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    weeks = F.least(
+        F.floor(F.datediff(F.lit(max_d), F.to_date("ts")) / 7).cast("int"),
+        F.lit(10),
+    )
+    w = F.floor(F.lit(1000) / F.expr("shiftleft(cast(1 as bigint), _weeks)"))
+    arcs = (
+        ev.withColumn("_weeks", weeks)
+        .select(
+            F.col("user_id").alias("src"),
+            (F.lit(10**9) + md5_long(F.col("event_type")) % F.lit(10**6)).alias(
+                "dst"
+            ),
+            w.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("label"))
+    )
+    res = pagerank_weighted(arcs, fixed_iterations=5, num_partitions=16)
+    return res.ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    """Newman MLE power-law exponent of the out-degree distribution:
+    alpha = 1 + n / sum(ln(d / (dmin - 0.5))), dmin = 1 — the
+    distribution-analysis companion to the reference's Stats sink."""
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    return deg.agg(
+        F.count("*").cast("long").alias("n_tail"),
+        F.round(
+            F.lit(1.0) + F.count("*") / F.sum(F.log(F.col("d") / F.lit(0.5))),
+            6,
+        ).alias("alpha"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -1825,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_pairs": q_tfidf_pairs,
         "graph_sage_features": q_sage_features,
         "events_value_quantiles": q_value_quantiles,
+        "events_decay_pagerank": q_decay_pagerank,
+        "graph_powerlaw_alpha": q_powerlaw_alpha,
     }
 
 
@@ -2548,4 +2601,25 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS arcs,
         "events_value_quantiles": _sketches.histogram_quantiles_sql(
             "events", "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], bins=256
         ),
+        "events_decay_pagerank": td.wpagerank_sql(
+            iters=5,
+            alpha=0.85,
+            round_to=9,
+            ledges_cte=f"""
+ledges AS MATERIALIZED (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS label FROM (
+    SELECT user_id AS src,
+           1000000000 + ({_md5_sql('event_type')}) % 1000000 AS dst,
+           1000 // (CAST(1 AS BIGINT) << LEAST(
+             date_diff('day', CAST(ts AS DATE),
+               (SELECT MAX(CAST(ts AS DATE)) FROM events)) // 7, 10)) AS w
+    FROM events) t
+  GROUP BY src, dst
+)""",
+        ),
+        "graph_powerlaw_alpha": f"""WITH {td.EDGES_CTE},
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(1.0 + COUNT(*) / SUM(ln(d / 0.5)), 6) AS alpha
+FROM deg""",
     }

@@ -1367,11 +1367,17 @@ a{k} AS MATERIALIZED (
     )
 
 
-def wpagerank_sql(iters: int = 5, alpha: float = 0.85, round_to: int = 9) -> str:
-    """Twin of algos.pagerank.pagerank_weighted over the labelled edge
-    table (weight = arc multiplicity): contribution rank*w/W(u), uniform
-    dangling redistribution."""
-    parts = [LABELLED_EDGES_CTE]
+def wpagerank_sql(
+    iters: int = 5,
+    alpha: float = 0.85,
+    round_to: int = 9,
+    ledges_cte: str | None = None,
+) -> str:
+    """Twin of algos.pagerank.pagerank_weighted over a labelled edge
+    table (contribution rank*w/W(u), uniform dangling redistribution).
+    ``ledges_cte`` must define ``ledges(src, dst, label)``; defaults to
+    the TPC-H arc-multiplicity table."""
+    parts = [ledges_cte if ledges_cte is not None else LABELLED_EDGES_CTE]
     parts.append("""
 nodes AS MATERIALIZED (
   SELECT src AS node FROM ledges UNION SELECT dst AS node FROM ledges)""")

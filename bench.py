@@ -190,6 +190,13 @@ def main():
         "emb_kmeans",
         "events_hll_users",
         "transcript_tool_pairs",
+        "events_heavy_hitters",
+        "events_value_quantiles",
+        "docs_logreg_score",
+        "docs_tfidf_pairs",
+        "graph_cocitation2",
+        "graph_wpagerank5",
+        "graph_sage_features",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

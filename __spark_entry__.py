@@ -126,6 +126,16 @@ def q_lp3(spark, sf_dir):
     return res.labels.select("node", "label")
 
 
+def q_modularity3(spark, sf_dir):
+    """Modularity Q of the 3-round label-propagation partition — the
+    LLP-style community-quality score (SURVEY.md §2.10)."""
+    from webgraph_spark.algos.labelprop import modularity
+
+    e = _edges(spark, sf_dir)
+    res = label_propagation(e, max_iter=3, num_partitions=16)
+    return modularity(e, res.labels)
+
+
 def q_triangles(spark, sf_dir):
     n = triangle_count(_edges(spark, sf_dir))
     return spark.createDataFrame([(n,)], "triangles long")
@@ -1551,6 +1561,15 @@ def q_bm25_top10(spark, sf_dir):
     return bm25_topk(docs, BM25_QUERY_TERMS, k=10)
 
 
+def q_ngram_topk(spark, sf_dir):
+    """Top-20 corpus trigrams with occurrence and document counts —
+    boilerplate/template discovery over the documents table."""
+    from webgraph_spark.functions.retrieval import ngram_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_topk(docs, n=3, k=20)
+
+
 def q_bigram_lm(spark, sf_dir):
     """Corpus-trained add-one bigram LM: per-document mean negative
     log2 bigram probability (the statistical perplexity filter)."""
@@ -1778,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank5": q_pagerank5,
         "graph_cc8": q_cc8,
         "graph_lp3": q_lp3,
+        "graph_modularity3": q_modularity3,
         "graph_triangles": q_triangles,
         "graph_bfs3": q_bfs3,
         "graph_compose_cust_part": q_compose,
@@ -1864,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_salsa4": q_salsa4,
         "docs_bm25_top10": q_bm25_top10,
         "docs_bigram_lm": q_bigram_lm,
+        "docs_ngram_topk": q_ngram_topk,
         "emb_kmeans": q_kmeans,
         "events_hll_users": q_hll_users,
         "transcript_tool_pairs": q_tool_pairs,
@@ -2262,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank5": td.pagerank_sql(iters=5, alpha=0.85, round_to=9),
         "graph_cc8": td.cc_sql(rounds=8),
         "graph_lp3": td.lp_sql(rounds=3),
+        "graph_modularity3": td.modularity_sql(rounds=3),
         "graph_triangles": td.triangles_sql(),
         "graph_bfs3": td.bfs_sql(rounds=3),
         "graph_compose_cust_part": td.compose_sql(),
@@ -2547,6 +2569,7 @@ GROUP BY s.src""",
         "graph_salsa4": td.salsa_sql(iters=4, round_to=9),
         "docs_bm25_top10": _retrieval.bm25_topk_sql(BM25_QUERY_TERMS, k=10),
         "docs_bigram_lm": _retrieval.bigram_lm_sql(),
+        "docs_ngram_topk": _retrieval.ngram_topk_sql(n=3, k=20),
         "emb_kmeans": (
             "SELECT id AS vec_id, cluster, dist FROM ("
             + _clustering.kmeans_assign_sql(k=4, iters=3)

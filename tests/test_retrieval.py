@@ -169,3 +169,71 @@ def test_tfidf_max_df_drops_common_terms(spark):
               tfidf_pair_similarity(df, min_sim=0.0, max_df=2).collect()}
     assert (0, 1) in full and (0, 1) not in capped
     assert (2, 3) in capped  # gamma (df=2) survives the cap
+
+
+# ---------------------------------------------------------------- ngram_topk
+
+
+def _ngrams_py(docs, n):
+    from collections import Counter
+
+    cnt, ndocs = Counter(), Counter()
+    for d, t in docs:
+        toks = _tok(t)
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        cnt.update(grams)
+        ndocs.update(set(grams))
+    return cnt, ndocs
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_ngram_topk_matches_python(spark, n):
+    from webgraph_spark.functions.retrieval import ngram_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = ngram_topk(df, n=n, k=10).collect()
+    cnt, ndocs = _ngrams_py(DOCS, n)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.ngram, r.cnt) for r in got] == want
+    for r in got:
+        assert r.n_docs == ndocs[r.ngram]
+
+
+def test_ngram_topk_short_docs_drop_out(spark):
+    from webgraph_spark.functions.retrieval import ngram_topk
+
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "x"), (2, "")], "doc_id long, text string"
+    )
+    rows = ngram_topk(df, n=3, k=5).collect()
+    assert rows == []
+
+
+def test_tfidf_dense_and_index_paths_agree(spark):
+    """The blocked-GEMM dense path and the inverted-index path are two
+    physical plans for the same operator — identical output."""
+    from webgraph_spark.functions.retrieval import tfidf_pair_similarity
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma",
+        "alpha beta epsilon zeta",
+        "zeta eta theta",
+        "completely different words here",
+        "alpha", "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for min_sim in (0.0, 0.3, 0.9):
+        dense = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in tfidf_pair_similarity(df, min_sim=min_sim).collect()
+        }
+        index = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in tfidf_pair_similarity(
+                df, min_sim=min_sim, dense_vocab_max=0
+            ).collect()
+        }
+        assert dense == index, f"paths diverge at min_sim={min_sim}"

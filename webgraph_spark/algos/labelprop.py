@@ -125,3 +125,58 @@ def label_propagation_numpy(adj: np.ndarray, max_iter: int = 10) -> np.ndarray:
             return new
         labels = new
     return labels
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node->label partition, evaluated on the
+    symmetrized loop-free graph (each undirected edge counted as two
+    arcs, exactly the graph label propagation runs on).
+
+    Reference analog: the quality objective behind the reference
+    authors' Layered Label Propagation ordering (gamma=0 term of the
+    Absolute Potts Model objective; see SURVEY.md section 2.10 — LLP is
+    published companion work to webgraph's compression orderings).
+
+    Q = sum_c [ e_c/m - (d_c/m)^2 ] where m = |sym arcs|, e_c = arcs
+    with both endpoints labelled c, d_c = degree mass of community c on
+    the symmetric graph. Computed with an INTEGER numerator
+    N = m*sum(e_c) - sum(d_c^2) so the only floating operation is the
+    final division N/m^2 — bit-identical at any parallelism and in any
+    oracle engine (no float-sum ordering effects).
+
+    Returns one row: (modularity double, n_communities, m_arcs).
+    Shuffle shape: two co-partitioned joins of arcs against the label
+    table (by src, then dst) + one groupBy(label) — all keys are node
+    ids, no skew beyond the graph's own hubs; scale-safe.
+    """
+    sym = no_loops(symmetrize(edges.select("src", "dst")))
+    lab = labels.select("node", "label")
+    arcs = (
+        sym.join(lab.withColumnRenamed("node", "src")
+                    .withColumnRenamed("label", "lsrc"), "src")
+           .join(lab.withColumnRenamed("node", "dst")
+                    .withColumnRenamed("label", "ldst"), "dst")
+    )
+    # per-community degree mass d_c (symmetric graph: out-degree == degree)
+    dc = (
+        arcs.groupBy("lsrc").agg(F.count("*").alias("d"))
+            .agg(F.sum(F.col("d") * F.col("d")).alias("sum_d2"))
+    )
+    tot = arcs.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("lsrc") == F.col("ldst"), 1).otherwise(0))
+         .alias("within"),
+    )
+    ncomm = lab.agg(F.countDistinct("label").alias("n_communities"))
+    return (
+        tot.crossJoin(dc).crossJoin(ncomm)
+        .select(
+            F.round(
+                (F.col("m") * F.col("within") - F.col("sum_d2")).cast("double")
+                / (F.col("m") * F.col("m")).cast("double"),
+                9,
+            ).alias("modularity"),
+            F.col("n_communities").cast("long").alias("n_communities"),
+            F.col("m").cast("long").alias("m_arcs"),
+        )
+    )

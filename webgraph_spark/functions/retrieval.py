@@ -259,6 +259,8 @@ def tfidf_pair_similarity(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    dense_vocab_max: int = 4096,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All document pairs with TF-IDF cosine >= ``min_sim`` — sparse
     lexical near-duplicate / similarity search via an inverted-index
@@ -299,6 +301,25 @@ def tfidf_pair_similarity(
         )
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+
+    # Two physical plans for the same exact semantics, picked by vocab
+    # shape. DENSE corpora (small vocabulary, high df everywhere — no
+    # rare join keys to exploit) make the inverted-index self-join fan
+    # out Σ_t C(df_t, 2) rows, which approaches |docs|²·|vocab| when
+    # every term is common; there the blocked GEMM below does the same
+    # dot products inside numpy with only an O(|docs|·n_blocks)
+    # replication shuffle. SPARSE corpora (real text: huge vocabulary,
+    # low df per term) keep the index join cheap and can't densify, so
+    # they take the index path.
+    vocab_size = keep.count()
+    if vocab_size <= dense_vocab_max:
+        pre = _tfidf_dense_pairs(
+            w, nrm, vocab_size, min_sim, round_to, n_blocks
+        )
+        return pre.select(
+            "id_a", "id_b", F.round("raw", round_to).alias("cosine")
+        ).where(F.col("cosine") >= min_sim)
+
     a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
     dot = (
@@ -318,6 +339,110 @@ def tfidf_pair_similarity(
         .where(F.col("cosine") >= min_sim)
     )
     return out
+
+
+def _tfidf_dense_pairs(
+    w: DataFrame,
+    nrm: DataFrame,
+    vocab_size: int,
+    min_sim: float,
+    round_to: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Blocked all-pairs cosine over dense per-doc TF-IDF vectors.
+
+    Each doc's (term-id, normalized-weight) list is replicated to every
+    block pair it participates in (n_blocks copies); one
+    ``applyInPandas`` per (ba, bb) group runs the block GEMM and emits
+    only pairs whose RAW cosine clears ``min_sim`` minus a guard, so
+    the caller can apply the exact ROUND-then-threshold the index path
+    and the SQL oracle use. An unordered doc pair materializes in
+    exactly one group: same-block pairs only in (i, i), cross-block
+    pairs only in (min, max). Returns (id_a, id_b, raw) with
+    id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    spark = w.sparkSession
+    tid = w.select("term").distinct().withColumn(
+        "tid",
+        F.row_number().over(Window.orderBy("term")) - 1,
+    )
+    wn = (
+        w.join(nrm, "doc_id")
+        .join(F.broadcast(tid), "term")
+        .select("doc_id", "tid", (F.col("w") / F.col("nrm")).alias("wn"))
+    )
+    docs_v = wn.groupBy("doc_id").agg(
+        F.collect_list(F.struct("tid", "wn")).alias("s")
+    ).withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).cast("int"))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int",
+    )
+    rep = docs_v.join(
+        F.broadcast(bp),
+        (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")),
+    )
+    guard = min_sim - 10.0 ** (-round_to)
+    V = vocab_size
+
+    def _densify(sub: pd.DataFrame):
+        ids = sub["doc_id"].to_numpy(dtype=np.int64)
+        mat = np.zeros((len(ids), V), dtype=np.float64)
+        for r, items in enumerate(sub["s"]):
+            for it in items:
+                mat[r, it["tid"]] = it["wn"]
+        return ids, mat
+
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "raw": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _gemm(key, pdf):
+        ba, bb = key
+        if ba == bb:
+            ids, mat = _densify(pdf)
+            if len(ids) < 2:
+                return empty
+            s = mat @ mat.T
+            # s > 0 keeps parity with the index path / SQL oracle: a
+            # pair sharing NO term never materializes there (weights
+            # are strictly positive, so shared term <=> dot > 0)
+            ia, ib = np.nonzero(np.triu((s >= guard) & (s > 0), k=1))
+        else:
+            left = pdf[pdf["blk"] == ba]
+            right = pdf[pdf["blk"] == bb]
+            if left.empty or right.empty:
+                return empty
+            ids_l, mat_l = _densify(left)
+            ids_r, mat_r = _densify(right)
+            s = mat_l @ mat_r.T
+            ia, ib = np.nonzero((s >= guard) & (s > 0))
+            ids, mat = None, None
+        if len(ia) == 0:
+            return empty
+        if ba == bb:
+            ua, ub = ids[ia], ids[ib]
+        else:
+            ua, ub = ids_l[ia], ids_r[ib]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ua, ub),
+                "id_b": np.maximum(ua, ub),
+                "raw": s[ia, ib],
+            }
+        )
+
+    return rep.groupBy("ba", "bb").applyInPandas(
+        _gemm, schema="id_a long, id_b long, raw double"
+    )
 
 
 def tfidf_pair_similarity_sql(
@@ -361,3 +486,68 @@ JOIN nrm na ON na.doc_id = id_a
 JOIN nrm nb ON nb.doc_id = id_b
 WHERE ROUND(dot / (na.nrm * nb.nrm), {round_to}) >= {min_sim}
 """
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` most frequent word ``n``-grams across the corpus —
+    the corpus-statistics staple for training-data audits (template
+    detection, boilerplate discovery, contamination fingerprints).
+
+    Deterministic total order: count DESC, then the n-gram string ASC.
+    Returns (ngram, cnt, n_docs). One explode + one groupBy shuffle;
+    the top-k is a global sort of the (bounded) distinct-gram table —
+    scale-safe (gram cardinality ≪ corpus size, and Spark's
+    ``orderBy().limit(k)`` does a map-side partial top-k).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    terms = ", ".join(f"_t[i-{n - 1 - j}]" for j in range(n))
+    grams = F.when(
+        F.size("_t") >= n,
+        F.expr(f"transform(sequence({n - 1}, size(_t) - 1),"
+               f" i -> concat_ws(' ', {terms}))"),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_array(F.col(text_col)).alias("_t")
+    )
+    return (
+        base.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def ngram_topk_sql(
+    n: int = 3,
+    k: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`ngram_topk` (1-indexed lists)."""
+    terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, {tokens_array_sql(text_col)} AS t FROM {table}
+),
+g AS MATERIALIZED (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= {n}
+    THEN list_transform(range(1, len(t) - {n - 2}), i -> {terms})
+    ELSE [] END) AS ngram
+  FROM base
+)
+SELECT ngram, COUNT(*)::BIGINT AS cnt,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT {k}"""

@@ -1409,3 +1409,35 @@ r{k} AS MATERIALIZED (SELECT n.node,
         "WITH " + ",".join(parts)
         + f"\nSELECT node, ROUND(rank, {round_to}) AS rank FROM r{iters}"
     )
+
+
+def modularity_sql(rounds: int = 3) -> str:
+    """Modularity of the ``rounds``-round label-propagation partition —
+    twin of :func:`webgraph_spark.algos.labelprop.modularity` over
+    :func:`lp_sql`'s converged labels. Integer numerator, one double
+    division (bit-identical to the Spark plan)."""
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
+    # reuse the unrolled LP recurrence
+    lp = lp_sql(rounds)
+    lp_body = lp[len("WITH "):lp.rindex("\nSELECT")]
+    # strip the three shared leading CTEs from the LP unroll
+    shared = ",".join(parts)
+    assert lp_body.startswith(shared)
+    parts_sql = lp_body + f""",
+lab AS MATERIALIZED (SELECT node, label FROM l{rounds}),
+arcs AS MATERIALIZED (
+  SELECT la.label AS lsrc, lb.label AS ldst
+  FROM sym s JOIN lab la ON s.src = la.node
+             JOIN lab lb ON s.dst = lb.node),
+dc AS (SELECT SUM(d * d) AS sum_d2 FROM (
+         SELECT lsrc, COUNT(*) AS d FROM arcs GROUP BY lsrc)),
+tot AS (SELECT COUNT(*) AS m,
+               SUM(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS within
+        FROM arcs),
+nc AS (SELECT COUNT(DISTINCT label) AS n_communities FROM lab)
+SELECT ROUND(CAST(tot.m * tot.within - dc.sum_d2 AS DOUBLE)
+             / CAST(tot.m * tot.m AS DOUBLE), 9) AS modularity,
+       CAST(nc.n_communities AS BIGINT) AS n_communities,
+       CAST(tot.m AS BIGINT) AS m_arcs
+FROM tot, dc, nc"""
+    return "WITH " + parts_sql

@@ -694,6 +694,38 @@ def q_ivf_recall5(spark, sf_dir):
     )
 
 
+def q_sq8_top5(spark, sf_dir):
+    """Top-5 cosine neighbours scored on 8-bit scalar-quantized vectors
+    — the memory-footprint ANN path (4x corpus compression); the full
+    quantize -> dequantize -> rank chain is oracle-replicated."""
+    from webgraph_spark.functions.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sq8_topk(emb, queries, k=5, dim=64)
+
+
+def q_sq8_recall5(spark, sf_dir):
+    """Recall@5 of the SQ8-quantized scorer vs the exact float top-5 —
+    the approximation-quality gate for 8-bit compression (how much
+    ranking the 4x footprint saving costs)."""
+    from webgraph_spark.functions.similarity import sq8_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return sq8_recall(emb, queries, k=5, dim=64)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic pruning: k-means blocks, then within
+    each cluster a vector is pruned when a smaller-id neighbour has
+    cosine >= eps (kept=0). Cluster-blocked pairs, never all-pairs."""
+    from webgraph_spark.functions.clustering import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, k=4, iters=3, eps=0.33, dim=64)
+
+
 def q_multimodal_features(spark, sf_dir):
     from webgraph_spark.functions.multimodal import extract_features, synthesize_media
 
@@ -1844,6 +1876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "emb_ivf_top5": q_ivf_top5,
         "emb_ivf_recall5": q_ivf_recall5,
+        "emb_sq8_top5": q_sq8_top5,
+        "emb_sq8_recall5": q_sq8_recall5,
+        "emb_semdedup": q_semdedup,
         "graph_union_transpose": q_union_transpose,
         "graph_line_graph": q_line_graph,
         "graph_induced_subgraph": q_induced_subgraph,
@@ -2244,6 +2279,56 @@ SELECT ROUND(mean, 9) AS avg_distance,
 FROM mv CROSS JOIN ed"""
 
 
+def _sq8_topk_sql(k: int = 5) -> str:
+    """DuckDB twin of sq8_topk: per-dim min/scale stats, the same
+    floor-half-up quantization, dequantized vectors rebuilt as ordered
+    lists so the cosine is the identical left-to-right list_reduce fold
+    Spark's F.aggregate performs (bit-matched before ROUND)."""
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.v) + 1), "
+        "i -> q.v[i] * e.v[i]), (x, y) -> x + y)"
+    )
+    qn = (
+        "sqrt(list_reduce(list_transform(range(1, len(q.v) + 1), "
+        "i -> q.v[i] * q.v[i]), (x, y) -> x + y))"
+    )
+    en = (
+        "sqrt(list_reduce(list_transform(range(1, len(e.v) + 1), "
+        "i -> e.v[i] * e.v[i]), (x, y) -> x + y))"
+    )
+    return f"""WITH lf AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+mm AS MATERIALIZED (
+  SELECT d, MIN(x) AS mn, (MAX(x) - MIN(x)) / 255.0 AS sc
+  FROM lf GROUP BY d
+),
+dq AS MATERIALIZED (
+  SELECT vec_id, lf.d,
+         (CASE WHEN sc > 0 THEN LEAST(255.0, GREATEST(0.0,
+              FLOOR((x - mn) / sc + 0.5))) ELSE 0.0 END) * sc + mn AS v
+  FROM lf JOIN mm USING (d)
+),
+vecs AS MATERIALIZED (
+  SELECT vec_id, list(v ORDER BY d) AS v FROM dq GROUP BY vec_id
+),
+q AS (SELECT * FROM vecs WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(({dot}) / (({qn}) * ({en})), 6) AS sim
+  FROM vecs e CROSS JOIN q
+  WHERE e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {k}"""
+
+
 def _cosine_sql() -> str:
     dot = (
         "list_reduce(list_transform(range(1, len(q.embedding) + 1), "
@@ -2426,6 +2511,17 @@ SELECT COUNT(*) AS exact_pairs,
        CAST(COALESCE(SUM(ap.hit), 0) AS BIGINT) AS hits,
        ROUND(CAST(COALESCE(SUM(ap.hit), 0) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
 FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
+        "emb_sq8_top5": _sq8_topk_sql(k=5),
+        "emb_sq8_recall5": f"""WITH ex AS (
+  SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1
+), ap AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM ({_sq8_topk_sql(k=5)}) t2
+)
+SELECT COUNT(*) AS exact_pairs,
+       CAST(COALESCE(SUM(ap.hit), 0) AS BIGINT) AS hits,
+       ROUND(CAST(COALESCE(SUM(ap.hit), 0) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
+        "emb_semdedup": _clustering.semdedup_sql(k=4, iters=3, eps=0.33, dim=64),
         # --- round-3 transform/source/sampling twins ---
         "graph_union_transpose": td.union_transpose_sql(),
         "graph_line_graph": td.line_graph_sql(),

@@ -161,3 +161,118 @@ SELECT a.id AS id, CAST(a.cluster AS BIGINT) AS cluster,
 FROM a{iters} a JOIN dist{iters} d
   ON a.id = d.id AND a.cluster = d.cluster"""
     return "WITH " + ",".join(parts) + final
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    eps: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 9,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public
+    method): k-means blocks the corpus into clusters, then WITHIN each
+    cluster a vector is pruned when a kept neighbour is closer than
+    ``eps`` cosine. Keep rule: a vector survives iff no SMALLER-id
+    vector in its cluster has cosine >= eps — the deterministic,
+    order-free form of the paper's keep-one-per-duplicate-group rule
+    (pairwise, not transitive: exactly the published formulation).
+
+    Returns every input row: (vec_id, cluster, kept) with kept as
+    int (1 survives, 0 pruned).
+
+    Scale posture: the k-means assignment is broadcast-model (zero
+    shuffle per scan); the dedup join is cluster-blocked — cost is
+    sum_c |c|^2, never all-pairs. At 100 TB you scale k with corpus
+    size (the paper's regime: |c| ~ 10^4 per cluster), which keeps the
+    per-cluster quadratic bounded and fully parallel across clusters.
+    """
+    from .similarity import cosine
+
+    assign, _ = kmeans(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim,
+        round_to=round_to,
+    )
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .join(assign.select("id", "cluster"), "id")
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), "cluster", F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), "cluster", F.col("v").alias("vb")
+    )
+    pruned = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= eps)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(1))
+    )
+    return base.join(pruned, "id", "left").select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.when(F.col("_pruned").isNull(), 1).otherwise(0)
+         .cast("int").alias("kept"),
+    )
+
+
+def semdedup_sql(
+    k: int = 4,
+    iters: int = 3,
+    eps: float = 0.2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`semdedup`: the kmeans assignment recurrence
+    (:func:`kmeans_assign_sql`) blocked self-join with the same
+    left-to-right list_reduce cosine fold Spark's F.aggregate uses."""
+    dot = (
+        f"list_reduce(list_transform(range(1, len(va.v) + 1), "
+        f"i -> va.v[i] * vb.v[i]), (x, y) -> x + y)"
+    )
+    na = (
+        f"sqrt(list_reduce(list_transform(range(1, len(va.v) + 1), "
+        f"i -> va.v[i] * va.v[i]), (x, y) -> x + y))"
+    )
+    nb = (
+        f"sqrt(list_reduce(list_transform(range(1, len(vb.v) + 1), "
+        f"i -> vb.v[i] * vb.v[i]), (x, y) -> x + y))"
+    )
+    asg = kmeans_assign_sql(
+        k=k, iters=iters, table=table, id_col=id_col, vec_col=vec_col,
+        dim=dim, round_to=round_to,
+    )
+    return f"""WITH asg AS MATERIALIZED (
+  SELECT id, cluster FROM ({asg}) t_asg
+),
+vecs AS MATERIALIZED (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+pruned AS (
+  SELECT DISTINCT b.id AS id
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+  JOIN vecs va ON va.id = a.id
+  JOIN vecs vb ON vb.id = b.id
+  WHERE ROUND(({dot}) / (({na}) * ({nb})), 6) >= {eps}
+)
+SELECT a.id AS vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM asg a LEFT JOIN pruned p ON p.id = a.id"""

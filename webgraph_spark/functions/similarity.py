@@ -536,3 +536,144 @@ def embedding_dedup_clusters(
     return labelled.join(sizes, "canonical_id").select(
         "vec_id", "canonical_id", "cluster_size"
     )
+
+
+# ------------------------------------------- 8-bit scalar quantization (SQ8)
+
+def sq8_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, scale) corpus statistics for 8-bit scalar
+    quantization: scale_d = (max_d - min_d) / 255. One map-side
+    combinable aggregate; 2*dim doubles reach the driver (the "small
+    model, big data" split — at 100 TB the stats pass is one scan).
+    min/max are order-independent, so the stats are bit-identical at
+    any parallelism and in any engine."""
+    row = embeddings.agg(
+        *[
+            F.min(F.col(vec_col)[d].cast("double")).alias(f"mn{d}")
+            for d in range(dim)
+        ],
+        *[
+            F.max(F.col(vec_col)[d].cast("double")).alias(f"mx{d}")
+            for d in range(dim)
+        ],
+    ).first()
+    mins = [float(row[f"mn{d}"]) for d in range(dim)]
+    scales = [(float(row[f"mx{d}"]) - mins[d]) / 255.0 for d in range(dim)]
+    return mins, scales
+
+
+def sq8_codes(
+    vec: Column, mins: list[float], scales: list[float]
+) -> Column:
+    """Quantization codes array<int> in [0, 255]:
+    code_d = floor((x_d - min_d) / scale_d + 0.5), clamped — the
+    round-half-up form spelled with floor so every engine computes the
+    identical integer (ROUND() half-even vs half-away divergence never
+    enters). All JVM expression tree (two zip_with passes), no Python."""
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    sc = F.array(*[F.lit(float(s)) for s in scales])
+    shifted = F.zip_with(vec, mn, lambda x, m: x.cast("double") - m)
+    return F.zip_with(
+        shifted,
+        sc,
+        lambda t, s: F.when(
+            s > 0.0,
+            F.least(
+                F.lit(255.0),
+                F.greatest(F.lit(0.0), F.floor(t / s + F.lit(0.5)).cast("double")),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+
+
+def sq8_dequantize(
+    codes: Column, mins: list[float], scales: list[float]
+) -> Column:
+    """Reconstruction array<double>: min_d + code_d * scale_d."""
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    sc = F.array(*[F.lit(float(s)) for s in scales])
+    scaled = F.zip_with(codes, sc, lambda c, s: c.cast("double") * s)
+    return F.zip_with(scaled, mn, lambda t, m: t + m)
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k cosine neighbours scored on 8-bit scalar-quantized vectors
+    — the memory-footprint scale path for ANN: a 100 TB float32 corpus
+    becomes 25 TB of codes (4x), and the scoring scan reads codes only.
+    Corpus stats quantize BOTH sides (queries are quantized with corpus
+    mins/scales, the standard asymmetric-free SQ). Same output contract
+    as :func:`cosine_topk`: (query_id, neighbor_id, rank, sim), sim
+    rounded to 6, ties by neighbor id, self-matches excluded.
+
+    Plan shape: stats agg (one scan) -> broadcast queries x partitioned
+    corpus with the dequantized cosine as a JVM fold — identical to the
+    exact scorer's plan, only the operand arrays differ."""
+    mins, scales = sq8_stats(embeddings, vec_col=vec_col, dim=dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        sq8_dequantize(
+            sq8_codes(F.col(vec_col), mins, scales), mins, scales
+        ).alias("qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_dequantize(
+            sq8_codes(F.col(vec_col), mins, scales), mins, scales
+        ).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "sim",
+        )
+    )
+
+
+def sq8_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k of the SQ8-scored top-k against the exact float scorer
+    — the approximation-quality gate for the quantized path (same
+    statistical-acceptance posture as :func:`ann_recall`). Measures the
+    ranking damage of 8-bit reconstruction, the number a user consults
+    before switching the corpus to codes."""
+    approx = sq8_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    return _recall_frame(
+        embeddings, queries, approx, k=k, id_col=id_col, vec_col=vec_col
+    )

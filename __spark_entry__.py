@@ -1292,6 +1292,49 @@ def q_scattered_arcs(spark, sf_dir):
     return e.select("src", "dst")
 
 
+def _event_snapshots(spark, sf_dir):
+    """Two (user -> event_type:k) arc snapshots split at the integer
+    midpoint of the event-time range (epoch micros, floor division —
+    bit-identical in any engine). The props JSON's k field refines the
+    arc key so the two halves genuinely differ."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mn"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx"),
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    e = ev.crossJoin(F.broadcast(b))
+    dst = F.concat(
+        F.col("event_type"), F.lit(":"), F.get_json_object("props", "$.k")
+    )
+    g0 = e.where(F.unix_micros(F.col("ts").cast("timestamp")) < F.col("mid")).select(
+        F.col("user_id").alias("src"), dst.alias("dst")
+    )
+    g1 = e.where(F.unix_micros(F.col("ts").cast("timestamp")) >= F.col("mid")).select(
+        F.col("user_id").alias("src"), dst.alias("dst")
+    )
+    return g0, g1
+
+
+def q_events_graph_diff(spark, sf_dir):
+    """Snapshot evolution: arc-set delta (retained/added/removed +
+    Jaccard stability) between the first and second half of the event
+    stream's (user -> event_type) graph — the between-crawls diff a
+    stored-graph engine runs per re-store."""
+    from webgraph_spark.operators.transforms import arc_diff
+
+    g0, g1 = _event_snapshots(spark, sf_dir)
+    return arc_diff(g0, g1)
+
+
+def q_events_degree_churn(spark, sf_dir):
+    """Top-10 users by absolute out-degree change between the two
+    event-stream snapshots (hub churn)."""
+    from webgraph_spark.operators.transforms import degree_churn
+
+    g0, g1 = _event_snapshots(spark, sf_dir)
+    return degree_churn(g0, g1, k=10)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sample: exactly 20 docs per language in
     portable-md5 order (functions/sampling.py) — the language-balanced
@@ -1892,6 +1935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_distance_cdf": q_distance_cdf,
         "graph_eff_diameter": q_eff_diameter,
         "events_scattered_arcs": q_scattered_arcs,
+        "events_graph_diff": q_events_graph_diff,
+        "events_degree_churn": q_events_degree_churn,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
@@ -2536,6 +2581,60 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_distance_cdf": td.distance_cdf_sql(n_sources=5),
         "graph_eff_diameter": _eff_diameter_sql(quantile=0.9),
         "events_scattered_arcs": td.scattered_arcs_events_sql(),
+        "events_graph_diff": """WITH b AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+),
+a AS MATERIALIZED (
+  SELECT DISTINCT user_id AS src,
+         event_type || ':' || json_extract_string(props, '$.k') AS dst
+  FROM events, b WHERE epoch_us(ts) < mid
+),
+bb AS MATERIALIZED (
+  SELECT DISTINCT user_id AS src,
+         event_type || ':' || json_extract_string(props, '$.k') AS dst
+  FROM events, b WHERE epoch_us(ts) >= mid
+),
+j AS (
+  SELECT CAST(SUM(CASE WHEN a.src IS NOT NULL AND bb.src IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS arcs_retained,
+         CAST(SUM(CASE WHEN a.src IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS arcs_added,
+         CAST(SUM(CASE WHEN bb.src IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS arcs_removed
+  FROM a FULL OUTER JOIN bb USING (src, dst)
+)
+SELECT arcs_retained, arcs_added, arcs_removed,
+       CASE WHEN arcs_retained + arcs_added + arcs_removed > 0
+            THEN ROUND(CAST(arcs_retained AS DOUBLE)
+                       / (arcs_retained + arcs_added + arcs_removed), 6)
+            ELSE 0.0 END AS jaccard
+FROM j""",
+        "events_degree_churn": """WITH b AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+),
+d0 AS (
+  SELECT src, COUNT(*) AS deg0 FROM (
+    SELECT DISTINCT user_id AS src,
+           event_type || ':' || json_extract_string(props, '$.k') AS dst
+    FROM events, b WHERE epoch_us(ts) < mid) GROUP BY src
+),
+d1 AS (
+  SELECT src, COUNT(*) AS deg1 FROM (
+    SELECT DISTINCT user_id AS src,
+           event_type || ':' || json_extract_string(props, '$.k') AS dst
+    FROM events, b WHERE epoch_us(ts) >= mid) GROUP BY src
+),
+j AS (
+  SELECT COALESCE(d0.src, d1.src) AS node,
+         CAST(COALESCE(deg0, 0) AS BIGINT) AS deg_before,
+         CAST(COALESCE(deg1, 0) AS BIGINT) AS deg_after
+  FROM d0 FULL OUTER JOIN d1 ON d0.src = d1.src
+)
+SELECT node, deg_before, deg_after,
+       CAST(deg_after - deg_before AS BIGINT) AS delta
+FROM j
+ORDER BY ABS(deg_after - deg_before) DESC, node ASC
+LIMIT 10""",
         "docs_sample_stratified": td.stratified_sample_sql(20),
         "docs_contamination": f"""WITH {_SHINGLES_CTE},
 ev AS (SELECT id AS eval_id, shingle FROM sh WHERE id < 40),

@@ -197,6 +197,10 @@ def main():
         "graph_cocitation2",
         "graph_wpagerank5",
         "graph_sage_features",
+        "emb_sq8_top5",
+        "emb_semdedup",
+        "docs_ngram_topk",
+        "graph_modularity3",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

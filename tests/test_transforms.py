@@ -365,3 +365,55 @@ def test_assign_dense_ids_stable_under_plan_duplication(spark):
     # and the assignment is the total order over the key
     rows = idm.orderBy("node").collect()
     assert [r["target"] for r in rows] == list(range(5000))
+
+
+# ------------------------------------------------- snapshot evolution
+
+def test_arc_diff_counts_and_jaccard(spark):
+    from webgraph_spark.operators.transforms import arc_diff
+
+    g0 = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 2), (3, 4)], "src long, dst long"
+    )  # dup arc collapses
+    g1 = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (5, 7)], "src long, dst long"
+    )
+    r = arc_diff(g0, g1).first()
+    # A = {01,02,12,34}, B = {01,12,56,57}: kept {01,12}, added {56,57},
+    # removed {02,34}; union = 6
+    assert (r.arcs_retained, r.arcs_added, r.arcs_removed) == (2, 2, 2)
+    assert r.jaccard == round(2 / 6, 6)
+
+
+def test_arc_diff_empty_sides(spark):
+    from webgraph_spark.operators.transforms import arc_diff
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    g = spark.createDataFrame([(0, 1)], "src long, dst long")
+    r = arc_diff(empty, g).first()
+    assert (r.arcs_retained, r.arcs_added, r.arcs_removed, r.jaccard) == (
+        0, 1, 0, 0.0,
+    )
+    r2 = arc_diff(empty, empty).first()
+    assert (r2.arcs_retained, r2.arcs_added, r2.arcs_removed, r2.jaccard) == (
+        0, 0, 0, 0.0,
+    )
+
+
+def test_degree_churn_orders_by_abs_delta_then_node(spark):
+    from webgraph_spark.operators.transforms import degree_churn
+
+    g0 = spark.createDataFrame(
+        [(0, d) for d in range(5)] + [(1, d) for d in range(2)] + [(2, 9)],
+        "src long, dst long",
+    )
+    g1 = spark.createDataFrame(
+        [(0, d) for d in range(1)] + [(1, d) for d in range(4)]
+        + [(3, 7), (3, 8)],
+        "src long, dst long",
+    )
+    rows = degree_churn(g0, g1, k=10).collect()
+    # deltas: 0: 5->1 = -4; 1: 2->4 = +2; 2: 1->0 = -1; 3: 0->2 = +2
+    assert [(r.node, r.deg_before, r.deg_after, r.delta) for r in rows] == [
+        (0, 5, 1, -4), (1, 2, 4, 2), (3, 0, 2, 2), (2, 1, 0, -1),
+    ]

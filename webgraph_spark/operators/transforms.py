@@ -481,3 +481,83 @@ def graphs_equal(g0: DataFrame, g1: DataFrame) -> bool:
     a = g0.select("src", "dst").distinct()
     b = g1.select("src", "dst").distinct()
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# ----------------------------------------------- snapshot evolution analytics
+
+def arc_diff(g0: DataFrame, g1: DataFrame) -> DataFrame:
+    """Arc-set delta between two graph snapshots — the evolution
+    analytics a stored-graph engine runs between crawls (the reference's
+    model is compute-once/store/re-store per snapshot; this measures
+    what changed between two stored snapshots).
+
+    One row: (arcs_retained, arcs_added, arcs_removed, jaccard) where
+    jaccard = |A ∩ B| / |A ∪ B| rounded to 6 (0.0 for two empty
+    snapshots). Plan: distinct each side, one full-outer join on the
+    arc key — a single co-partitioned shuffle, scale-safe at any |E|.
+    """
+    a = g0.select("src", "dst").distinct().withColumn("in_a", F.lit(1))
+    b = g1.select("src", "dst").distinct().withColumn("in_b", F.lit(1))
+    full = a.join(b, ["src", "dst"], "full_outer")
+    return full.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("arcs_retained"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_a").isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("arcs_added"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_b").isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("arcs_removed"),
+    ).select(
+        "arcs_retained",
+        "arcs_added",
+        "arcs_removed",
+        F.when(
+            F.col("arcs_retained") + F.col("arcs_added") + F.col("arcs_removed")
+            > 0,
+            F.round(
+                F.col("arcs_retained").cast("double")
+                / (
+                    F.col("arcs_retained")
+                    + F.col("arcs_added")
+                    + F.col("arcs_removed")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+def degree_churn(g0: DataFrame, g1: DataFrame, k: int = 10) -> DataFrame:
+    """Top-``k`` nodes by absolute out-degree change between two
+    snapshots (hub churn — which sources gained/lost the most arcs).
+    Deterministic total order: |Δ| DESC, then node ASC. Distinct arcs
+    per side; two groupBy shuffles + a bounded top-k sort."""
+    d0 = (
+        g0.select("src", "dst").distinct()
+        .groupBy("src").agg(F.count("*").alias("deg0"))
+    )
+    d1 = (
+        g1.select("src", "dst").distinct()
+        .groupBy("src").agg(F.count("*").alias("deg1"))
+    )
+    joined = d0.join(d1, "src", "full_outer").select(
+        F.col("src").alias("node"),
+        F.coalesce("deg0", F.lit(0)).cast("long").alias("deg_before"),
+        F.coalesce("deg1", F.lit(0)).cast("long").alias("deg_after"),
+    )
+    return (
+        joined.withColumn(
+            "delta", (F.col("deg_after") - F.col("deg_before")).cast("long")
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), F.col("node").asc())
+        .limit(k)
+    )

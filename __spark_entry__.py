@@ -1315,6 +1315,48 @@ def _event_snapshots(spark, sf_dir):
     return g0, g1
 
 
+def _user_attr_pairs(spark, sf_dir):
+    """(user, event_type:k:valuebucket) bipartite table over events —
+    the entity-attribute input for co-occurrence projection."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    attr = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.get_json_object("props", "$.k"),
+        F.lit(":"),
+        F.floor(F.col("value") / 50).cast("int").cast("string"),
+    )
+    return ev.select(F.col("user_id").alias("u"), attr.alias("a"))
+
+
+_PROJ_ATTR_SQL = (
+    "event_type || ':' || json_extract_string(props, '$.k') || ':' "
+    "|| CAST(CAST(FLOOR(value / 50) AS INT) AS VARCHAR)"
+)
+
+
+def q_user_projection(spark, sf_dir):
+    """Weighted one-mode projection of the user-attribute bipartite
+    graph: user pairs sharing >= 7 distinct attributes (co-occurrence
+    graph constructor with hub-df and min-weight scale guards)."""
+    from webgraph_spark.functions.mining import bipartite_project
+
+    return bipartite_project(
+        _user_attr_pairs(spark, sf_dir), min_weight=7
+    )
+
+
+def q_truss4(spark, sf_dir):
+    """4-truss of the user co-occurrence projection: every surviving
+    edge closes >= 2 triangles inside the truss — the dense-subgraph
+    rung above k-core (graph_kcore5), peeled to fixpoint."""
+    from webgraph_spark.algos.truss import ktruss
+    from webgraph_spark.functions.mining import bipartite_project
+
+    proj = bipartite_project(_user_attr_pairs(spark, sf_dir), min_weight=7)
+    return ktruss(proj.select("src", "dst"), k=4)
+
+
 def q_events_graph_diff(spark, sf_dir):
     """Snapshot evolution: arc-set delta (retained/added/removed +
     Jaccard stability) between the first and second half of the event
@@ -1937,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scattered_arcs": q_scattered_arcs,
         "events_graph_diff": q_events_graph_diff,
         "events_degree_churn": q_events_degree_churn,
+        "events_user_projection": q_user_projection,
+        "graph_truss4": q_truss4,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
@@ -2131,6 +2175,22 @@ wsrc AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
          ORDER BY node LIMIT 5),"""
         + random_walks_sql(length=4, n_walks=2)
     )
+
+
+def _truss4_sql(rounds: int = 12) -> str:
+    from webgraph_spark.algos.truss import ktruss_rounds_sql
+
+    return f"""WITH ua AS (
+  SELECT DISTINCT user_id AS u, {_PROJ_ATTR_SQL} AS a FROM events
+),
+sym AS (
+  SELECT src, dst FROM (
+    SELECT x.u AS src, y.u AS dst
+    FROM ua x JOIN ua y ON x.a = y.a AND x.u <> y.u
+  ) GROUP BY src, dst HAVING COUNT(*) >= 7
+),
+{ktruss_rounds_sql(4, rounds)}
+SELECT src, dst, support FROM truss"""
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -2581,6 +2641,13 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "graph_distance_cdf": td.distance_cdf_sql(n_sources=5),
         "graph_eff_diameter": _eff_diameter_sql(quantile=0.9),
         "events_scattered_arcs": td.scattered_arcs_events_sql(),
+        "events_user_projection": f"""WITH ua AS (
+  SELECT DISTINCT user_id AS u, {_PROJ_ATTR_SQL} AS a FROM events
+)
+SELECT x.u AS src, y.u AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+FROM ua x JOIN ua y ON x.a = y.a AND x.u < y.u
+GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
+        "graph_truss4": _truss4_sql(),
         "events_graph_diff": """WITH b AS (
   SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
 ),

@@ -115,3 +115,50 @@ SELECT p.item_a, p.item_b, CAST(p.n_both AS BIGINT) AS n_both,
              / (ia.n_i * ib.n_i), {round_to}) AS lift
 FROM pairs p JOIN ic ia ON p.item_a = ia.it JOIN ic ib ON p.item_b = ib.it
 """
+
+
+def bipartite_project(
+    pairs: DataFrame,
+    left_col: str = "u",
+    right_col: str = "a",
+    min_weight: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite entity-attribute
+    table: (src, dst, weight) with src < dst, weight = number of
+    distinct shared attributes, edges below ``min_weight`` dropped.
+
+    The standard co-occurrence-graph constructor (user-item, doc-term,
+    author-paper). Scale guards for 100 TB:
+
+    - a hot attribute with df = d fans out C(d, 2) pairs; ``max_df``
+      drops attributes above the cap BEFORE the self-join (same posture
+      as the LSH/minhash hub-bucket caps) — at web scale stopwords and
+      mega-hubs must be capped or the join is quadratic;
+    - ``min_weight`` prunes the long tail of weight-1 coincidence edges
+      at the aggregation (map-side combinable), which is where most of
+      the projection's mass lives on real corpora.
+
+    Plan: distinct -> (optional df-cap semi-join) -> one self-join on
+    the attribute key -> one groupBy(src, dst) count.
+    """
+    ua = pairs.select(
+        F.col(left_col).alias("u"), F.col(right_col).alias("a")
+    ).distinct()
+    if max_df is not None:
+        keep = (
+            ua.groupBy("a")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("a")
+        )
+        ua = ua.join(keep, "a", "left_semi")
+    x = ua.select(F.col("u").alias("ua"), "a")
+    y = ua.select(F.col("u").alias("ub"), "a")
+    return (
+        x.join(y, "a")
+        .where(F.col("ua") < F.col("ub"))
+        .groupBy(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .agg(F.count("*").cast("long").alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )

@@ -1485,6 +1485,35 @@ def q_docs_window_dedup(spark, sf_dir):
     return window_dedup_stats(docs, "doc_id", "text", k=8)
 
 
+BPE_MERGES = 8  # merges learned by the driver BPE queries
+
+
+def q_docs_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over
+    the documents corpus: the first 8 learned merge rules
+    (rank, lhs, rhs, pair_count). Corpus collapses to a distinct-word
+    dictionary in one shuffle; each merge is one map-side-combined
+    pair-count groupBy + a one-row argmax collect + an all-JVM greedy
+    fold rewrite of the dictionary's symbol arrays."""
+    from webgraph_spark.functions.bpe import bpe_train, rules_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = bpe_train(docs, "text", BPE_MERGES)
+    return rules_df(spark, res)
+
+
+def q_docs_bpe_tokens(spark, sf_dir):
+    """Per-document subword token counts under the 8 trained BPE merges
+    (doc_id, n_words, n_tokens): tokenize-by-dictionary-join — each
+    DISTINCT word is tokenized once (it already is, in the trained
+    vocab), then one corpus explode + join + groupBy(doc_id)."""
+    from webgraph_spark.functions.bpe import bpe_token_counts, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = bpe_train(docs, "text", BPE_MERGES)
+    return bpe_token_counts(docs, "doc_id", "text", res)
+
+
 def q_compose_minplus(spark, sf_dir):
     """Min-plus semiring composition (Transform.compose with a
     LabelSemiring, Transform.java:2125-2265): cheapest customer->part
@@ -1988,6 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_chunks": q_pack_chunks,
         "docs_repetition": q_docs_repetition,
         "docs_window_dedup": q_docs_window_dedup,
+        "docs_bpe_merges": q_docs_bpe_merges,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
         "graph_compose_minplus": q_compose_minplus,
         "graph_union_labelled": q_union_labelled,
         "graph_seeded_perm": q_seeded_perm,
@@ -2465,6 +2496,18 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
 WHERE rank <= 5"""
 
 
+def _bpe_merges_sql_lazy() -> str:
+    from webgraph_spark.functions.bpe import bpe_merges_sql
+
+    return bpe_merges_sql(BPE_MERGES)
+
+
+def _bpe_tokens_sql_lazy() -> str:
+    from webgraph_spark.functions.bpe import bpe_token_counts_sql
+
+    return bpe_token_counts_sql(BPE_MERGES)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_degree_dist_out": td.degree_dist_sql("out"),
@@ -2804,6 +2847,8 @@ SELECT b.doc_id,
   ROUND(COALESCE(per.dup_windows / CAST(per.n_windows AS DOUBLE), 0.0), 6)
     AS dup_frac
 FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
+        "docs_bpe_merges": _bpe_merges_sql_lazy(),
+        "docs_bpe_tokens": _bpe_tokens_sql_lazy(),
         "graph_compose_minplus": td.compose_minplus_sql(),
         "graph_union_labelled": td.union_labelled_boost_sql(),
         "graph_seeded_perm": td.seeded_perm_sql(seed=42),

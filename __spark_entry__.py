@@ -1514,6 +1514,23 @@ def q_docs_bpe_tokens(spark, sf_dir):
     return bpe_token_counts(docs, "doc_id", "text", res)
 
 
+def q_msf(spark, sf_dir):
+    """Minimum spanning forest (distributed Borůvka, algos/msf.py) of
+    the undirected weighted view of the labelled link graph (weight =
+    arc multiplicity): per-component argmin edge under the (w, a, b)
+    total order, mutual-minimum cycle break, pointer-doubling merge.
+    Fixed 6-round / 12-jump schedule (fixpoint at 4 rounds on this
+    graph; the schedule is idempotent past it) for the unrolled-SQL
+    oracle twin. Returns the forest edges (a, b, w)."""
+    from webgraph_spark.algos.msf import boruvka_msf
+
+    e = td.tpch_edges_labelled(spark, sf_dir)
+    res = boruvka_msf(e, "label", fixed_rounds=6, jumps=12, num_partitions=16)
+    return res.forest.select(
+        F.col("a").cast("long"), F.col("b").cast("long"), F.col("w").cast("long")
+    )
+
+
 def q_compose_minplus(spark, sf_dir):
     """Min-plus semiring composition (Transform.compose with a
     LabelSemiring, Transform.java:2125-2265): cheapest customer->part
@@ -2010,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_degree_churn": q_events_degree_churn,
         "events_user_projection": q_user_projection,
         "graph_truss4": q_truss4,
+        "graph_msf": q_msf,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
@@ -2691,6 +2709,7 @@ SELECT x.u AS src, y.u AS dst, CAST(COUNT(*) AS BIGINT) AS weight
 FROM ua x JOIN ua y ON x.a = y.a AND x.u < y.u
 GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_truss4": _truss4_sql(),
+        "graph_msf": td.msf_sql(rounds=6, jumps=12),
         "events_graph_diff": """WITH b AS (
   SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
 ),

@@ -201,6 +201,7 @@ def main():
         "emb_semdedup",
         "docs_ngram_topk",
         "graph_modularity3",
+        "docs_bpe_tokens",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

@@ -1441,3 +1441,62 @@ SELECT ROUND(CAST(tot.m * tot.within - dc.sum_d2 AS DOUBLE)
        CAST(tot.m AS BIGINT) AS m_arcs
 FROM tot, dc, nc"""
     return "WITH " + parts_sql
+
+
+def msf_sql(rounds: int = 6, jumps: int = 12) -> str:
+    """Twin of algos.msf.boruvka_msf(fixed_rounds=rounds, jumps=jumps)
+    over the labelled edge table (weight = arc multiplicity): unrolled
+    Borůvka with the identical deterministic schedule — per-component
+    argmin edge under the (w, a, b) total order, mutual-minimum 2-cycle
+    broken at the smaller component id, ``jumps`` pointer doublings per
+    round. Both sides are idempotent past the fixpoint, so any schedule
+    that reaches it returns the exact minimum spanning forest."""
+    parts = [LABELLED_EDGES_CTE]
+    parts.append("""
+uedges AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(label) AS w
+  FROM ledges WHERE src <> dst GROUP BY 1, 2)""")
+    parts.append("""
+c0 AS MATERIALIZED (
+  SELECT node, node AS comp FROM (
+    SELECT a AS node FROM uedges UNION SELECT b AS node FROM uedges))""")
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+live{k} AS MATERIALIZED (
+  SELECT u.a, u.b, u.w, ca.comp AS ca, cb.comp AS cb
+  FROM uedges u
+  JOIN c{k - 1} ca ON u.a = ca.node
+  JOIN c{k - 1} cb ON u.b = cb.node
+  WHERE ca.comp <> cb.comp)""")
+        parts.append(f"""
+chosen{k} AS MATERIALIZED (
+  SELECT c, oc, w, a, b FROM (
+    SELECT c, oc, w, a, b,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+    FROM (
+      SELECT ca AS c, cb AS oc, w, a, b FROM live{k}
+      UNION ALL
+      SELECT cb AS c, ca AS oc, w, a, b FROM live{k})
+  ) t WHERE rn = 1)""")
+        parts.append(f"""
+p{k}_0 AS MATERIALIZED (
+  SELECT x.c,
+         CASE WHEN y.oc = x.c AND x.c < x.oc THEN x.c ELSE x.oc END AS p
+  FROM chosen{k} x JOIN chosen{k} y ON x.oc = y.c)""")
+        for j in range(1, jumps + 1):
+            parts.append(f"""
+p{k}_{j} AS MATERIALIZED (
+  SELECT x.c, y.p FROM p{k}_{j - 1} x JOIN p{k}_{j - 1} y ON x.p = y.c)""")
+        parts.append(f"""
+c{k} AS MATERIALIZED (
+  SELECT n.node, COALESCE(pp.p, n.comp) AS comp
+  FROM c{k - 1} n LEFT JOIN p{k}_{jumps} pp ON n.comp = pp.c)""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT a, b, w FROM chosen{k}" for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT DISTINCT a, b, CAST(w AS BIGINT) AS w FROM (
+    {union}) t"""
+    )

@@ -58,6 +58,24 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def eager_checkpoint(df: DataFrame) -> DataFrame:
+    """persist → eager localCheckpoint → unpersist, in one action.
+
+    The persist is load-bearing, not an optimization (same reason as in
+    :func:`iterate`): Spark 4's ``localCheckpoint`` copies sizeInBytes
+    stats from the SOURCE plan, and join-product estimates COMPOUND
+    across nested checkpoints — BigInt digit counts double per level,
+    costing minutes of driver CPU within a few dozen nested checkpoints.
+    The InMemoryRelation interposed by ``persist`` caps the stats and
+    resets the growth at every checkpoint. An ``Observation`` attached
+    to ``df`` fires on the checkpoint job.
+    """
+    cached = df.persist()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 @contextmanager
 def iteration_confs(spark: SparkSession, extra: dict | None = None):
     """Pin loop-friendly confs for the duration of an iterative job.

@@ -1514,6 +1514,20 @@ def q_docs_bpe_tokens(spark, sf_dir):
     return bpe_token_counts(docs, "doc_id", "text", res)
 
 
+def q_mis(spark, sf_dir):
+    """Maximal independent set (Luby 1986, algos/mis.py) of the simple
+    link graph: engine-portable md5 round priorities, (p, node)-tuple
+    winner rule, winners+neighbours leave the live set. Fixed 5-round
+    schedule (fixpoint at 3 on this graph; extra rounds are no-ops) for
+    the unrolled-SQL oracle twin. Returns (node, round selected)."""
+    from webgraph_spark.algos.mis import luby_mis
+
+    res = luby_mis(_edges(spark, sf_dir), fixed_rounds=5, num_partitions=16)
+    return res.selected.select(
+        F.col("node").cast("long"), F.col("round").cast("int")
+    )
+
+
 def q_msf(spark, sf_dir):
     """Minimum spanning forest (distributed Borůvka, algos/msf.py) of
     the undirected weighted view of the labelled link graph (weight =
@@ -2028,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_projection": q_user_projection,
         "graph_truss4": q_truss4,
         "graph_msf": q_msf,
+        "graph_mis": q_mis,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
@@ -2710,6 +2725,7 @@ FROM ua x JOIN ua y ON x.a = y.a AND x.u < y.u
 GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_truss4": _truss4_sql(),
         "graph_msf": td.msf_sql(rounds=6, jumps=12),
+        "graph_mis": td.mis_sql(rounds=5),
         "events_graph_diff": """WITH b AS (
   SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
 ),

@@ -1500,3 +1500,44 @@ c{k} AS MATERIALIZED (
 SELECT DISTINCT a, b, CAST(w AS BIGINT) AS w FROM (
     {union}) t"""
     )
+
+
+def mis_sql(rounds: int = 5) -> str:
+    """Twin of algos.mis.luby_mis(fixed_rounds=rounds) over the simple
+    link graph: unrolled Luby rounds with the identical engine-portable
+    priority md5_long('mis{k}:' || node) and (p, node)-tuple comparison.
+    Rounds past the fixpoint are no-ops, so any schedule that reaches it
+    returns the exact MIS."""
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
+    parts.append("""
+live0 AS MATERIALIZED (SELECT node FROM nodes)""")
+    for k in range(1, rounds + 1):
+        pr = f"('0x' || substr(md5('mis{k}:' || CAST(node AS VARCHAR)), 1, 15))::BIGINT"
+        parts.append(f"""
+pri{k} AS MATERIALIZED (SELECT node, {pr} AS p FROM live{k - 1})""")
+        parts.append(f"""
+nm{k} AS MATERIALIZED (
+  SELECT e.dst AS node, MIN({{'p': ps.p, 'n': e.src}}) AS nm
+  FROM sym e
+  JOIN pri{k} ps ON e.src = ps.node
+  JOIN live{k - 1} lb ON e.dst = lb.node
+  GROUP BY e.dst)""")
+        parts.append(f"""
+win{k} AS MATERIALIZED (
+  SELECT pr.node FROM pri{k} pr LEFT JOIN nm{k} m ON pr.node = m.node
+  WHERE m.nm IS NULL OR {{'p': pr.p, 'n': pr.node}} < m.nm)""")
+        parts.append(f"""
+live{k} AS MATERIALIZED (
+  SELECT node FROM live{k - 1}
+  WHERE node NOT IN (SELECT node FROM win{k})
+    AND node NOT IN (
+      SELECT e.dst FROM sym e JOIN win{k} w ON e.src = w.node))""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT node, {k} AS round FROM win{k}" for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT node, CAST(round AS INT) AS round FROM (
+    {union}) t"""
+    )

@@ -1528,6 +1528,24 @@ def q_mis(spark, sf_dir):
     )
 
 
+def q_densest(spark, sf_dir):
+    """Densest subgraph (Bahmani batched greedy peel, eps = 1/2,
+    algos/densest.py): exact-integer peel test deg*n > 3m, exact
+    cross-multiplied best-snapshot argmax. Fixed 4-round schedule
+    (drains in 2 on this graph) for the unrolled-SQL oracle twin.
+    Returns the densest snapshot's nodes with its (n, m)."""
+    from webgraph_spark.algos.densest import densest_subgraph
+
+    res = densest_subgraph(
+        _edges(spark, sf_dir), fixed_rounds=4, num_partitions=16
+    )
+    return res.nodes.select(
+        F.col("node").cast("long"),
+        F.lit(res.n_nodes).cast("long").alias("n_nodes"),
+        F.lit(res.m_edges).cast("long").alias("m_edges"),
+    )
+
+
 def q_msf(spark, sf_dir):
     """Minimum spanning forest (distributed Borůvka, algos/msf.py) of
     the undirected weighted view of the labelled link graph (weight =
@@ -2043,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_truss4": q_truss4,
         "graph_msf": q_msf,
         "graph_mis": q_mis,
+        "graph_densest": q_densest,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
@@ -2726,6 +2745,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_truss4": _truss4_sql(),
         "graph_msf": td.msf_sql(rounds=6, jumps=12),
         "graph_mis": td.mis_sql(rounds=5),
+        "graph_densest": td.densest_sql(rounds=4),
         "events_graph_diff": """WITH b AS (
   SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
 ),

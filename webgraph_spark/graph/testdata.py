@@ -1541,3 +1541,57 @@ live{k} AS MATERIALIZED (
 SELECT node, CAST(round AS INT) AS round FROM (
     {union}) t"""
     )
+
+
+def densest_sql(rounds: int = 4) -> str:
+    """Twin of algos.densest.densest_subgraph(fixed_rounds=rounds) over
+    the simple link graph: unrolled Bahmani greedy peel (eps = 1/2, peel
+    test ``deg * n <= 3 * m`` in exact integers) and exact-rational
+    best-snapshot argmax via cross-multiplication, earlier round winning
+    ties. Returns the densest snapshot's nodes with its (n, m)."""
+    parts = [EDGES_CTE, SYM_CTE]
+    parts.append("""
+e0 AS MATERIALIZED (SELECT src, dst FROM sym)""")
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+st{k - 1} AS MATERIALIZED (
+  SELECT COUNT(DISTINCT src) AS n, COUNT(*) // 2 AS m FROM e{k - 1})""")
+        parts.append(f"""
+keep{k} AS MATERIALIZED (
+  SELECT d.src FROM (
+    SELECT src, COUNT(*) AS deg FROM e{k - 1} GROUP BY src) d, st{k - 1} s
+  WHERE d.deg * s.n > 3 * s.m)""")
+        parts.append(f"""
+e{k} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{k - 1} e
+  JOIN keep{k} a ON e.src = a.src
+  JOIN keep{k} b ON e.dst = b.src)""")
+    parts.append(f"""
+st{rounds} AS MATERIALIZED (
+  SELECT COUNT(DISTINCT src) AS n, COUNT(*) // 2 AS m FROM e{rounds})""")
+    stats_union = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS k, n, m FROM st{k}" for k in range(0, rounds + 1)
+    )
+    nodes_union = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS k, src AS node FROM e{k} GROUP BY src"
+        for k in range(0, rounds + 1)
+    )
+    parts.append(f"""
+stats AS MATERIALIZED (
+    {stats_union})""")
+    parts.append("""
+best AS MATERIALIZED (
+  SELECT b.k, b.n, b.m FROM stats b
+  WHERE b.n > 0 AND NOT EXISTS (
+    SELECT 1 FROM stats x WHERE x.n > 0 AND (
+      x.m * b.n > b.m * x.n
+      OR (x.m * b.n = b.m * x.n AND x.k < b.k))))""")
+    parts.append(f"""
+allnodes AS MATERIALIZED (
+    {nodes_union})""")
+    return (
+        "WITH " + ",".join(parts)
+        + """
+SELECT a.node, CAST(b.n AS BIGINT) AS n_nodes, CAST(b.m AS BIGINT) AS m_edges
+FROM allnodes a JOIN best b ON a.k = b.k"""
+    )

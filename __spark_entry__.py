@@ -1546,6 +1546,32 @@ def q_densest(spark, sf_dir):
     )
 
 
+def q_local_cluster(spark, sf_dir):
+    """Local clustering: PPR conductance sweep (Andersen-Chung-Lang
+    posture, algos/localcluster.py) around the 10 smallest node ids —
+    5 fixed PPR iterations, ranks rounded to 9 decimals before the
+    score ordering (the green PPR query's cross-engine float contract),
+    top-300 candidate sweep with exact integer cut/vol prefix sums.
+    Returns the best prefix's members with (k, conductance)."""
+    from webgraph_spark.algos.localcluster import ppr_sweep
+
+    e = _edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(10)
+    )
+    res = ppr_sweep(e, seeds, iters=5, max_candidates=300, num_partitions=16)
+    return res.members.select(
+        F.col("node").cast("long"),
+        F.col("sweep_rank").cast("int"),
+        F.lit(res.k).cast("int").alias("k"),
+        F.round(F.lit(res.conductance), 9).alias("conductance"),
+    )
+
+
 def q_msf(spark, sf_dir):
     """Minimum spanning forest (distributed Borůvka, algos/msf.py) of
     the undirected weighted view of the labelled link graph (weight =
@@ -2062,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_msf": q_msf,
         "graph_mis": q_mis,
         "graph_densest": q_densest,
+        "graph_local_cluster": q_local_cluster,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
@@ -2746,6 +2773,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_msf": td.msf_sql(rounds=6, jumps=12),
         "graph_mis": td.mis_sql(rounds=5),
         "graph_densest": td.densest_sql(rounds=4),
+        "graph_local_cluster": td.local_cluster_sql(iters=5, n_seeds=10, max_candidates=300),
         "events_graph_diff": """WITH b AS (
   SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
 ),

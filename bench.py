@@ -202,6 +202,9 @@ def main():
         "docs_ngram_topk",
         "graph_modularity3",
         "docs_bpe_tokens",
+        "graph_msf",
+        "graph_mis",
+        "graph_densest",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

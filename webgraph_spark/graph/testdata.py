@@ -1595,3 +1595,58 @@ allnodes AS MATERIALIZED (
 SELECT a.node, CAST(b.n AS BIGINT) AS n_nodes, CAST(b.m AS BIGINT) AS m_edges
 FROM allnodes a JOIN best b ON a.k = b.k"""
     )
+
+
+def local_cluster_sql(
+    iters: int = 5,
+    alpha: float = 0.85,
+    n_seeds: int = 10,
+    max_candidates: int = 300,
+) -> str:
+    """Twin of algos.localcluster.ppr_sweep over the link graph with
+    seeds = the n_seeds smallest node ids: reuses the unrolled PPR
+    recurrence (ppr_sql), rounds ranks to 9 decimals BEFORE ordering
+    (the cross-engine float contract of the green PPR query), then the
+    window-function conductance sweep — exact integer cut/vol prefix
+    sums, one IEEE double division for phi."""
+    ppr = ppr_sql(iters=iters, alpha=alpha, n_seeds=n_seeds)
+    body = ppr[len("WITH "):ppr.rindex("\nSELECT")]
+    return (
+        "WITH " + body + f""",
+pr AS MATERIALIZED (SELECT node, ROUND(rank, 9) AS rank FROM r{iters}),
+{SYM_CTE.strip().rstrip(',')},
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+tot AS MATERIALIZED (SELECT COUNT(*) AS v FROM sym),
+cand AS MATERIALIZED (
+  SELECT node, deg, rank / deg AS score
+  FROM pr JOIN deg USING (node) WHERE rank > 0
+  ORDER BY score DESC, node LIMIT {max_candidates}),
+ranked AS MATERIALIZED (
+  SELECT node, deg,
+         ROW_NUMBER() OVER (ORDER BY score DESC, node) AS sweep_rank
+  FROM cand),
+earlier AS MATERIALIZED (
+  SELECT ra.sweep_rank, COUNT(*) AS e
+  FROM sym s JOIN ranked ra ON s.dst = ra.node
+             JOIN ranked rb ON s.src = rb.node
+  WHERE rb.sweep_rank < ra.sweep_rank
+  GROUP BY ra.sweep_rank),
+sweep AS MATERIALIZED (
+  SELECT sweep_rank, node,
+         SUM(deg) OVER w - 2 * SUM(e) OVER w AS cut,
+         SUM(deg) OVER w AS vol
+  FROM (SELECT r.sweep_rank, r.node, r.deg, COALESCE(x.e, 0) AS e
+        FROM ranked r LEFT JOIN earlier x ON r.sweep_rank = x.sweep_rank) t
+  WINDOW w AS (ORDER BY sweep_rank ROWS UNBOUNDED PRECEDING)),
+phis AS MATERIALIZED (
+  SELECT sweep_rank, node,
+         CAST(cut AS DOUBLE)
+           / LEAST(vol, (SELECT v FROM tot) - vol) AS phi
+  FROM sweep
+  WHERE LEAST(vol, (SELECT v FROM tot) - vol) > 0),
+best AS MATERIALIZED (
+  SELECT sweep_rank AS bk, phi FROM phis ORDER BY phi, sweep_rank LIMIT 1)
+SELECT p.node, CAST(p.sweep_rank AS INT) AS sweep_rank,
+       CAST(b.bk AS INT) AS k, ROUND(b.phi, 9) AS conductance
+FROM phis p, best b WHERE p.sweep_rank <= b.bk"""
+    )

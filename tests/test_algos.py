@@ -345,3 +345,37 @@ def test_clustering_and_assortativity_planted(spark):
     }
     # node 2 has degree 3 and 1 triangle -> cc = 2*1/(3*2) = 1/3
     assert deg[2] == 3
+
+
+def test_cc_warm_start_same_fixpoint_fewer_rounds(spark):
+    # long path: cold hash-min needs O(diameter) rounds; warm-starting
+    # from the previous snapshot's labels after appending a few arcs
+    # converges in a fraction of them to the SAME min-id labeling
+    base = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(base, "src long, dst long")
+    cold = connected_components(df, max_iter=100)
+    assert cold.converged
+
+    delta = [(60, 61), (61, 62), (100, 101)]  # extend + a new component
+    df2 = spark.createDataFrame(base + delta, "src long, dst long")
+    cold2 = connected_components(df2, max_iter=100)
+    warm2 = connected_components(df2, max_iter=100, init_labels=cold.labels)
+    assert warm2.converged
+    exp = {r["node"]: r["component"] for r in cold2.labels.collect()}
+    got = {r["node"]: r["component"] for r in warm2.labels.collect()}
+    assert got == exp
+    assert warm2.iterations < cold2.iterations / 2
+
+
+def test_cc_warm_start_merging_components(spark):
+    # two separate chains, then a bridge arc merges them: warm labels of
+    # the right chain must drain down to the global min id
+    left = [(i, i + 1) for i in range(20)]
+    right = [(100 + i, 101 + i) for i in range(20)]
+    df = spark.createDataFrame(left + right, "src long, dst long")
+    cold = connected_components(df, max_iter=100)
+    df2 = spark.createDataFrame(left + right + [(20, 100)], "src long, dst long")
+    warm = connected_components(df2, max_iter=100, init_labels=cold.labels)
+    assert warm.converged
+    labs = {r["component"] for r in warm.labels.collect()}
+    assert labs == {0}

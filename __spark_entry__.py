@@ -1572,6 +1572,24 @@ def q_local_cluster(spark, sf_dir):
     )
 
 
+def q_matching(spark, sf_dir):
+    """Maximal matching (distributed handshaking, Israeli-Itai posture,
+    algos/matching.py): each live node points at its min-md5-priority
+    incident edge; mutual picks enter the matching, matched nodes leave.
+    Fixed 6-round schedule (fixpoint at 3-4 on this graph; extra rounds
+    are no-ops) for the unrolled-SQL oracle twin. Returns the matched
+    edges (a, b, round) — node-disjoint by construction."""
+    from webgraph_spark.algos.matching import maximal_matching
+
+    res = maximal_matching(
+        _edges(spark, sf_dir), fixed_rounds=6, num_partitions=16
+    )
+    return res.matching.select(
+        F.col("a").cast("long"), F.col("b").cast("long"),
+        F.col("round").cast("int"),
+    )
+
+
 def q_msf(spark, sf_dir):
     """Minimum spanning forest (distributed Borůvka, algos/msf.py) of
     the undirected weighted view of the labelled link graph (weight =
@@ -2089,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mis": q_mis,
         "graph_densest": q_densest,
         "graph_local_cluster": q_local_cluster,
+        "graph_matching": q_matching,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
@@ -2774,6 +2793,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_mis": td.mis_sql(rounds=5),
         "graph_densest": td.densest_sql(rounds=4),
         "graph_local_cluster": td.local_cluster_sql(iters=5, n_seeds=10, max_candidates=300),
+        "graph_matching": td.matching_sql(rounds=6),
         "events_graph_diff": """WITH b AS (
   SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
 ),

@@ -1650,3 +1650,48 @@ SELECT p.node, CAST(p.sweep_rank AS INT) AS sweep_rank,
        CAST(b.bk AS INT) AS k, ROUND(b.phi, 9) AS conductance
 FROM phis p, best b WHERE p.sweep_rank <= b.bk"""
     )
+
+
+def matching_sql(rounds: int = 6) -> str:
+    """Twin of algos.matching.maximal_matching(fixed_rounds=rounds) over
+    the simple link graph: unrolled handshake rounds with the identical
+    engine-portable edge priority md5_long('mm{k}:' || a || ':' || b)
+    and (p, a, b) argmin per node. Rounds past the fixpoint are no-ops."""
+    parts = [EDGES_CTE]
+    parts.append("""
+live0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""")
+    for k in range(1, rounds + 1):
+        pr = (
+            f"('0x' || substr(md5('mm{k}:' || CAST(a AS VARCHAR) || ':' || "
+            f"CAST(b AS VARCHAR)), 1, 15))::BIGINT"
+        )
+        parts.append(f"""
+pri{k} AS MATERIALIZED (SELECT a, b, {pr} AS p FROM live{k - 1})""")
+        parts.append(f"""
+shake{k} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT node, a, b FROM (
+      SELECT node, a, b,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY p, a, b) AS rn
+      FROM (
+        SELECT a AS node, p, a, b FROM pri{k}
+        UNION ALL
+        SELECT b AS node, p, a, b FROM pri{k}) u
+    ) r WHERE rn = 1
+  ) picks GROUP BY a, b HAVING COUNT(*) = 2)""")
+        parts.append(f"""
+live{k} AS MATERIALIZED (
+  SELECT l.a, l.b FROM live{k - 1} l
+  WHERE l.a NOT IN (SELECT a FROM shake{k} UNION ALL SELECT b FROM shake{k})
+    AND l.b NOT IN (SELECT a FROM shake{k} UNION ALL SELECT b FROM shake{k}))""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT a, b, {k} AS round FROM shake{k}" for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT a, b, CAST(round AS INT) AS round FROM (
+    {union}) t"""
+    )

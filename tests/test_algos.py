@@ -379,3 +379,31 @@ def test_cc_warm_start_merging_components(spark):
     assert warm.converged
     labs = {r["component"] for r in warm.labels.collect()}
     assert labs == {0}
+
+
+def test_cc_incremental_contraction_matches_cold(spark):
+    # random base + random deltas (including brand-new nodes): folding
+    # the delta into the previous labels by contraction must equal a
+    # cold run over the union graph — and never rescans the base edges
+    from webgraph_spark.algos.components import merge_components_incremental
+
+    rng = np.random.default_rng(77)
+    base = [
+        (int(s), int(d))
+        for s, d in zip(rng.integers(0, 120, 260), rng.integers(0, 120, 260))
+    ]
+    delta = [
+        (int(s), int(d))
+        for s, d in zip(rng.integers(0, 160, 40), rng.integers(0, 160, 40))
+    ] + [(300, 301), (301, 301)]  # new chain + a loop-only new node
+    df = spark.createDataFrame(base, "src long, dst long")
+    prev = connected_components(df, max_iter=100)
+    inc = merge_components_incremental(
+        prev.labels, spark.createDataFrame(delta, "src long, dst long")
+    )
+    cold = connected_components(
+        spark.createDataFrame(base + delta, "src long, dst long"), max_iter=100
+    )
+    exp = {r["node"]: r["component"] for r in cold.labels.collect()}
+    got = {r["node"]: r["component"] for r in inc.labels.collect()}
+    assert got == exp

@@ -308,3 +308,75 @@ def connected_components_stars(
     )
     nodes.unpersist()
     return ComponentsResult(labels, it, done)
+
+
+def merge_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 50,
+    num_partitions: int | None = None,
+) -> ComponentsResult:
+    """Exact incremental CC maintenance by contraction: given the
+    previous snapshot's ``labels(node, component)`` and a batch of
+    ``new_edges(src, dst)``, return the labels of the union graph
+    WITHOUT rescanning the old edge table.
+
+    Edge additions only merge components, so the old graph can be
+    contracted to its component ids: relabel the batch's endpoints
+    through ``labels`` (unseen endpoints are new nodes labeling
+    themselves), drop now-internal arcs, run hash-min CC on the
+    resulting DELTA GRAPH — whose size is bounded by the batch, not the
+    accumulated graph — and compose the merge map back onto the label
+    table. Work beyond the one label-table join is O(batch + affected
+    components); this is the streaming-maintenance path
+    (streaming/events.py ingests arcs, this folds them into labels).
+
+    Correctness: contracting a graph by any valid component labeling
+    preserves connectivity between labels, and min-id labels compose
+    (the merge map sends each old component id to the min old id in its
+    merged group, which is the min NODE id of the merged component
+    because old ids are themselves min node ids). Same fixpoint as a
+    cold run over the union graph (tested on random deltas); deletions
+    are not incremental — recompute cold.
+    """
+    spark = labels.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    la = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("_ca")
+    )
+    lb = labels.select(
+        F.col("node").alias("dst"), F.col("component").alias("_cb")
+    )
+    relabeled = (
+        new_edges.select("src", "dst")
+        .join(la, "src", "left")
+        .join(lb, "dst", "left")
+        .select(
+            F.coalesce("_ca", F.col("src")).alias("src"),
+            F.coalesce("_cb", F.col("dst")).alias("dst"),
+        )
+    )
+    delta = relabeled.where(F.col("src") != F.col("dst"))
+    merge = connected_components(
+        delta, max_iter=max_iter, num_partitions=num_partitions
+    )
+    mm = merge.labels.select(
+        F.col("node").alias("component"), F.col("component").alias("_m")
+    )
+    old = labels.join(mm, "component", "left").select(
+        "node", F.coalesce("_m", F.col("component")).alias("component")
+    )
+    new_nodes = (
+        new_edges.select(F.col("src").alias("node"))
+        .unionByName(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        # a new node's delta-graph id IS its node id (it labeled itself
+        # in the relabel step); loop-only new nodes miss and self-label
+        .join(merge.labels.select("node", "component"), "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+    out = old.unionByName(new_nodes).repartition(num_partitions, "node")
+    return ComponentsResult(out, merge.iterations, merge.converged)

@@ -24,10 +24,12 @@ the smaller component id, ``jumps`` pointer doublings.
 
 Scale posture: the chosen/parent tables have ONE row per live component
 (not per node); pointer doubling is log2(depth) self-joins of that
-small table; the contracted edge table is re-aggregated per (ca, cb)
-pair each round so parallel edges collapse and the shuffle shrinks.
-Per-round stop statistics ride the materializing action (count of the
-localCheckpointed contracted table), not extra jobs.
+small table, with the per-jump change count riding the materializing
+action as an Observation (one job per jump); the contracted edge table
+is re-aggregated per (ca, cb) pair each round so parallel edges
+collapse and the shuffle shrinks. The round-level stop probe is a
+``limit(1).count()`` against the already-checkpointed contracted table
+— a storage-local scan, not a recompute.
 """
 
 from __future__ import annotations

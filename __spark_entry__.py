@@ -1590,6 +1590,29 @@ def q_matching(spark, sf_dir):
     )
 
 
+def q_role_bigrams(spark, sf_dir):
+    """Ordered-sequence bigram mining on the transcript payload: which
+    event types follow which within a conversation under the stable
+    per-turn ordering (conv = user_id, order = event_id — the
+    input-hint invariant: analytics over turns must respect stable
+    (conv_id, turn_idx) ordering). Exact transition counts + one IEEE
+    double division for p(dst | src)."""
+    from webgraph_spark.functions.mining import transition_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seq = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    return transition_counts(
+        seq, "conv_id", ["event_id"], "event_type"
+    ).select(
+        F.col("src_label"), F.col("dst_label"),
+        F.col("n").cast("long"), F.col("p"),
+    )
+
+
 def q_msf(spark, sf_dir):
     """Minimum spanning forest (distributed Borůvka, algos/msf.py) of
     the undirected weighted view of the labelled link graph (weight =
@@ -2108,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_densest": q_densest,
         "graph_local_cluster": q_local_cluster,
         "graph_matching": q_matching,
+        "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
         "docs_hash_split": q_hash_split,
@@ -2794,6 +2818,9 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_densest": td.densest_sql(rounds=4),
         "graph_local_cluster": td.local_cluster_sql(iters=5, n_seeds=10, max_candidates=300),
         "graph_matching": td.matching_sql(rounds=6),
+        "transcript_role_bigrams": _mining.transition_counts_sql(
+            source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
+        ),
         "events_graph_diff": """WITH b AS (
   SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
 ),

@@ -42,3 +42,35 @@ def test_cooccurrence_min_pair_count(spark):
     df = spark.createDataFrame(rows, "conv string, tool string")
     out = cooccurrence(df, "conv", "tool", min_pair_count=2).collect()
     assert out == []
+
+
+def test_transition_counts_vs_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from webgraph_spark.functions.mining import transition_counts
+
+    rng = np.random.default_rng(19)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 30, n),
+            "o": np.arange(n),
+            "lab": rng.choice(list("abcd"), n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["src_label"], r["dst_label"]): (r["n"], r["p"])
+        for r in transition_counts(df, "g", ["o"], "lab").collect()
+    }
+    # independent pandas twin: sort by (g, o), lag within group
+    pdf = pdf.sort_values(["g", "o"])
+    pdf["prev"] = pdf.groupby("g")["lab"].shift(1)
+    pairs = pdf.dropna(subset=["prev"]).groupby(["prev", "lab"]).size()
+    tot = pairs.groupby(level=0).sum()
+    exp = {
+        (a, b): (int(c), round(c / tot[a], 9))
+        for (a, b), c in pairs.items()
+    }
+    assert got == exp

@@ -162,3 +162,68 @@ def bipartite_project(
         .agg(F.count("*").cast("long").alias("weight"))
         .where(F.col("weight") >= min_weight)
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Ordered-sequence bigram mining: counts of consecutive
+    ``label -> label`` transitions within each group under the stable
+    ``order_cols`` ordering (the transcript invariant: per-turn order is
+    (conv_id, turn_idx); here any total order works), plus the
+    conditional probability p(dst | src).
+
+    One window (partitioned by group, so no global sort), one groupBy;
+    counts are exact integers and p is a single IEEE double division of
+    two of them — the cross-engine contract the SQL twin
+    (:func:`transition_counts_sql`) replays exactly.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(group_col),
+            F.col(label_col).alias("dst_label"),
+            F.lag(F.col(label_col)).over(w).alias("src_label"),
+        )
+        .where(F.col("src_label").isNotNull() & F.col("dst_label").isNotNull())
+        .groupBy("src_label", "dst_label")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("src_label").agg(F.sum("n").alias("_t"))
+    return pairs.join(tot, "src_label").select(
+        "src_label",
+        "dst_label",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 9).alias("p"),
+    )
+
+
+def transition_counts_sql(
+    source_cte: str,
+    group_col: str = "g",
+    order_by: str = "o",
+    label_col: str = "lab",
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`transition_counts`: ``source_cte`` must
+    define ``seq(g, o, lab)`` (or the given column names); the ordering
+    expression must be a total order within each group."""
+    return f"""WITH {source_cte},
+pairs AS MATERIALIZED (
+  SELECT src_label, dst_label, COUNT(*) AS n FROM (
+    SELECT LAG({label_col}) OVER (PARTITION BY {group_col} ORDER BY {order_by})
+             AS src_label,
+           {label_col} AS dst_label
+    FROM seq) t
+  WHERE src_label IS NOT NULL AND dst_label IS NOT NULL
+  GROUP BY src_label, dst_label),
+tot AS MATERIALIZED (
+  SELECT src_label, SUM(n) AS t FROM pairs GROUP BY src_label)
+SELECT p.src_label, p.dst_label, CAST(p.n AS BIGINT) AS n,
+       ROUND(CAST(p.n AS DOUBLE) / t.t, {round_to}) AS p
+FROM pairs p JOIN tot t ON p.src_label = t.src_label"""

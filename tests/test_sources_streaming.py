@@ -274,3 +274,48 @@ def test_streaming_count_min_equals_batch_sketch(spark, tmp_path):
     assert all(
         r.est_count >= exact_map[r.item] for r in streamed.itertuples()
     )
+
+
+def test_streaming_maintained_components_match_cold(spark, tmp_path):
+    # arcs arrive as a bounded stream; the maintained label snapshots
+    # must end exactly equal to a cold CC over all arcs
+    import os
+
+    import numpy as np
+
+    from webgraph_spark.algos.components import connected_components
+    from webgraph_spark.streaming.events import maintain_components
+
+    rng = np.random.default_rng(41)
+    arcs = [
+        (int(s), int(d))
+        for s, d in zip(rng.integers(0, 150, 300), rng.integers(0, 150, 300))
+    ]
+    df = spark.createDataFrame(arcs, "src long, dst long")
+    stage = str(tmp_path / "arc_stream")
+    # several files -> several micro-batches under maxFilesPerTrigger
+    df.repartition(4).write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    labels_root = str(tmp_path / "labels")
+    q = maintain_components(
+        stream, labels_root, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(180)
+
+    versions = sorted(
+        d for d in os.listdir(labels_root) if d.startswith("v=")
+    )
+    assert len(versions) >= 2  # genuinely incremental, not one batch
+    last = max(versions, key=lambda d: int(d[2:]))
+    got = {
+        (r["node"], r["component"])
+        for r in spark.read.parquet(os.path.join(labels_root, last)).collect()
+    }
+    cold = connected_components(df, max_iter=100)
+    want = {(r["node"], r["component"]) for r in cold.labels.collect()}
+    assert got == want

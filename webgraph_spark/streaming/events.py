@@ -178,3 +178,59 @@ def count_min_stream_topk(
     cells = spark.read.parquet(cells_path).select("i", "bkt", "cnt")
     est = count_min_estimates(cells, items, item_col, d, w, seed)
     return est.orderBy(F.col("est_count").desc(), F.col("item")).limit(k)
+
+
+def maintain_components(
+    edge_stream: DataFrame,
+    labels_root: str,
+    checkpoint: str,
+):
+    """foreachBatch maintenance of a durable connected-components label
+    table under a stream of arriving arcs — the analytics half of the
+    continuous-ingest story (:func:`incremental_edge_append` lands the
+    arcs; this folds each micro-batch into the labels).
+
+    Each batch runs :func:`webgraph_spark.algos.components.
+    merge_components_incremental` — CC over the COMPONENT-ID delta graph
+    only (work bounded by the batch, never a rescan of history) — and
+    writes the new snapshot to ``labels_root/v=<batch_id>`` so a reader
+    always sees a complete, atomically-committed version (Spark's
+    _SUCCESS marker) and a killed run resumes from the last complete
+    one, mirroring plans/iterate.py's checkpoint contract. Edge
+    DELETIONS are out of scope (recompute cold), same as the batch
+    operator.
+    """
+    import os
+
+    from ..algos.components import merge_components_incremental
+
+    def _latest(spark: SparkSession):
+        try:
+            dirs = [
+                d for d in os.listdir(labels_root)
+                if d.startswith("v=")
+                and os.path.exists(os.path.join(labels_root, d, "_SUCCESS"))
+            ]
+        except FileNotFoundError:
+            return None
+        if not dirs:
+            return None
+        last = max(dirs, key=lambda d: int(d[2:]))
+        return spark.read.parquet(os.path.join(labels_root, last))
+
+    def sink(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        arcs = batch.select("src", "dst")
+        prev = _latest(spark)
+        if prev is None:
+            prev = spark.createDataFrame([], "node long, component long")
+        merged = merge_components_incremental(prev, arcs)
+        merged.labels.write.mode("overwrite").parquet(
+            os.path.join(labels_root, f"v={batch_id}")
+        )
+
+    return (
+        edge_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -205,6 +205,7 @@ def main():
         "graph_msf",
         "graph_mis",
         "graph_densest",
+        "transcript_role_bigrams",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

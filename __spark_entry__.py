@@ -1590,6 +1590,26 @@ def q_matching(spark, sf_dir):
     )
 
 
+def q_coloring(spark, sf_dir):
+    """Distributed greedy graph coloring (speculative mex + conflict
+    handshake, algos/coloring.py) of the simple link graph: fixed
+    engine-portable md5 priorities, every live node picks the mex of
+    its final neighbours' colors, same-pick adjacent losers re-queue.
+    Fixed 14-round schedule (fixpoint at 10 on this graph; extra rounds
+    are no-ops) for the unrolled-SQL oracle twin. Returns (node, color,
+    round assigned)."""
+    from webgraph_spark.algos.coloring import speculative_coloring
+
+    res = speculative_coloring(
+        _edges(spark, sf_dir), fixed_rounds=14, num_partitions=16
+    )
+    return res.colors.select(
+        F.col("node").cast("long"),
+        F.col("color").cast("int"),
+        F.col("round").cast("int"),
+    )
+
+
 def q_role_bigrams(spark, sf_dir):
     """Ordered-sequence bigram mining on the transcript payload: which
     event types follow which within a conversation under the stable
@@ -2131,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_densest": q_densest,
         "graph_local_cluster": q_local_cluster,
         "graph_matching": q_matching,
+        "graph_coloring": q_coloring,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -2818,6 +2839,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_densest": td.densest_sql(rounds=4),
         "graph_local_cluster": td.local_cluster_sql(iters=5, n_seeds=10, max_candidates=300),
         "graph_matching": td.matching_sql(rounds=6),
+        "graph_coloring": td.coloring_sql(rounds=14),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

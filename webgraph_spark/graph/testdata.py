@@ -1695,3 +1695,69 @@ live{k} AS MATERIALIZED (
 SELECT a, b, CAST(round AS INT) AS round FROM (
     {union}) t"""
     )
+
+
+def coloring_sql(rounds: int = 14) -> str:
+    """Twin of algos.coloring.speculative_coloring(fixed_rounds=rounds)
+    over the simple link graph: unrolled speculative-mex rounds with the
+    identical fixed priority md5_long('jp:' || node). Each round every
+    live node picks the min-excludant of its already-final neighbours'
+    colors; adjacent same-pick nodes conflict and the smaller (p, node)
+    endpoint re-queues. Rounds past the fixpoint are no-ops (the live
+    set is empty), so any schedule that reaches it returns the exact
+    coloring (fixpoint measured: 7 rounds at sf0.001, 10 at sf0.01)."""
+    pr = "('0x' || substr(md5('jp:' || CAST(node AS VARCHAR)), 1, 15))::BIGINT"
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
+    parts.append(f"""
+pri AS MATERIALIZED (SELECT node, {pr} AS p FROM nodes)""")
+    parts.append("""
+live0 AS MATERIALIZED (SELECT node FROM nodes)""")
+    parts.append("""
+col0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS INTEGER) AS color,
+         CAST(NULL AS INTEGER) AS round WHERE 1 = 0)""")
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+nc{k} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS node, c.color FROM sym e
+  JOIN live{k - 1} f ON f.node = e.src
+  JOIN col{k - 1} c ON c.node = e.dst)""")
+        parts.append(f"""
+cnt{k} AS MATERIALIZED (
+  SELECT f.node, COALESCE(x.cnt, 0) AS cnt FROM live{k - 1} f
+  LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM nc{k} GROUP BY node) x
+    ON f.node = x.node)""")
+        parts.append(f"""
+pick{k} AS MATERIALIZED (
+  SELECT t.node, MIN(t.v) AS pick FROM (
+    SELECT node, UNNEST(generate_series(0, cnt)) AS v FROM cnt{k}) t
+  LEFT JOIN nc{k} n ON n.node = t.node AND n.color = t.v
+  WHERE n.color IS NULL GROUP BY t.node)""")
+        parts.append(f"""
+los{k} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS node FROM sym e
+  JOIN pick{k} a ON a.node = e.src
+  JOIN pick{k} b ON b.node = e.dst
+  JOIN pri pa ON pa.node = e.src
+  JOIN pri pb ON pb.node = e.dst
+  WHERE a.pick = b.pick
+    AND {{'p': pa.p, 'n': e.src}} < {{'p': pb.p, 'n': e.dst}})""")
+        parts.append(f"""
+win{k} AS MATERIALIZED (
+  SELECT p.node, p.pick FROM pick{k} p
+  WHERE p.node NOT IN (SELECT node FROM los{k}))""")
+        parts.append(f"""
+col{k} AS MATERIALIZED (
+  SELECT node, color, round FROM col{k - 1}
+  UNION ALL
+  SELECT node, CAST(pick AS INTEGER) AS color, {k} AS round FROM win{k})""")
+        parts.append(f"""
+live{k} AS MATERIALIZED (
+  SELECT node FROM live{k - 1}
+  WHERE node NOT IN (SELECT node FROM win{k}))""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT node, CAST(color AS INT) AS color, CAST(round AS INT) AS round
+FROM col{rounds}"""
+    )

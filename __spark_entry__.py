@@ -372,6 +372,26 @@ def q_random_walks(spark, sf_dir):
     return random_walks(e, srcs, length=4, n_walks=2)
 
 
+def q_node2vec(spark, sf_dir):
+    """Second-order biased walk corpus (node2vec, Grover-Leskovec
+    KDD'16; algos/walks.py:node2vec_walks): 2 walks of length 4 from
+    each of the 5 smallest customer sources, return bias p=2, explore
+    bias q=1/2 — dyadic, so candidate weights are exact small integers
+    and the cumulative-weight pick (first dst whose integer cumsum
+    exceeds md5 mod total) replays identically in the oracle."""
+    from webgraph_spark.algos.walks import node2vec_walks
+
+    e = _edges(spark, sf_dir)
+    srcs = (
+        e.where(F.col("src") < td.OFF_ORDER)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+    )
+    return node2vec_walks(e, srcs, length=4, n_walks=2, p=2.0, q=0.5)
+
+
 def q_link_prediction(spark, sf_dir):
     """Link-prediction scores (Liben-Nowell & Kleinberg 2003): common
     neighbours / Jaccard / Adamic-Adar for all pairs among the 20
@@ -2172,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_extract_component": q_extract_component,
         "graph_hostgray_gamma_bits": q_hostgray_gamma_bits,
         "graph_random_walks": q_random_walks,
+        "graph_node2vec_walks": q_node2vec,
         "graph_link_prediction": q_link_prediction,
         "graph_clustering_coeff": q_clustering_coeff,
         "graph_assortativity": q_assortativity,
@@ -2348,6 +2369,17 @@ def _random_walks_sql() -> str:
 wsrc AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
          ORDER BY node LIMIT 5),"""
         + random_walks_sql(length=4, n_walks=2)
+    )
+
+
+def _node2vec_sql() -> str:
+    from webgraph_spark.algos.walks import node2vec_walks_sql
+
+    return (
+        f"""WITH {td.EDGES_CTE},
+wsrc AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
+         ORDER BY node LIMIT 5),"""
+        + node2vec_walks_sql(length=4, n_walks=2, p=2.0, q=0.5)
     )
 
 
@@ -3013,6 +3045,7 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
             group_expr=f"CAST(FLOOR(node / {td.OFF_ORDER}) AS BIGINT)"
         ),
         "graph_random_walks": _random_walks_sql(),
+        "graph_node2vec_walks": _node2vec_sql(),
         "graph_link_prediction": _link_prediction_sql(),
         "graph_clustering_coeff": _clustering_sql(),
         "graph_assortativity": _assortativity_sql(),

@@ -407,3 +407,66 @@ def test_cc_incremental_contraction_matches_cold(spark):
     exp = {r["node"]: r["component"] for r in cold.labels.collect()}
     got = {r["node"]: r["component"] for r in inc.labels.collect()}
     assert got == exp
+
+
+def test_node2vec_walks_match_python_replay(spark):
+    """Second-order walks vs an independent pure-Python replay of the
+    integer-weight pick (back=4/p, arc=4, explore=4/q; first dst whose
+    cumulative weight exceeds md5 mod total), plus arc validity."""
+    import hashlib
+
+    from webgraph_spark.algos.walks import node2vec_walks
+
+    arcs = [
+        (0, 1), (0, 2), (1, 0), (1, 2), (1, 3), (2, 3), (2, 0),
+        (3, 1), (3, 4), (4, 0), (4, 2),
+    ]
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    srcs = spark.createDataFrame([(0,), (3,)], "node long")
+    got = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in node2vec_walks(e, srcs, length=5, n_walks=2, p=2.0, q=0.5)
+        .collect()
+    )
+
+    def h(wid, t, node):
+        return int(
+            hashlib.md5(f"n2v:{wid}:{t}:{node}".encode()).hexdigest()[:15], 16
+        )
+
+    succ = {}
+    arcset = set(arcs)
+    for s, d in sorted(set(arcs)):
+        succ.setdefault(s, []).append(d)
+    want = []
+    for node0 in (0, 3):
+        for j in range(2):
+            wid = node0 * 2 + j
+            want.append((wid, 0, node0))
+            outs = succ[node0]
+            cur = outs[h(wid, 1, node0) % len(outs)]
+            prev = node0
+            want.append((wid, 1, cur))
+            for t in range(2, 6):
+                cands = succ.get(cur)
+                if not cands:
+                    break
+                ws = [
+                    2 if d == prev else (4 if (prev, d) in arcset else 8)
+                    for d in cands
+                ]
+                r = h(wid, t, cur) % sum(ws)
+                cum = 0
+                for d, wt in zip(cands, ws):
+                    cum += wt
+                    if cum > r:
+                        prev, cur = cur, d
+                        break
+                want.append((wid, t, cur))
+    assert got == sorted(want)
+    byw = {}
+    for wid, t, node in got:
+        byw.setdefault(wid, {})[t] = node
+    for steps in byw.values():
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in arcset

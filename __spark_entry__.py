@@ -392,6 +392,17 @@ def q_node2vec(spark, sf_dir):
     return node2vec_walks(e, srcs, length=4, n_walks=2, p=2.0, q=0.5)
 
 
+def q_wl_labels(spark, sf_dir):
+    """1-WL color refinement (algos/features.py:wl_refinement): 3
+    rounds of H(own label, commutative mod-2^31 multiset hash of
+    neighbour labels) from a degree init over the simple symmetric
+    link graph. Returns (node, wl) — equal labels = 3-hop
+    WL-indistinguishable structural roles."""
+    from webgraph_spark.algos.features import wl_refinement
+
+    return wl_refinement(_edges(spark, sf_dir), iters=3, num_partitions=16)
+
+
 def q_link_prediction(spark, sf_dir):
     """Link-prediction scores (Liben-Nowell & Kleinberg 2003): common
     neighbours / Jaccard / Adamic-Adar for all pairs among the 20
@@ -2193,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hostgray_gamma_bits": q_hostgray_gamma_bits,
         "graph_random_walks": q_random_walks,
         "graph_node2vec_walks": q_node2vec,
+        "graph_wl_labels": q_wl_labels,
         "graph_link_prediction": q_link_prediction,
         "graph_clustering_coeff": q_clustering_coeff,
         "graph_assortativity": q_assortativity,
@@ -2380,6 +2392,15 @@ def _node2vec_sql() -> str:
 wsrc AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
          ORDER BY node LIMIT 5),"""
         + node2vec_walks_sql(length=4, n_walks=2, p=2.0, q=0.5)
+    )
+
+
+def _wl_sql() -> str:
+    from webgraph_spark.algos.features import wl_sql
+
+    return (
+        f"WITH {td.EDGES_CTE},{td.NODES_CTE},{td.SYM_CTE},"
+        + wl_sql(iters=3)
     )
 
 
@@ -3046,6 +3067,7 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
         ),
         "graph_random_walks": _random_walks_sql(),
         "graph_node2vec_walks": _node2vec_sql(),
+        "graph_wl_labels": _wl_sql(),
         "graph_link_prediction": _link_prediction_sql(),
         "graph_clustering_coeff": _clustering_sql(),
         "graph_assortativity": _assortativity_sql(),

@@ -470,3 +470,53 @@ def test_node2vec_walks_match_python_replay(spark):
     for steps in byw.values():
         for t in range(1, max(steps) + 1):
             assert (steps[t - 1], steps[t]) in arcset
+
+
+def test_wl_refinement_matches_python_and_iso_invariant(spark):
+    """WL labels vs an independent Python replay (same md5 multiset-sum
+    hash), and the label HISTOGRAM is invariant under node renaming
+    (labels are id-free: degree init + structure-only refinement)."""
+    import hashlib
+    from collections import Counter
+
+    from webgraph_spark.algos.features import wl_refinement
+
+    arcs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 4)]
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_wl(arcs, iters=3):
+        P = (1 << 31) - 1
+        adj = {}
+        nodes = set()
+        for s, d in arcs:
+            nodes.update((s, d))
+            if s != d:
+                adj.setdefault(s, set()).add(d)
+                adj.setdefault(d, set()).add(s)
+        lab = {v: len(adj.get(v, ())) for v in nodes}
+        for _ in range(iters):
+            nxt = {}
+            for v in nodes:
+                nbrs = adj.get(v, ())
+                s = sum(md5l(f"wl:{lab[u]}") % P for u in nbrs) % P
+                nxt[v] = md5l(f"{lab[v]}:{s}:{len(nbrs)}")
+            lab = nxt
+        return lab
+
+    want = py_wl(arcs)
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    got = {r["node"]: r["wl"] for r in wl_refinement(e, iters=3).collect()}
+    assert got == want
+
+    # rename nodes by a permutation: histogram of labels is unchanged
+    perm = {0: 40, 1: 17, 2: 99, 3: 3, 4: 61, 5: 8}
+    e2 = spark.createDataFrame(
+        [(perm[s], perm[d]) for s, d in arcs], "src long, dst long"
+    )
+    got2 = [r["wl"] for r in wl_refinement(e2, iters=3).collect()]
+    assert Counter(got2) == Counter(got.values())
+    # the 4-cycle-diagonal nodes 1 and 3 are symmetric: same label;
+    # degree-1 leaf 5 differs from everything else
+    assert got[1] == got[3] and got[5] not in {got[v] for v in (0, 1, 2, 3, 4)}

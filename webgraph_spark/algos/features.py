@@ -137,3 +137,126 @@ UNION ALL
 SELECT e.node, CAST(e.pos AS BIGINT) AS pos, ROUND(e.val, {round_to}) AS val
 FROM ex e WHERE e.node NOT IN (SELECT node FROM agg)
 """
+
+
+WL_P = (1 << 31) - 1  # Mersenne modulus for the commutative multiset hash
+
+
+def wl_refinement(
+    edges: DataFrame,
+    iters: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman color refinement over the
+    undirected simple view of ``edges(src, dst)``: iterated node
+    relabeling ``label_t(v) = H(label_{t-1}(v), multiset of neighbour
+    labels)``, the canonical structural-role fingerprint (WL kernels,
+    GNN expressivity baseline, symmetry detection).
+
+    The neighbour multiset is hashed COMMUTATIVELY — sum of
+    ``md5_long('wl:' || label) mod P`` (P = 2^31-1) plus the count —
+    instead of sorting a per-node label array, so a 10^7-degree hub
+    contributes through a map-side-combined SUM like any PageRank
+    contrib, never a hub-sized collect_list row. Terms are < 2^31 and
+    int64 sums stay exact below degree 2^32, so the result is
+    bit-identical in any engine (DuckDB twin: :func:`wl_sql`); modular
+    multiset collisions can only MERGE classes (never split), are
+    ~n^2/2P improbable, and are shared by both engines by construction.
+
+    Initial color = symmetric degree. Returns ``(node, wl)`` with the
+    final 60-bit label; equal labels after t rounds = t-hop
+    WL-indistinguishable.
+    """
+    from ..functions.hashing import md5_long
+    from ..operators.transforms import no_loops, symmetrize
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    sym = (
+        no_loops(symmetrize(edges.select("src", "dst")))
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("_d")
+    )
+    labels = nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("_d", F.lit(0)).cast("long").alias("wl")
+    )
+    for _ in range(iters):
+        msum = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("wl").alias("_l")
+                ).hint("shuffle_hash"),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                (
+                    F.sum(
+                        md5_long(
+                            F.concat(F.lit("wl:"), F.col("_l").cast("string"))
+                        )
+                        % F.lit(WL_P)
+                    )
+                    % F.lit(WL_P)
+                ).alias("_s"),
+                F.count("*").alias("_c"),
+            )
+        )
+        labels = labels.join(msum, "node", "left").select(
+            "node",
+            md5_long(
+                F.concat_ws(
+                    ":",
+                    F.col("wl").cast("string"),
+                    F.coalesce(F.col("_s"), F.lit(0)).cast("string"),
+                    F.coalesce(F.col("_c"), F.lit(0)).cast("string"),
+                )
+            ).alias("wl"),
+        )
+        labels = labels.localCheckpoint()
+    sym.unpersist()
+    return labels
+
+
+def wl_sql(iters: int = 3) -> str:
+    """DuckDB twin CTE block for :func:`wl_refinement`: caller's WITH
+    must already define ``sym`` and ``nodes``; selects (node, wl)."""
+    parts = ["""
+l0 AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(d.d, 0) AS BIGINT) AS wl
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src) d
+  ON n.node = d.node)"""]
+    h = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    for t in range(1, iters + 1):
+        hterm = h.format(x="'wl:' || CAST(l.wl AS VARCHAR)")
+        parts.append(f"""
+m{t} AS MATERIALIZED (
+  SELECT e.src AS node,
+         CAST(SUM({hterm} % 2147483647) % 2147483647 AS BIGINT) AS s,
+         COUNT(*) AS c
+  FROM sym e JOIN l{t - 1} l ON l.node = e.dst
+  GROUP BY e.src)"""
+        )
+        hl = h.format(
+            x=(
+                "CAST(p.wl AS VARCHAR) || ':' || CAST(COALESCE(m.s, 0) AS VARCHAR)"
+                " || ':' || CAST(COALESCE(m.c, 0) AS VARCHAR)"
+            )
+        )
+        parts.append(f"""
+l{t} AS MATERIALIZED (
+  SELECT p.node, {hl} AS wl
+  FROM l{t - 1} p LEFT JOIN m{t} m ON p.node = m.node)""")
+    return ",".join(parts) + f"""
+SELECT node, wl FROM l{iters}"""

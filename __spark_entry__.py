@@ -141,6 +141,21 @@ def q_triangles(spark, sf_dir):
     return spark.createDataFrame([(n,)], "triangles long")
 
 
+def q_doulion(spark, sf_dir):
+    """DOULION sparsified triangle estimate (Tsourakakis KDD'09;
+    algos/triangles.py:doulion_estimate): deterministic md5 edge coin
+    keeps ~1/4 of canonical undirected pairs, exact degree-oriented
+    count on the sparsified graph, 4^3 scale-up — the estimator for
+    graphs where even the oriented exact count is too heavy."""
+    from webgraph_spark.algos.triangles import doulion_estimate
+
+    kept, tri, est = doulion_estimate(_edges(spark, sf_dir), k=4)
+    return spark.createDataFrame(
+        [(kept, tri, est)],
+        "kept_edges long, triangles_sampled long, estimate double",
+    )
+
+
 def q_bfs3(spark, sf_dir):
     e = _edges(spark, sf_dir)
     src = e.where(F.col("src") < td.OFF_ORDER).agg(F.min("src")).collect()[0][0]
@@ -2112,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lp3": q_lp3,
         "graph_modularity3": q_modularity3,
         "graph_triangles": q_triangles,
+        "graph_doulion_triangles": q_doulion,
         "graph_bfs3": q_bfs3,
         "graph_compose_cust_part": q_compose,
         "graph_quotient_nation": q_quotient_nation,
@@ -2714,6 +2730,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lp3": td.lp_sql(rounds=3),
         "graph_modularity3": td.modularity_sql(rounds=3),
         "graph_triangles": td.triangles_sql(),
+        "graph_doulion_triangles": td.doulion_sql(k=4),
         "graph_bfs3": td.bfs_sql(rounds=3),
         "graph_compose_cust_part": td.compose_sql(),
         "graph_quotient_nation": td.quotient_nation_sql(),

@@ -520,3 +520,49 @@ def test_wl_refinement_matches_python_and_iso_invariant(spark):
     # the 4-cycle-diagonal nodes 1 and 3 are symmetric: same label;
     # degree-1 leaf 5 differs from everything else
     assert got[1] == got[3] and got[5] not in {got[v] for v in (0, 1, 2, 3, 4)}
+
+
+def test_doulion_matches_python_replay_and_is_close(spark):
+    """Deterministic DOULION: the kept-edge set and sampled count match
+    a pure-Python replay of the md5 coin + brute-force count; on a
+    dense ER graph the k=2 estimate lands within 40% of exact."""
+    import hashlib
+    from itertools import combinations
+
+    import numpy as np
+
+    from webgraph_spark.algos.triangles import doulion_estimate, triangle_count
+
+    rng = np.random.default_rng(5)
+    arcs = list(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 60, 1400), rng.integers(0, 60, 1400))
+            if a != b
+        }
+    )
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    k = 2
+    kept_n, tri, est = doulion_estimate(e, k=k)
+
+    def coin(a, b):
+        return (
+            int(hashlib.md5(f"dl:{a}:{b}".encode()).hexdigest()[:15], 16) % k == 0
+        )
+
+    pairs = {(min(a, b), max(a, b)) for a, b in arcs}
+    kept = {p for p in pairs if coin(*p)}
+    adj = {}
+    for a, b in kept:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want_tri = sum(
+        1
+        for u in adj
+        for v, w in combinations(sorted(adj[u]), 2)
+        if u < v and w in adj.get(v, ())
+    )
+    assert kept_n == len(kept) and tri == want_tri
+    assert est == tri * k**3
+    exact = triangle_count(e)
+    assert exact > 50 and abs(est - exact) / exact < 0.4

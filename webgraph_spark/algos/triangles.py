@@ -102,3 +102,47 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     closed.unpersist()
     o.unpersist()
     return per
+
+
+def doulion_estimate(edges: DataFrame, k: int = 4) -> tuple[int, int, float]:
+    """DOULION sparsified triangle estimate (Tsourakakis et al. KDD'09):
+    keep each canonical undirected edge {a, b} with probability 1/k —
+    here DETERMINISTICALLY, iff ``md5_long('dl:' a ':' b) mod k == 0``,
+    the engine-portable data-keyed coin every sketch in this repo uses
+    — count triangles exactly on the sparsified graph, and scale by
+    k^3 (each triangle survives with probability 1/k^3).
+
+    This is the scale path when even the degree-oriented exact count
+    (:func:`triangle_count`) is too heavy: sparsifying at 1/k cuts the
+    wedge-join input by ~k and its output by ~k^2. Variance is the
+    paper's bound (concentrated for k ≪ m^{1/3}); the estimate is
+    unbiased over the hash family. Returns (kept_edges,
+    triangles_sampled, estimate = triangles_sampled * k^3).
+    """
+    from ..functions.hashing import md5_long
+
+    pairs = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    kept = pairs.where(
+        md5_long(
+            F.concat_ws(
+                ":",
+                F.lit("dl"),
+                F.col("a").cast("string"),
+                F.col("b").cast("string"),
+            )
+        )
+        % k
+        == 0
+    ).persist()
+    n_kept = kept.count()
+    tri = triangle_count(kept.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    kept.unpersist()
+    return n_kept, tri, float(tri * k**3)

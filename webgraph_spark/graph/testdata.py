@@ -1761,3 +1761,37 @@ live{k} AS MATERIALIZED (
 SELECT node, CAST(color AS INT) AS color, CAST(round AS INT) AS round
 FROM col{rounds}"""
     )
+
+
+def doulion_sql(k: int = 4) -> str:
+    """Twin of algos.triangles.doulion_estimate(k): identical md5 edge
+    coin over canonical undirected pairs, exact degree-oriented count
+    on the sparsified graph, k^3 scale-up."""
+    h = (
+        "('0x' || substr(md5('dl:' || CAST(a AS VARCHAR) || ':' || "
+        "CAST(b AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    return f"""WITH {EDGES_CTE},
+pairs AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst),
+keep AS MATERIALIZED (
+  SELECT a, b FROM pairs WHERE {h} % {k} = 0),
+und AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM keep
+  UNION
+  SELECT b AS src, a AS dst FROM keep),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY src),
+orient AS (
+  SELECT u.src, u.dst FROM und u
+  JOIN deg ds ON ds.node = u.src
+  JOIN deg dd ON dd.node = u.dst
+  WHERE ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)),
+tri AS (
+  SELECT COUNT(*) AS t FROM orient e1
+  JOIN orient e2 ON e1.dst = e2.src
+  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+SELECT (SELECT COUNT(*) FROM keep) AS kept_edges,
+       t AS triangles_sampled,
+       CAST(t * {k ** 3} AS DOUBLE) AS estimate
+FROM tri"""

@@ -156,6 +156,23 @@ def q_doulion(spark, sf_dir):
     )
 
 
+def q_rmat_degrees(spark, sf_dir):
+    """Deterministic distributed R-MAT generation (Graph500 input
+    model; datagen/graphs.py:rmat): 32768 edges at scale 12 decided by
+    engine-portable md5 quadrant coins against integer thresholds,
+    then the out-degree distribution of the distinct-arc view — one
+    generation projection with no shuffle, one groupBy chain."""
+    from webgraph_spark.datagen.graphs import rmat
+
+    e = rmat(spark, scale=12, n_edges=32768, seed=7).distinct()
+    return (
+        e.groupBy("src").count()
+        .groupBy(F.col("count").alias("degree"))
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.col("degree").cast("long"), F.col("n_nodes").cast("long"))
+    )
+
+
 def q_bfs3(spark, sf_dir):
     e = _edges(spark, sf_dir)
     src = e.where(F.col("src") < td.OFF_ORDER).agg(F.min("src")).collect()[0][0]
@@ -2128,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity3": q_modularity3,
         "graph_triangles": q_triangles,
         "graph_doulion_triangles": q_doulion,
+        "graph_rmat_degrees": q_rmat_degrees,
         "graph_bfs3": q_bfs3,
         "graph_compose_cust_part": q_compose,
         "graph_quotient_nation": q_quotient_nation,
@@ -2418,6 +2436,16 @@ def _wl_sql() -> str:
         f"WITH {td.EDGES_CTE},{td.NODES_CTE},{td.SYM_CTE},"
         + wl_sql(iters=3)
     )
+
+
+def _rmat_sql() -> str:
+    from webgraph_spark.datagen.graphs import rmat_sql
+
+    return f"""WITH {rmat_sql(scale=12, n_edges=32768, seed=7)},
+dedup AS (SELECT DISTINCT src, dst FROM rmat_edges),
+degs AS (SELECT src, COUNT(*) AS degree FROM dedup GROUP BY src)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM degs GROUP BY degree"""
 
 
 def _truss4_sql(rounds: int = 12) -> str:
@@ -2731,6 +2759,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity3": td.modularity_sql(rounds=3),
         "graph_triangles": td.triangles_sql(),
         "graph_doulion_triangles": td.doulion_sql(k=4),
+        "graph_rmat_degrees": _rmat_sql(),
         "graph_bfs3": td.bfs_sql(rounds=3),
         "graph_compose_cust_part": td.compose_sql(),
         "graph_quotient_nation": td.quotient_nation_sql(),

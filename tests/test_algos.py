@@ -566,3 +566,45 @@ def test_doulion_matches_python_replay_and_is_close(spark):
     assert est == tri * k**3
     exact = triangle_count(e)
     assert exact > 50 and abs(est - exact) / exact < 0.4
+
+
+def test_rmat_matches_python_replay_and_parallelism_invariant(spark):
+    """R-MAT edges vs a pure-Python replay of the md5 quadrant coins;
+    identical at 1 and 8 partitions; skew bias points at low ids."""
+    import hashlib
+
+    from webgraph_spark.datagen.graphs import rmat
+
+    scale, n, seed = 6, 400, 3
+    TA, TB, TC = (
+        int(0.57 * (1 << 60)),
+        int(0.76 * (1 << 60)),
+        int(0.95 * (1 << 60)),
+    )
+
+    def py_edge(i):
+        s = d = 0
+        for lvl in range(scale):
+            u = int(
+                hashlib.md5(f"rmat:{seed}:{i}:{lvl}".encode()).hexdigest()[:15],
+                16,
+            )
+            q = 0 if u < TA else (1 if u < TB else (2 if u < TC else 3))
+            s += (q >> 1) * (1 << lvl)
+            d += (q & 1) * (1 << lvl)
+        return (s, d)
+
+    want = sorted(py_edge(i) for i in range(n))
+    got1 = sorted(
+        (r["src"], r["dst"])
+        for r in rmat(spark, scale, n, seed=seed, num_partitions=1).collect()
+    )
+    got8 = sorted(
+        (r["src"], r["dst"])
+        for r in rmat(spark, scale, n, seed=seed, num_partitions=8).collect()
+    )
+    assert got1 == want and got8 == want
+    # a=0.57 biases both endpoint bits toward 0: the low half of the id
+    # space must hold clearly more than half of the endpoints
+    low = sum(1 for s, d in want for x in (s, d) if x < (1 << (scale - 1)))
+    assert low > 1.15 * n

@@ -109,3 +109,95 @@ def two_cliques_bridge(
     if bridge:
         pairs.append((0, a))
     return _df(spark, pairs)
+
+
+_RMAT_SCALE_BITS = 1 << 60  # md5_long range
+
+
+def rmat(
+    spark: SparkSession,
+    scale: int,
+    n_edges: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic distributed R-MAT generator (Chakrabarti et al.
+    SDM'04; the Graph500 benchmark input): edge i picks one quadrant
+    per recursion level with probabilities (a, b, c, 1-a-b-c), here
+    decided by the engine-portable coin ``md5_long('rmat:seed:i:l')``
+    against INTEGER thresholds floor(a*2^60) etc. — so the generated
+    edge list is a pure function of (seed, i), identical at any
+    parallelism, and replayable in SQL (:func:`rmat_sql`).
+
+    Scale posture: ``spark.range(n_edges)`` already distributes; each
+    edge costs ``scale`` JVM md5 calls inside one whole-stage-codegen
+    projection — no shuffle, no Python, and generation composes with
+    everything downstream as an ordinary edge DataFrame (duplicate
+    arcs are kept, as in Graph500; ``.distinct()`` to simplify).
+    """
+    from pyspark.sql import functions as F
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ta = int(a * _RMAT_SCALE_BITS)
+    tb = int((a + b) * _RMAT_SCALE_BITS)
+    tc = int((a + b + c) * _RMAT_SCALE_BITS)
+
+    from ..functions.hashing import md5_long
+
+    df = spark.range(0, n_edges, 1, num_partitions)
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    for lvl in range(scale):
+        u = md5_long(
+            F.concat_ws(
+                ":",
+                F.lit("rmat"),
+                F.lit(str(seed)),
+                F.col("id").cast("string"),
+                F.lit(str(lvl)),
+            )
+        )
+        q = (
+            F.when(u < ta, F.lit(0))
+            .when(u < tb, F.lit(1))
+            .when(u < tc, F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        src = src + (F.shiftright(q, 1) % 2).cast("long") * F.lit(1 << lvl)
+        dst = dst + (q % 2).cast("long") * F.lit(1 << lvl)
+    return df.select(src.alias("src"), dst.alias("dst"))
+
+
+def rmat_sql(
+    scale: int,
+    n_edges: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin CTE body for :func:`rmat`: defines ``rmat_edges(src,
+    dst)`` replaying the identical md5 quadrant choices."""
+    ta = int(a * _RMAT_SCALE_BITS)
+    tb = int((a + b) * _RMAT_SCALE_BITS)
+    tc = int((a + b + c) * _RMAT_SCALE_BITS)
+    src_terms, dst_terms = [], []
+    for lvl in range(scale):
+        u = (
+            f"('0x' || substr(md5('rmat:{seed}:' || CAST(i AS VARCHAR) || "
+            f"':{lvl}'), 1, 15))::BIGINT"
+        )
+        q = (
+            f"(CASE WHEN {u} < {ta} THEN 0 WHEN {u} < {tb} THEN 1 "
+            f"WHEN {u} < {tc} THEN 2 ELSE 3 END)"
+        )
+        src_terms.append(f"(({q} // 2) % 2) * {1 << lvl}")
+        dst_terms.append(f"({q} % 2) * {1 << lvl}")
+    return f"""rmat_edges AS MATERIALIZED (
+  SELECT CAST({' + '.join(src_terms)} AS BIGINT) AS src,
+         CAST({' + '.join(dst_terms)} AS BIGINT) AS dst
+  FROM (SELECT unnest(range({n_edges})) AS i) t)"""

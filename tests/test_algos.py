@@ -608,3 +608,42 @@ def test_rmat_matches_python_replay_and_parallelism_invariant(spark):
     # space must hold clearly more than half of the endpoints
     low = sum(1 for s, d in want for x in (s, d) if x < (1 << (scale - 1)))
     assert low > 1.15 * n
+
+
+def test_node2vec_hub_cap_matches_duckdb_twin(spark):
+    """hub_cap fallback (uniform pick on nodes above the cap) replays
+    identically in the DuckDB twin, on a graph with one hub over the
+    cap; capped steps still follow arcs."""
+    import duckdb
+    import pandas as pd
+
+    from webgraph_spark.algos.walks import node2vec_walks, node2vec_walks_sql
+
+    arcs = [(0, i) for i in range(1, 9)]  # node 0: outdeg 8 > cap 4
+    arcs += [(i, (i % 8) + 1) for i in range(1, 9)]
+    arcs += [(i, 0) for i in range(1, 5)]
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    srcs = spark.createDataFrame([(0,), (3,)], "node long")
+    got = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in node2vec_walks(
+            e, srcs, length=5, n_walks=2, p=2.0, q=0.5, hub_cap=4
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.register("edges_pd", pd.DataFrame(arcs, columns=["src", "dst"]))
+    sql = (
+        "WITH edges AS (SELECT * FROM edges_pd), "
+        "wsrc AS (SELECT unnest([0, 3]) AS node),"
+        + node2vec_walks_sql(length=5, n_walks=2, p=2.0, q=0.5, hub_cap=4)
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+    arcset = set(arcs)
+    byw = {}
+    for wid, t, node in got:
+        byw.setdefault(wid, {})[t] = node
+    for steps in byw.values():
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in arcset

@@ -87,11 +87,14 @@ def main():
         edges.select(F.col("src").alias("node")).distinct()
         .where(F.col("node") % 64 == 0)
     )
+    # hub_cap is load-bearing: without it, walks parked on the Zipf
+    # tool hubs (outdeg up to ~10^6) expand to hub-degree candidate
+    # rows each step — measured to fill the shuffle disk at this scale
     w = node2vec_walks(edges.select("src", "dst"), srcs, length=4,
-                       n_walks=1, p=2.0, q=0.5)
+                       n_walks=1, p=2.0, q=0.5, hub_cap=1024)
     n_rows = w.count()
     res["node2vec"] = {
-        "sec": round(time.time() - t0, 1),
+        "sec": round(time.time() - t0, 1), "hub_cap": 1024,
         "sources": srcs.count(), "walk_rows": n_rows, "length": 4,
     }
     print("node2vec", res["node2vec"], flush=True)

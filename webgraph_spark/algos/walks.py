@@ -128,6 +128,7 @@ def node2vec_walks(
     n_walks: int = 1,
     p: float = 2.0,
     q: float = 0.5,
+    hub_cap: int | None = None,
 ) -> DataFrame:
     """Second-order biased walks (node2vec, Grover-Leskovec KDD'16):
     from step 2 on, the candidate successor ``dst`` of ``node`` (coming
@@ -153,6 +154,18 @@ def node2vec_walks(
     variant trades it for O(1) draws but needs mutable per-node state).
     Walks ending on a dangling node simply stop, as in
     :func:`random_walks`.
+
+    ``hub_cap`` bounds the hub hazard: a walk sitting on a node with
+    outdeg > hub_cap picks UNIFORMLY (the first-order md5-mod-outdeg
+    rule, one successor row via the (node, idx) join) instead of
+    expanding all successors for the p/q weighting. Measured necessity:
+    at 31.5M edges with Zipf tool hubs (outdeg up to ~10^6), exact
+    expansion of walks parked on hubs filled the shuffle disk; capped
+    at 1024 the step cost is bounded by min(degree, cap) rows per walk.
+    The bias touches only hub steps — where the p/q distinction is
+    weakest (1/q dominates a hub's candidate mass anyway) — and the
+    rule is part of the deterministic contract, replayed identically
+    by the SQL twin.
     """
     from pyspark.sql import Window
 
@@ -208,8 +221,28 @@ def node2vec_walks(
     adj = succ.select(F.col("src").alias("prev"), F.col("dst"), F.lit(1).alias("_adj"))
     pw = Window.partitionBy("walk_id").orderBy("dst")
     for t in range(2, length + 1):
+        base = cur.join(outdeg.withColumnRenamed("src", "node"), "node")
+        if hub_cap is not None:
+            hub = base.where(F.col("outdeg") > hub_cap)
+            base = base.where(F.col("outdeg") <= hub_cap)
+            hub_stepped = (
+                hub.withColumn("_pick", _h(t) % F.col("outdeg"))
+                .join(
+                    succ.select(
+                        F.col("src").alias("node"),
+                        F.col("idx").alias("_pick"),
+                        F.col("dst").alias("_next"),
+                    ),
+                    ["node", "_pick"],
+                )
+                .select(
+                    "walk_id",
+                    F.col("node").alias("prev"),
+                    F.col("_next").alias("node"),
+                )
+            )
         cand = (
-            cur.join(
+            base.select("walk_id", "prev", "node").join(
                 succ.select(F.col("src").alias("node"), "dst"), "node"
             )
             .join(adj, ["prev", "dst"], "left")
@@ -239,6 +272,8 @@ def node2vec_walks(
             .agg(F.min("dst").alias("node"))
             .select("walk_id", "prev", "node")
         )
+        if hub_cap is not None:
+            stepped = stepped.unionByName(hub_stepped)
         paths.append(stepped.select("walk_id", F.lit(t).alias("step"), "node"))
         cur = stepped
     out = paths[0]
@@ -248,7 +283,11 @@ def node2vec_walks(
 
 
 def node2vec_walks_sql(
-    length: int = 4, n_walks: int = 1, p: float = 2.0, q: float = 0.5
+    length: int = 4,
+    n_walks: int = 1,
+    p: float = 2.0,
+    q: float = 0.5,
+    hub_cap: int | None = None,
 ) -> str:
     """DuckDB twin CTE block for :func:`node2vec_walks`: caller's WITH
     must already define ``edges`` and ``wsrc(node)``."""
@@ -277,6 +316,11 @@ v1 AS MATERIALIZED (
   FROM v0 w
   JOIN odeg d ON w.node = d.src
   JOIN succ s ON s.src = w.node AND s.idx = {_h(1)} % d.outdeg)""")
+    capjoin = (
+        f" JOIN odeg cd ON cd.src = w.node AND cd.outdeg <= {hub_cap}"
+        if hub_cap is not None
+        else ""
+    )
     for t in range(2, length + 1):
         parts.append(f"""
 c{t} AS MATERIALIZED (
@@ -285,10 +329,18 @@ c{t} AS MATERIALIZED (
               WHEN a.src IS NOT NULL THEN 4
               ELSE {wq} END AS wt,
          {_h(t)} AS h
-  FROM v{t - 1} w
+  FROM v{t - 1} w{capjoin}
   JOIN succ s ON s.src = w.node
   LEFT JOIN (SELECT DISTINCT src, dst FROM succ) a
     ON a.src = w.prev AND a.dst = s.dst)""")
+        hub_union = ""
+        if hub_cap is not None:
+            hub_union = f"""
+  UNION ALL
+  SELECT w.walk_id, w.node AS prev, s.dst AS node
+  FROM v{t - 1} w
+  JOIN odeg d ON d.src = w.node AND d.outdeg > {hub_cap}
+  JOIN succ s ON s.src = w.node AND s.idx = {_h(t)} % d.outdeg"""
         parts.append(f"""
 v{t} AS MATERIALIZED (
   SELECT walk_id, node AS prev, MIN(dst) AS node FROM (
@@ -298,7 +350,7 @@ v{t} AS MATERIALIZED (
            SUM(wt) OVER (PARTITION BY walk_id) AS tot, h
     FROM c{t}) x
   WHERE cum > h % tot
-  GROUP BY walk_id, node)""")
+  GROUP BY walk_id, node{hub_union})""")
     all_w = " UNION ALL ".join(
         ["SELECT walk_id, 0 AS step, node FROM v0"]
         + [f"SELECT walk_id, {t} AS step, node FROM v{t}" for t in range(1, length + 1)]

@@ -1577,6 +1577,30 @@ def q_docs_bpe_tokens(spark, sf_dir):
     return bpe_token_counts(docs, "doc_id", "text", res)
 
 
+def q_pq_top5(spark, sf_dir):
+    """Top-5 cosine with a product-quantized corpus (Jegou TPAMI'11;
+    functions/similarity.py:pq_topk): 8 subspaces x 8 codewords trained
+    by the deterministic Lloyd recipe, corpus vectors replaced by their
+    codebook reconstruction, full-precision queries (asymmetric PQ) —
+    the 32x-footprint billion-scale ANN layout; whole train -> encode
+    -> decode -> rank chain oracle-replicated."""
+    from webgraph_spark.functions.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, k=5, m=8, n_codes=8, iters=2, dim=64)
+
+
+def q_pq_recall5(spark, sf_dir):
+    """Recall@5 of the PQ scorer vs the exact float top-5 — the
+    approximation-quality gate for the 32x compression."""
+    from webgraph_spark.functions.similarity import pq_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq_recall(emb, queries, k=5, m=8, n_codes=8, iters=2, dim=64)
+
+
 def q_mis(spark, sf_dir):
     """Maximal independent set (Luby 1986, algos/mis.py) of the simple
     link graph: engine-portable md5 round priorities, (p, node)-tuple
@@ -2193,6 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_recall5": q_ivf_recall5,
         "emb_sq8_top5": q_sq8_top5,
         "emb_sq8_recall5": q_sq8_recall5,
+        "emb_pq_top5": q_pq_top5,
+        "emb_pq_recall5": q_pq_recall5,
         "emb_semdedup": q_semdedup,
         "graph_union_transpose": q_union_transpose,
         "graph_line_graph": q_line_graph,
@@ -2427,6 +2453,102 @@ wsrc AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
          ORDER BY node LIMIT 5),"""
         + node2vec_walks_sql(length=4, n_walks=2, p=2.0, q=0.5)
     )
+
+
+def _pq_sql(
+    k_nn: int = 5, m: int = 8, kc: int = 8, iters: int = 2, dim: int = 64
+) -> str:
+    """Unrolled twin of q_pq_top5: per-subspace Lloyd training on
+    sliced sub-vectors (same md5 seeds, ROUND(avg, 6) centroid
+    snapping, lowest-c ties as the Spark argmin), encode-then-decode
+    reconstruction by list concatenation, asymmetric cosine vs
+    full-precision queries."""
+    sd = dim // m
+    parts = [f"""
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS c
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {kc})"""]
+    recs = []
+    for sub in range(m):
+        lo = sub * sd
+
+        def dist(vec_alias):
+            return (
+                f"list_reduce(list_transform(range(1, {sd + 1}), "
+                f"i -> (CAST({vec_alias}.embedding[{lo} + i] AS DOUBLE) - ct.cent[i]) "
+                f"* (CAST({vec_alias}.embedding[{lo} + i] AS DOUBLE) - ct.cent[i])), "
+                "(a, b) -> a + b)"
+            )
+
+        parts.append(f"""
+c{sub}_0 AS (
+  SELECT s.c, list_transform(range({lo + 1}, {lo + sd + 1}),
+           i -> CAST(e.embedding[i] AS DOUBLE)) AS cent
+  FROM seeds s JOIN embeddings e ON e.vec_id = s.vec_id)""")
+        prev = f"c{sub}_0"
+        for it in range(1, iters + 1):
+            parts.append(f"""
+a{sub}_{it} AS (
+  SELECT vec_id, embedding, c FROM (
+    SELECT e.vec_id, e.embedding, ct.c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e')}, ct.c) AS rn
+    FROM embeddings e CROSS JOIN {prev} ct) t
+  WHERE rn = 1)""")
+            parts.append(f"""
+m{sub}_{it} AS (
+  SELECT c, pos, ROUND(AVG(CAST(embedding[{lo} + pos] AS DOUBLE)), 6) AS mu
+  FROM a{sub}_{it}, range(1, {sd + 1}) AS r(pos)
+  GROUP BY c, pos)""")
+            parts.append(f"""
+c{sub}_{it} AS (
+  SELECT p.c, COALESCE(x.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN (
+    SELECT c, list(mu ORDER BY pos) AS cent FROM m{sub}_{it} GROUP BY c) x
+  ON x.c = p.c)""")
+            prev = f"c{sub}_{it}"
+        parts.append(f"""
+r{sub} AS (
+  SELECT vec_id, cent FROM (
+    SELECT e.vec_id, ct.cent,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e')}, ct.c) AS rn
+    FROM embeddings e CROSS JOIN {prev} ct) t
+  WHERE rn = 1)""")
+        recs.append(f"r{sub}")
+    cat = " || ".join(f"{r}.cent" for r in recs)
+    joins = " ".join(f"JOIN {r} ON {r}.vec_id = r0.vec_id" for r in recs[1:])
+    parts.append(f"""
+rec AS (
+  SELECT r0.vec_id, {cat} AS v
+  FROM {recs[0]} r0 {joins})""")
+    dot = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * e.v[i]), (a, b) -> a + b)"
+    )
+    qn = (
+        f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    en = (
+        f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> e.v[i] * e.v[i]), (a, b) -> a + b))"
+    )
+    return f"""WITH {",".join(parts)},
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(({dot}) / (({qn}) * ({en})), 6) AS sim
+  FROM embeddings q CROSS JOIN rec e
+  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= {k_nn}"""
 
 
 def _wl_sql() -> str:
@@ -2906,6 +3028,16 @@ FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
   SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1
 ), ap AS (
   SELECT query_id, neighbor_id, 1 AS hit FROM ({_sq8_topk_sql(k=5)}) t2
+)
+SELECT COUNT(*) AS exact_pairs,
+       CAST(COALESCE(SUM(ap.hit), 0) AS BIGINT) AS hits,
+       ROUND(CAST(COALESCE(SUM(ap.hit), 0) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
+        "emb_pq_top5": _pq_sql(k_nn=5, m=8, kc=8, iters=2, dim=64),
+        "emb_pq_recall5": f"""WITH ex AS (
+  SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1
+), ap AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM ({_pq_sql(k_nn=5, m=8, kc=8, iters=2, dim=64)}) t2
 )
 SELECT COUNT(*) AS exact_pairs,
        CAST(COALESCE(SUM(ap.hit), 0) AS BIGINT) AS hits,

@@ -189,3 +189,59 @@ def test_semdedup_matches_numpy_rule(spark, eps):
     clusters = [rows[i].cluster for i in range(len(vecs))]
     want = _np_semdedup_kept(vecs, clusters, eps=eps)
     assert [rows[i].kept for i in range(len(vecs))] == want
+
+
+# ------------------------------------------------ product quantization
+
+
+def test_pq_reconstructs_planted_prototypes(spark):
+    """Corpus built from 4 per-subspace prototypes + tiny deterministic
+    jitter: with codewords to spare (n_codes=6 > 4 prototypes; md5
+    seeding can double up a class at exactly 4) training places
+    codewords on every prototype, so reconstruction error is
+    jitter-scale and every PQ neighbour is from the query's class.
+    (recall@k WITHIN a class is intrinsically tie-broken — all class
+    members share a codeword — so class purity, not recall, is the
+    correct planted-corpus assertion.)"""
+    from webgraph_spark.functions.similarity import (
+        pq_reconstruct,
+        pq_topk,
+        pq_train,
+    )
+    import pyspark.sql.functions as F
+
+    rng = np.random.RandomState(7)
+    protos = rng.uniform(-1.0, 1.0, size=(4, DIM))
+    vecs = []
+    for i in range(48):
+        base = protos[i % 4].copy()
+        vecs.append(base + rng.uniform(-0.01, 0.01, size=DIM))
+    df = _mk_emb(spark, np.array(vecs))
+
+    books = pq_train(df, m=2, n_codes=6, iters=4, dim=DIM)
+    assert len(books) == 2 and all(len(b) == 6 for b in books)
+    assert all(len(cw) == DIM // 2 for b in books for cw in b)
+
+    rec = df.select(
+        "vec_id", pq_reconstruct(F.col("embedding"), books).alias("rv"),
+        "embedding",
+    ).collect()
+    for r in rec:
+        err = np.abs(np.array(r["rv"]) - np.array(r["embedding"])).max()
+        assert err < 0.05  # jitter-scale, not prototype-scale
+
+    queries = df.where(F.col("vec_id") < 6)
+    top = pq_topk(df, queries, k=3, m=2, n_codes=6, iters=4, dim=DIM)
+    for r in top.collect():
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4  # class purity
+
+
+def test_pq_deterministic_across_parallelism(spark):
+    from webgraph_spark.functions.similarity import pq_train
+
+    vecs = _rand_vecs(40, seed=13)
+    a = pq_train(_mk_emb(spark, vecs).repartition(1), m=2, n_codes=3,
+                 iters=2, dim=DIM)
+    b = pq_train(_mk_emb(spark, vecs).repartition(8), m=2, n_codes=3,
+                 iters=2, dim=DIM)
+    assert a == b

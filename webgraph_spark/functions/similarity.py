@@ -677,3 +677,180 @@ def sq8_recall(
     return _recall_frame(
         embeddings, queries, approx, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def _assign_expr(vec: Column, centroids) -> Column:
+    """argmin_c squared-L2(vec, centroid_c) over a Column (generalizes
+    :func:`_assign_cluster` to sliced sub-vectors); ties to lower c."""
+    best_d, best_c = None, None
+    for c, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(
+                vec, arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d, best_c = d, F.lit(0)
+        else:
+            best_c = F.when(d < best_d, F.lit(c)).otherwise(best_c)
+            best_d = F.least(best_d, d)
+    return best_c
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al. TPAMI 2011): the
+    dim-vector splits into ``m`` contiguous subspaces of dim/m and each
+    subspace trains its own ``n_codes``-centroid deterministic Lloyd
+    quantizer — the same fixed-schedule, md5-seeded, ROUND(mean, 6)
+    recipe as :func:`ivf_train`, run on sliced sub-vectors, so the
+    whole training is bit-replicable in unrolled SQL. All subspaces
+    share the md5-smallest seed ids. Returns codebooks[m][n_codes][sd].
+
+    PQ completes the quantization family next to SQ8 (per-dim scalar)
+    and IVF (coarse partitioning): m log2(n_codes)-bit codes per vector
+    — at the defaults 8 bytes vs 256, a 32x footprint cut, the standard
+    billion-scale ANN memory layout.
+    """
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sd = dim // m
+    seeds = _ivf_seed_ids(embeddings, n_codes, id_col)
+    seed_rows = {
+        int(r["id"]): list(r["v"])
+        for r in embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+        .where(F.col(id_col).isin(seeds))
+        .collect()
+    }
+    books: list[list[list[float]]] = []
+    for sub in range(m):
+        lo = sub * sd
+        cents = [
+            [float(x) for x in seed_rows[s][lo:lo + sd]] for s in seeds
+        ]
+        sliced = F.slice(F.col(vec_col), lo + 1, sd)
+        for _ in range(iters):
+            assigned = embeddings.select(
+                sliced.alias("v"), _assign_expr(sliced, cents).alias("c")
+            )
+            means = (
+                assigned.select("c", F.posexplode("v").alias("pos", "x"))
+                .groupBy("c", "pos")
+                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mu"))
+                .collect()
+            )
+            new_c = [list(c) for c in cents]  # empty clusters persist
+            acc: dict[int, dict[int, float]] = {}
+            for r in means:
+                acc.setdefault(int(r["c"]), {})[int(r["pos"])] = float(r["mu"])
+            for c, byp in acc.items():
+                new_c[c] = [byp[p] for p in range(sd)]
+            cents = new_c
+        books.append(cents)
+    return books
+
+
+def pq_reconstruct(
+    vec: Column, books: list[list[list[float]]]
+) -> Column:
+    """Encode-then-decode as one JVM expression: per subspace, assign
+    the sliced sub-vector to its nearest codeword and substitute that
+    codeword; concatenation of the m codewords is the reconstruction
+    the asymmetric scorer ranks against."""
+    m = len(books)
+    sd = len(books[0][0])
+    parts = []
+    for sub in range(m):
+        sliced = F.slice(vec, sub * sd + 1, sd)
+        code = _assign_expr(sliced, books[sub])
+        table = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[sub]]
+        )
+        parts.append(F.element_at(table, code + F.lit(1)))
+    return F.concat(*parts)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k cosine neighbours with PQ-compressed corpus vectors and
+    full-precision queries (asymmetric scoring, the standard PQ-ADC
+    contract): corpus vectors are replaced by their codebook
+    reconstruction, queries are not. Output contract matches
+    :func:`cosine_topk` (sim rounded to 6, ties by neighbor id, self
+    excluded). Plan shape: training scans (driver-tiny codebooks baked
+    as literals) -> broadcast queries x partitioned corpus scan."""
+    books = pq_train(
+        embeddings, m=m, n_codes=n_codes, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_reconstruct(F.col(vec_col), books).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "sim",
+        )
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k of the PQ scorer vs the exact float top-k — the
+    approximation-quality gate for the 32x compression."""
+    approx = pq_topk(
+        embeddings, queries, k=k, m=m, n_codes=n_codes, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    return _recall_frame(embeddings, queries, approx, k, id_col, vec_col)

@@ -1340,6 +1340,41 @@ def q_distance_cdf(spark, sf_dir):
     )
 
 
+def q_temporal_reach(spark, sf_dir):
+    """Temporal earliest-arrival reachability (Wu et al. VLDB'14;
+    algos/paths.py:temporal_reachability) from the smallest user over
+    the interaction arcs (prev_user -> user at epoch-us t, consecutive
+    events within each event_type stream under the stable (ts,
+    event_id) order). An arc is usable only at its timestamp by a
+    walker already present — the time-respecting influence model
+    static reachability over-approximates. Fixed 20-round schedule
+    (fixpoint at <=14 on this data; extra rounds are no-ops); exact
+    int64 arrival times, no float contract."""
+    from pyspark.sql import Window
+
+    from webgraph_spark.algos.paths import temporal_reachability
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    arcs = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("user_id").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNotNull() & (F.col("prev") != F.col("user_id")))
+        .select(
+            F.col("prev").alias("src"),
+            F.col("user_id").alias("dst"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+    )
+    src_node = int(ev.agg(F.min("user_id")).collect()[0][0])
+    res = temporal_reachability(arcs, [src_node], fixed_rounds=20,
+                                num_partitions=16)
+    return res.select(F.col("node").cast("long"),
+                      F.col("arrival").cast("long"))
+
+
 def q_scattered_arcs(spark, sf_dir):
     """Scattered string-id arc ingest (ScatteredArcsASCIIGraph.java:
     60-140): (user, event_type) pairs -> dense-id dictionary, de-loop,
@@ -2233,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_distance_cdf": q_distance_cdf,
         "graph_eff_diameter": q_eff_diameter,
         "events_scattered_arcs": q_scattered_arcs,
+        "events_temporal_reach": q_temporal_reach,
         "events_graph_diff": q_events_graph_diff,
         "events_degree_churn": q_events_degree_churn,
         "events_user_projection": q_user_projection,
@@ -2560,6 +2596,38 @@ def _wl_sql() -> str:
     )
 
 
+def _temporal_reach_sql(rounds: int = 20) -> str:
+    LONG_MIN = -(1 << 62)
+    BIG = 1 << 62
+    parts = ["""
+tarcs AS MATERIALIZED (
+  SELECT prev AS src, user_id AS dst, epoch_us(ts) AS t FROM (
+    SELECT user_id, ts, epoch_us(ts) AS _eu,
+           LAG(user_id) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS prev
+    FROM events) x
+  WHERE prev IS NOT NULL AND prev <> user_id)""", f"""
+s0 AS MATERIALIZED (
+  SELECT (SELECT MIN(user_id) FROM events) AS node,
+         CAST({LONG_MIN} AS BIGINT) AS arrival)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT a.dst AS node, MIN(a.t) AS m FROM tarcs a
+  JOIN s{k - 1} s ON s.node = a.src AND a.t >= s.arrival
+  GROUP BY a.dst)""")
+        parts.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT COALESCE(s.node, m.node) AS node,
+         LEAST(COALESCE(s.arrival, {BIG}), COALESCE(m.m, {BIG})) AS arrival
+  FROM s{k - 1} s FULL OUTER JOIN m{k} m ON s.node = m.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT node, CAST(arrival AS BIGINT) AS arrival FROM s{rounds}"""
+    )
+
+
 def _rmat_sql() -> str:
     from webgraph_spark.datagen.graphs import rmat_sql
 
@@ -2882,6 +2950,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": td.triangles_sql(),
         "graph_doulion_triangles": td.doulion_sql(k=4),
         "graph_rmat_degrees": _rmat_sql(),
+        "events_temporal_reach": _temporal_reach_sql(rounds=20),
         "graph_bfs3": td.bfs_sql(rounds=3),
         "graph_compose_cust_part": td.compose_sql(),
         "graph_quotient_nation": td.quotient_nation_sql(),

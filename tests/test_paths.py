@@ -112,3 +112,42 @@ def test_sssp_unweighted_matches_bfs(spark):
     }
     want = {r["node"]: r["dist"] for r in bfs(edges, [3]).distances.collect()}
     assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_temporal_reachability_matches_python_and_respects_time(spark):
+    """Earliest-arrival vs a pure-Python fixpoint replay; a node
+    reachable statically but only via a time-DECREASING path must be
+    unreachable temporally."""
+    from webgraph_spark.algos.paths import temporal_reachability
+
+    # 0 -(t5)-> 1 -(t3)-> 2 : 2 is statically reachable from 0 but the
+    # path 0->1->2 is not time-respecting (3 < 5). 1 -(t7)-> 3 works.
+    arcs = [(0, 1, 5), (1, 2, 3), (1, 3, 7), (3, 4, 7), (4, 5, 6)]
+    df = spark.createDataFrame(arcs, "src long, dst long, t long")
+    got = {
+        r["node"]: r["arrival"]
+        for r in temporal_reachability(df, [0], max_rounds=16).collect()
+    }
+
+    def py_reach(arcs, src):
+        LONG_MIN = -(1 << 62)
+        arr = {src: LONG_MIN}
+        while True:
+            nxt = dict(arr)
+            for u, v, t in arcs:
+                if u in arr and t >= arr[u]:
+                    nxt[v] = min(nxt.get(v, 1 << 62), t)
+            if nxt == arr:
+                return arr
+            arr = nxt
+
+    want = py_reach(arcs, 0)
+    assert got == want
+    assert 2 not in got          # time-decreasing path rejected
+    assert got[4] == 7 and 5 not in got  # 4->5 at t6 < arrival 7
+    # fixed schedule past the fixpoint is a no-op
+    fx = {
+        r["node"]: r["arrival"]
+        for r in temporal_reachability(df, [0], fixed_rounds=9).collect()
+    }
+    assert fx == got

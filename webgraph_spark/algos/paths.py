@@ -181,3 +181,87 @@ def dag_layers(
             "input graph likely contains a cycle"
         )
     return LayerResult(state.select("node", "layer"), k)
+
+
+def temporal_reachability(
+    arcs: DataFrame,
+    sources: list[int],
+    max_rounds: int = 32,
+    fixed_rounds: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Earliest-arrival reachability over a TEMPORAL edge table
+    ``arcs(src, dst, t: long)`` (Wu et al. VLDB'14 semantics): an arc
+    is traversable only at its timestamp, and only by a walker already
+    at ``src`` no later than ``t`` — the time-respecting path model for
+    interaction graphs (who could have influenced whom), which static
+    reachability over-approximates badly.
+
+    Synchronous relaxation: ``arrival_{k+1}(v) = min(arrival_k(v),
+    min over arcs (u, v, t) with t >= arrival_k(u) of t)``. Sources
+    start at arrival LONG_MIN (any arc usable). Every round is one
+    co-partitioned join + one min-aggregation over int64 timestamps —
+    exact, no float contract — and rounds past the fixpoint are no-ops,
+    so a fixed schedule that reaches it returns the exact fixpoint (the
+    unrolled-SQL oracle contract; ``fixed_rounds`` pins it). Returns
+    ``(node, arrival)`` for every temporally reachable node.
+    """
+    spark = arcs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    LONG_MIN = -(1 << 62)
+
+    from ..plans.iterate import (
+        eager_checkpoint,
+        iteration_confs,
+        release_local_checkpoint,
+    )
+
+    with iteration_confs(spark):
+        e = eager_checkpoint(
+            arcs.select("src", "dst", F.col("t").cast("long").alias("t"))
+            .repartition(num_partitions, "src")
+        )
+        state = spark.createDataFrame(
+            [(int(s), LONG_MIN) for s in sources], "node long, arrival long"
+        )
+        rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+        for _ in range(rounds):
+            msgs = (
+                e.join(
+                    state.select(
+                        F.col("node").alias("src"), F.col("arrival").alias("_a")
+                    ).hint("shuffle_hash"),
+                    "src",
+                )
+                .where(F.col("t") >= F.col("_a"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("t").alias("_m"))
+            )
+            new_state = eager_checkpoint(
+                state.join(msgs, "node", "full_outer").select(
+                    "node",
+                    F.least(
+                        F.coalesce("arrival", F.lit(1 << 62)),
+                        F.coalesce("_m", F.lit(1 << 62)),
+                    ).alias("arrival"),
+                )
+            )
+            if fixed_rounds is None:
+                changed = (
+                    new_state.alias("n")
+                    .join(state.alias("o"), "node", "left")
+                    .where(
+                        F.col("o.arrival").isNull()
+                        | (F.col("n.arrival") < F.col("o.arrival"))
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    release_local_checkpoint(state)
+                    state = new_state
+                    break
+            release_local_checkpoint(state)
+            state = new_state
+    return state

@@ -1712,6 +1712,35 @@ def q_matching(spark, sf_dir):
     )
 
 
+def q_partition4(spark, sf_dir):
+    """Balanced edge-locality partitioning (deterministic Spinner
+    variant, algos/partition.py): 4 capacity-bounded synchronous LP
+    rounds from the node%4 seed, k=4 blocks, 5% slack. The block id is
+    the physical placement key a 100-TB deployment co-locates CSR
+    adjacency blocks by. Returns the per-node assignment."""
+    from webgraph_spark.algos.partition import balanced_partition
+
+    res = balanced_partition(
+        _edges(spark, sf_dir), k=4, rounds=4, slack_pct=5, num_partitions=16
+    )
+    return res.assignment.select(
+        F.col("node").cast("long"), F.col("block").cast("int")
+    )
+
+
+def q_partition_quality(spark, sf_dir):
+    """Quality row of q_partition4's assignment: cut arcs / total sym
+    arcs, max block load, block count — all integer, exact."""
+    from webgraph_spark.algos.partition import (
+        balanced_partition,
+        partition_quality,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = balanced_partition(e, k=4, rounds=4, slack_pct=5, num_partitions=16)
+    return partition_quality(e, res.assignment)
+
+
 def q_coloring(spark, sf_dir):
     """Distributed greedy graph coloring (speculative mex + conflict
     handshake, algos/coloring.py) of the simple link graph: fixed
@@ -2279,6 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_local_cluster": q_local_cluster,
         "graph_matching": q_matching,
         "graph_coloring": q_coloring,
+        "graph_partition4": q_partition4,
+        "graph_partition_quality": q_partition_quality,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3140,6 +3171,10 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_local_cluster": td.local_cluster_sql(iters=5, n_seeds=10, max_candidates=300),
         "graph_matching": td.matching_sql(rounds=6),
         "graph_coloring": td.coloring_sql(rounds=14),
+        "graph_partition4": td.partition_sql(k=4, rounds=4, slack_pct=5),
+        "graph_partition_quality": td.partition_quality_sql(
+            k=4, rounds=4, slack_pct=5
+        ),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

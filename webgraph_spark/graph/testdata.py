@@ -1795,3 +1795,83 @@ SELECT (SELECT COUNT(*) FROM keep) AS kept_edges,
        t AS triangles_sampled,
        CAST(t * {k ** 3} AS DOUBLE) AS estimate
 FROM tri"""
+
+
+def _partition_parts(k: int, rounds: int, slack_pct: int) -> list[str]:
+    """Unrolled recurrence of algos.partition.balanced_partition:
+    capacity-bounded synchronous LP from the node%k seed, integer
+    scores, rank-admission into blocks with headroom."""
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
+    parts.append("nn AS (SELECT COUNT(*) AS n FROM nodes)")
+    cap = f"(((SELECT n FROM nn) * {100 + slack_pct} + {100 * k - 1}) // {100 * k})"
+    parts.append(f"""
+a0 AS MATERIALIZED (SELECT node, CAST(node % {k} AS INT) AS block FROM nodes)""")
+    for r in range(1, rounds + 1):
+        p = f"a{r - 1}"
+        parts.append(f"""
+ld{r} AS MATERIALIZED (SELECT block, COUNT(*) AS ld FROM {p} GROUP BY block)""")
+        parts.append(f"""
+cnt{r} AS MATERIALIZED (
+  SELECT s.dst AS node, a.block, COUNT(*) AS cnt
+  FROM sym s JOIN {p} a ON s.src = a.node GROUP BY s.dst, a.block)""")
+        parts.append(f"""
+best{r} AS MATERIALIZED (
+  SELECT node, block AS tgt, cnt AS bcnt FROM (
+    SELECT c.node, c.block, c.cnt,
+           ROW_NUMBER() OVER (PARTITION BY c.node
+             ORDER BY c.cnt DESC, l.ld ASC, c.block ASC) AS rn
+    FROM cnt{r} c JOIN ld{r} l ON c.block = l.block) WHERE rn = 1)""")
+        parts.append(f"""
+mv{r} AS MATERIALIZED (
+  SELECT b.node, b.tgt, b.bcnt - COALESCE(cc.cnt, 0) AS gain
+  FROM best{r} b JOIN {p} a ON b.node = a.node
+  LEFT JOIN cnt{r} cc ON cc.node = b.node AND cc.block = a.block
+  WHERE b.tgt <> a.block AND b.bcnt > COALESCE(cc.cnt, 0))""")
+        parts.append(f"""
+acc{r} AS MATERIALIZED (
+  SELECT node, tgt FROM (
+    SELECT m.node, m.tgt, m.gain,
+           ROW_NUMBER() OVER (PARTITION BY m.tgt
+             ORDER BY m.gain DESC, m.node ASC) AS rn,
+           GREATEST(0, {cap} - l.ld) AS quota
+    FROM mv{r} m JOIN ld{r} l ON m.tgt = l.block) WHERE rn <= quota)""")
+        parts.append(f"""
+a{r} AS MATERIALIZED (
+  SELECT a.node, CAST(COALESCE(c.tgt, a.block) AS INT) AS block
+  FROM {p} a LEFT JOIN acc{r} c ON a.node = c.node)""")
+    return parts
+
+
+def partition_sql(k: int = 4, rounds: int = 4, slack_pct: int = 5) -> str:
+    parts = _partition_parts(k, rounds, slack_pct)
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, block FROM a{rounds}"
+    )
+
+
+def partition_quality_sql(k: int = 4, rounds: int = 4, slack_pct: int = 5) -> str:
+    """Quality row (cut_arcs, m_arcs, max_load, n_blocks) of the
+    rank-admission partition — twin of algos.partition.partition_quality."""
+    parts = _partition_parts(k, rounds, slack_pct)
+    parts.append(f"""
+arcs AS MATERIALIZED (
+  SELECT la.block AS bsrc, lb.block AS bdst
+  FROM sym s JOIN a{rounds} la ON s.src = la.node
+             JOIN a{rounds} lb ON s.dst = lb.node)""")
+    parts.append("""
+tot AS (SELECT COUNT(*) AS m_arcs,
+               SUM(CASE WHEN bsrc <> bdst THEN 1 ELSE 0 END) AS cut_arcs
+        FROM arcs)""")
+    parts.append(f"""
+lds AS (SELECT MAX(ld) AS max_load, COUNT(*) AS n_blocks FROM (
+          SELECT block, COUNT(*) AS ld FROM a{rounds} GROUP BY block))""")
+    return (
+        "WITH " + ",".join(parts)
+        + """
+SELECT CAST(tot.cut_arcs AS BIGINT) AS cut_arcs,
+       CAST(tot.m_arcs AS BIGINT) AS m_arcs,
+       CAST(lds.max_load AS BIGINT) AS max_load,
+       CAST(lds.n_blocks AS BIGINT) AS n_blocks
+FROM tot, lds"""
+    )

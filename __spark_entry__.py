@@ -1875,6 +1875,22 @@ def q_ecc_sample(spark, sf_dir):
     )
 
 
+def q_landmark_sketch(spark, sf_dir):
+    """Landmark distance sketch (algos/landmarks.py): 3 top-sym-degree
+    landmarks, one batched multi-source BFS to depth 4 on the
+    symmetrized loop-free graph, pivoted to wide int distance columns
+    (null = unreached). The distance-oracle companion to
+    SampleDistanceCDF — built once, pairwise estimates are then
+    row-local. Oracle: unrolled frontier CTEs replaying the same BFS."""
+    from webgraph_spark.algos.landmarks import landmark_sketch
+
+    sk = landmark_sketch(_edges(spark, sf_dir), n_landmarks=3, max_depth=4)
+    return sk.select(
+        F.col("node").cast("long"),
+        *[F.col(f"d{i}").cast("int") for i in range(3)],
+    )
+
+
 def q_kcore5(spark, sf_dir):
     """5-core of the simplified TPC-H link graph by iterative degree
     peeling (not a reference operator — first-class dense-subgraph
@@ -2310,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring": q_coloring,
         "graph_partition4": q_partition4,
         "graph_partition_quality": q_partition_quality,
+        "graph_landmark_sketch": q_landmark_sketch,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3174,6 +3191,9 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_partition4": td.partition_sql(k=4, rounds=4, slack_pct=5),
         "graph_partition_quality": td.partition_quality_sql(
             k=4, rounds=4, slack_pct=5
+        ),
+        "graph_landmark_sketch": td.landmark_sketch_sql(
+            n_landmarks=3, max_depth=4
         ),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",

@@ -1,0 +1,88 @@
+"""Landmark distance sketch vs independent numpy BFS."""
+
+import numpy as np
+import pytest
+
+from webgraph_spark.algos.landmarks import (
+    estimate_distances,
+    landmark_sketch,
+    top_degree_landmarks,
+)
+from webgraph_spark.datagen.graphs import erdos_renyi_numpy
+
+
+def _sym_noloop(adj):
+    s = adj | adj.T
+    np.fill_diagonal(s, False)
+    return s
+
+
+def _bfs_np(s, src, max_depth):
+    n = s.shape[0]
+    dist = np.full(n, -1)
+    dist[src] = 0
+    frontier = [src]
+    for d in range(1, max_depth + 1):
+        nxt = []
+        for u in frontier:
+            for v in np.nonzero(s[u])[0]:
+                if dist[v] < 0:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def _np_landmarks(s, n_landmarks):
+    deg = s.sum(axis=1)
+    order = sorted(range(len(deg)), key=lambda v: (-deg[v], v))
+    return order[:n_landmarks]
+
+
+@pytest.mark.parametrize("n,p,seed", [(60, 0.05, 31), (90, 0.03, 32)])
+def test_landmark_sketch_vs_numpy(spark, n, p, seed):
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    s = _sym_noloop(adj)
+    rows = [(int(u), int(v)) for u, v in zip(*np.nonzero(adj))]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+
+    lms = _np_landmarks(s, 3)
+    assert top_degree_landmarks(edges, 3) == lms
+
+    sk = landmark_sketch(edges, n_landmarks=3, max_depth=4)
+    got = {r["node"]: (r["d0"], r["d1"], r["d2"]) for r in sk.collect()}
+    want = [_bfs_np(s, l, 4) for l in lms]
+    nodes = set(int(u) for u, v in rows) | set(int(v) for u, v in rows)
+    assert set(got) == nodes
+    for v in nodes:
+        for i in range(3):
+            exp = None if want[i][v] < 0 else int(want[i][v])
+            assert got[v][i] == exp, f"node {v} landmark {i}"
+
+
+def test_estimate_distances_is_admissible_upper_bound(spark):
+    adj = erdos_renyi_numpy(50, 0.08, seed=33)
+    s = _sym_noloop(adj)
+    rows = [(int(u), int(v)) for u, v in zip(*np.nonzero(adj))]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    sk = landmark_sketch(edges, n_landmarks=4, max_depth=6)
+
+    nodes = sorted(set(int(u) for u, v in rows) | set(int(v) for u, v in rows))
+    full = {v: _bfs_np(s, v, 50) for v in nodes}
+    pairs = [(u, v) for u in nodes[:8] for v in nodes[-8:] if u != v]
+    pdf = spark.createDataFrame(pairs, "u long, v long")
+    est = {
+        (r["u"], r["v"]): r["d_hat"]
+        for r in estimate_distances(sk, pdf).collect()
+    }
+    lms = _np_landmarks(s, 4)
+    for u, v in pairs:
+        true = full[u][v]
+        d_hat = est[(u, v)]
+        if d_hat is not None:
+            assert true >= 0, "estimate exists only for connected pairs"
+            assert d_hat >= true, f"({u},{v}): estimate below true distance"
+            # exact when a shortest path passes a landmark
+            if any(full[u][l] >= 0 and full[u][l] + full[l][v] == true
+                   for l in lms):
+                assert d_hat == true

@@ -1875,3 +1875,42 @@ SELECT CAST(tot.cut_arcs AS BIGINT) AS cut_arcs,
        CAST(lds.n_blocks AS BIGINT) AS n_blocks
 FROM tot, lds"""
     )
+
+
+def landmark_sketch_sql(n_landmarks: int = 3, max_depth: int = 4) -> str:
+    """Twin of algos.landmarks.landmark_sketch: top-degree landmarks
+    (deg DESC, node ASC), batched BFS on the sym loop-free graph,
+    wide int distance columns (null = unreached within max_depth)."""
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
+    parts.append("""
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src)""")
+    parts.append(f"""
+lm AS MATERIALIZED (SELECT node, li FROM (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY d DESC, node ASC) - 1 AS li
+  FROM deg) WHERE li < {n_landmarks})""")
+    parts.append("""
+v0 AS MATERIALIZED (SELECT li, node, 0 AS dist FROM lm)""")
+    for k in range(1, max_depth + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT li, node FROM v{j}" for j in range(k)
+        )
+        parts.append(f"""
+v{k} AS MATERIALIZED (SELECT DISTINCT f.li, s.dst AS node, {k} AS dist
+         FROM sym s JOIN v{k - 1} f ON s.src = f.node
+         WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p
+                           WHERE p.li = f.li AND p.node = s.dst))""")
+    all_v = " UNION ALL ".join(
+        f"SELECT li, node, dist FROM v{j}" for j in range(max_depth + 1)
+    )
+    dcols = ",\n       ".join(
+        f"CAST(MIN(CASE WHEN t.li = {i} THEN t.dist END) AS INT) AS d{i}"
+        for i in range(n_landmarks)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+dists AS ({all_v})
+SELECT n.node, {dcols}
+FROM nodes n LEFT JOIN dists t ON n.node = t.node
+GROUP BY n.node"""
+    )

@@ -1891,6 +1891,41 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_landmark_est(spark, sf_dir):
+    """Distance-oracle QUERY side: row-local pairwise estimates
+    d_hat(u,v) = min_i d(u,l_i)+d(l_i,v) from the landmark sketch, over
+    the 190 u<v pairs of the 20 smallest customer nodes. Null = no
+    landmark covers both ends within the BFS horizon — the honest
+    unknown. At 100 TB the sketch is built once; this query is two
+    broadcast joins + a row-local least(), no traversal."""
+    from webgraph_spark.algos.landmarks import (
+        estimate_distances,
+        landmark_sketch,
+    )
+
+    e = _edges(spark, sf_dir)
+    sk = landmark_sketch(e, n_landmarks=3, max_depth=4)
+    cands = [
+        r[0]
+        for r in e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .where(F.col("node") < td.OFF_ORDER)
+        .distinct()
+        .orderBy("node")
+        .limit(20)
+        .collect()
+    ]
+    pairs = spark.createDataFrame(
+        [(u, v) for u in cands for v in cands if u < v], "u long, v long"
+    )
+    est = estimate_distances(sk, pairs)
+    return est.select(
+        F.col("u").cast("long"),
+        F.col("v").cast("long"),
+        F.col("d_hat").cast("int"),
+    )
+
+
 def q_kcore5(spark, sf_dir):
     """5-core of the simplified TPC-H link graph by iterative degree
     peeling (not a reference operator — first-class dense-subgraph
@@ -2327,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_partition4": q_partition4,
         "graph_partition_quality": q_partition_quality,
         "graph_landmark_sketch": q_landmark_sketch,
+        "graph_landmark_est": q_landmark_est,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3194,6 +3230,9 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         ),
         "graph_landmark_sketch": td.landmark_sketch_sql(
             n_landmarks=3, max_depth=4
+        ),
+        "graph_landmark_est": td.landmark_estimate_sql(
+            n_landmarks=3, max_depth=4, n_cands=20
         ),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",

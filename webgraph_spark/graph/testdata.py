@@ -1877,10 +1877,9 @@ FROM tot, lds"""
     )
 
 
-def landmark_sketch_sql(n_landmarks: int = 3, max_depth: int = 4) -> str:
-    """Twin of algos.landmarks.landmark_sketch: top-degree landmarks
-    (deg DESC, node ASC), batched BFS on the sym loop-free graph,
-    wide int distance columns (null = unreached within max_depth)."""
+def _landmark_bfs_parts(n_landmarks: int, max_depth: int) -> list[str]:
+    """Shared CTE chain: landmark pick + unrolled batched BFS producing
+    ``dists(li, node, dist)`` (one row per landmark/node reached)."""
     parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
     parts.append("""
 deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src)""")
@@ -1902,15 +1901,51 @@ v{k} AS MATERIALIZED (SELECT DISTINCT f.li, s.dst AS node, {k} AS dist
     all_v = " UNION ALL ".join(
         f"SELECT li, node, dist FROM v{j}" for j in range(max_depth + 1)
     )
+    parts.append(f"""
+dists AS MATERIALIZED ({all_v})""")
+    return parts
+
+
+def landmark_sketch_sql(n_landmarks: int = 3, max_depth: int = 4) -> str:
+    """Twin of algos.landmarks.landmark_sketch: top-degree landmarks
+    (deg DESC, node ASC), batched BFS on the sym loop-free graph,
+    wide int distance columns (null = unreached within max_depth)."""
+    parts = _landmark_bfs_parts(n_landmarks, max_depth)
     dcols = ",\n       ".join(
         f"CAST(MIN(CASE WHEN t.li = {i} THEN t.dist END) AS INT) AS d{i}"
         for i in range(n_landmarks)
     )
     return (
         "WITH " + ",".join(parts)
-        + f""",
-dists AS ({all_v})
+        + f"""
 SELECT n.node, {dcols}
 FROM nodes n LEFT JOIN dists t ON n.node = t.node
 GROUP BY n.node"""
+    )
+
+
+def landmark_estimate_sql(
+    n_landmarks: int = 3, max_depth: int = 4, n_cands: int = 20
+) -> str:
+    """Twin of algos.landmarks.estimate_distances over deterministic
+    pairs: the ``n_cands`` smallest customer nodes, all u < v pairs,
+    d_hat = min over landmarks of d(u,l)+d(l,v); null when no landmark
+    reaches both ends within max_depth."""
+    parts = _landmark_bfs_parts(n_landmarks, max_depth)
+    parts.append(f"""
+cands AS MATERIALIZED (SELECT node FROM nodes WHERE node < {OFF_ORDER}
+  ORDER BY node ASC LIMIT {n_cands})""")
+    parts.append("""
+pairs AS (SELECT x.node AS u, y.node AS v FROM cands x JOIN cands y
+          ON x.node < y.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + """,
+est AS (SELECT p.u, p.v, MIN(a.dist + b.dist) AS d_hat
+        FROM pairs p
+        JOIN dists a ON a.node = p.u
+        JOIN dists b ON b.node = p.v AND b.li = a.li
+        GROUP BY p.u, p.v)
+SELECT p.u, p.v, CAST(e.d_hat AS INT) AS d_hat
+FROM pairs p LEFT JOIN est e ON e.u = p.u AND e.v = p.v"""
     )

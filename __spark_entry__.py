@@ -1891,6 +1891,40 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club curve phi(k) over every observed sym-degree threshold
+    (algos/features.py:rich_club): density of the subgraph induced by
+    nodes of degree > k, computed entirely from two degree histograms
+    + suffix sums — no per-k subgraph materialization."""
+    from webgraph_spark.algos.features import rich_club
+
+    return rich_club(_edges(spark, sf_dir))
+
+
+def _rich_club_sql() -> str:
+    return f"""WITH {td.EDGES_CTE},{td.SYM_CTE},
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+am AS (SELECT LEAST(a.deg, b.deg) AS val
+       FROM sym s JOIN deg a ON s.src = a.src JOIN deg b ON s.dst = b.src),
+nh AS (SELECT deg AS val, COUNT(*) AS n_at FROM deg GROUP BY deg),
+ah AS (SELECT val, COUNT(*) AS a_at FROM am GROUP BY val),
+vals AS (SELECT COALESCE(nh.val, ah.val) AS val,
+                COALESCE(n_at, 0) AS n_at, COALESCE(a_at, 0) AS a_at
+         FROM nh FULL OUTER JOIN ah ON nh.val = ah.val),
+cum AS (SELECT val, n_at,
+  COALESCE(SUM(n_at) OVER (ORDER BY val DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_gt,
+  COALESCE(SUM(a_at) OVER (ORDER BY val DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a_gt
+  FROM vals)
+SELECT CAST(val AS BIGINT) AS k,
+       CAST(n_gt AS BIGINT) AS n_rich,
+       CAST(a_gt AS BIGINT) AS rich_arcs,
+       CASE WHEN n_gt >= 2 THEN
+         ROUND(CAST(a_gt AS DOUBLE) / (n_gt * (n_gt - 1)), 6) END AS phi
+FROM cum WHERE n_at > 0"""
+
+
 def q_landmark_est(spark, sf_dir):
     """Distance-oracle QUERY side: row-local pairwise estimates
     d_hat(u,v) = min_i d(u,l_i)+d(l_i,v) from the landmark sketch, over
@@ -2363,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_partition_quality": q_partition_quality,
         "graph_landmark_sketch": q_landmark_sketch,
         "graph_landmark_est": q_landmark_est,
+        "graph_rich_club": q_rich_club,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3234,6 +3269,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_landmark_est": td.landmark_estimate_sql(
             n_landmarks=3, max_depth=4, n_cands=20
         ),
+        "graph_rich_club": _rich_club_sql(),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

@@ -86,3 +86,26 @@ def test_estimate_distances_is_admissible_upper_bound(spark):
             if any(full[u][l] >= 0 and full[u][l] + full[l][v] == true
                    for l in lms):
                 assert d_hat == true
+
+
+def test_rich_club_vs_numpy(spark):
+    from webgraph_spark.algos.features import rich_club
+
+    adj = erdos_renyi_numpy(70, 0.07, seed=41)
+    s = _sym_noloop(adj)
+    rows = [(int(u), int(v)) for u, v in zip(*np.nonzero(adj))]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["k"]: (r["n_rich"], r["rich_arcs"], r["phi"])
+        for r in rich_club(edges).collect()
+    }
+    deg = s.sum(axis=1)
+    for k in sorted(set(deg[deg > 0])):
+        rich = np.nonzero(deg > k)[0]
+        n = len(rich)
+        mask = np.zeros(s.shape[0], dtype=bool)
+        mask[rich] = True
+        arcs = int(s[np.ix_(rich, rich)].sum())
+        phi = round(arcs / (n * (n - 1)), 6) if n >= 2 else None
+        assert got[int(k)] == (n, arcs, phi), f"k={k}"
+    assert set(got) == {int(k) for k in set(deg[deg > 0])}

@@ -260,3 +260,79 @@ l{t} AS MATERIALIZED (
   FROM l{t - 1} p LEFT JOIN m{t} m ON p.node = m.node)""")
     return ",".join(parts) + f"""
 SELECT node, wl FROM l{iters}"""
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve phi(k) (Zhou-Mondragon 2004; Colizza
+    et al. 2006 give the normalized variant — this is the raw phi, the
+    normalizer being a caller-supplied rewired baseline).
+
+    For every degree value k observed in the simple (symmetrized,
+    loop-free) graph: n_rich = #nodes with degree > k, rich_arcs =
+    #sym arcs with BOTH endpoint degrees > k, and
+    phi = rich_arcs / (n_rich * (n_rich - 1)) — the density of the
+    subgraph induced by the rich nodes (sym arcs count each direction,
+    matching the n*(n-1) ordered-pair denominator). Null phi when
+    fewer than 2 rich nodes remain.
+
+    Scale shape: everything reduces to TWO degree histograms —
+    per-node degree and per-arc min-endpoint-degree — then suffix sums
+    over the merged histogram. The joins/groupBys are ordinary keyed
+    shuffles with map-side combine; the final window runs on the
+    histogram only (cardinality = distinct degree values, O(sqrt(m))
+    in practice), so the single-partition window is driver-trivial at
+    any graph size. No induced-subgraph materialization per k.
+
+    Reference analog: degree-distribution family of SURVEY.md §2.5
+    (operators/degrees.py) — this is its two-point correlation
+    companion, like graph_assortativity.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.transforms import simplify
+
+    sym = simplify(edges.select("src", "dst"))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    am = (
+        sym.join(deg.withColumnRenamed("deg", "dj"), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dk")),
+            "dst",
+        )
+        .select(F.least("dj", "dk").alias("val"))
+    )
+    nh = deg.groupBy(F.col("deg").alias("val")).agg(
+        F.count("*").alias("n_at")
+    )
+    ah = am.groupBy("val").agg(F.count("*").alias("a_at"))
+    vals = (
+        nh.join(ah, "val", "full_outer")
+        .select(
+            "val",
+            F.coalesce("n_at", F.lit(0)).alias("n_at"),
+            F.coalesce("a_at", F.lit(0)).alias("a_at"),
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("val"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.select(
+        "val",
+        "n_at",
+        F.coalesce(F.sum("n_at").over(w), F.lit(0)).alias("n_gt"),
+        F.coalesce(F.sum("a_at").over(w), F.lit(0)).alias("a_gt"),
+    )
+    return cum.where(F.col("n_at") > 0).select(
+        F.col("val").cast("long").alias("k"),
+        F.col("n_gt").cast("long").alias("n_rich"),
+        F.col("a_gt").cast("long").alias("rich_arcs"),
+        F.when(
+            F.col("n_gt") >= 2,
+            F.round(
+                F.col("a_gt").cast("double")
+                / (F.col("n_gt") * (F.col("n_gt") - F.lit(1))),
+                6,
+            ),
+        ).alias("phi"),
+    )

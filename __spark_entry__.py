@@ -1891,6 +1891,90 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (functions/curation.py): hashed
+    word-bigram bucket LMs for target = docs from source 'src0' vs all
+    other docs, add-one smoothing, per-doc summed log-likelihood ratio.
+    Decimal(38,9) sums of 9-digit-rounded per-bucket log ratios make
+    the result order-independent and engine-exact."""
+    from webgraph_spark.functions.curation import dsir_log_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_log_weights(
+        docs, "doc_id", "text", F.col("source") == "src0",
+        ngram=2, n_buckets=1024,
+    )
+    return w.select(
+        F.col("id").cast("long").alias("doc_id"), "n_grams", "logw"
+    )
+
+
+def q_dsir_sample(spark, sf_dir):
+    """Derandomized Gumbel-top-50 DSIR resample: logw + Gumbel noise
+    from a portable md5-derived uniform, largest 50 win. The exact
+    DSIR sampling rule with a reproducible seed — both engines select
+    the identical documents."""
+    from webgraph_spark.functions.curation import (
+        dsir_gumbel_topk,
+        dsir_log_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_log_weights(
+        docs, "doc_id", "text", F.col("source") == "src0",
+        ngram=2, n_buckets=1024,
+    )
+    return dsir_gumbel_topk(w, k=50).select(
+        F.col("id").cast("long").alias("doc_id"), "logw", "key"
+    )
+
+
+def _dsir_cte() -> str:
+    # deferred: _TOKS is defined further down the module
+    return f"""
+dtoks AS (SELECT doc_id AS id, (source = 'src0') AS tgt, {_TOKS} AS t
+          FROM documents),
+dgr AS (SELECT id, tgt, unnest(
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)),
+                             i -> array_to_string(t[i:i+1], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS g
+  FROM dtoks),
+dfb AS MATERIALIZED (SELECT id, tgt,
+    (('0x' || substr(md5(g), 1, 15))::BIGINT % 1024) AS b FROM dgr),
+dbc AS MATERIALIZED (SELECT b,
+    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+    SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cs
+  FROM dfb GROUP BY b),
+dtot AS (SELECT SUM(ct) AS big_ct, SUM(cs) AS big_cs FROM dbc),
+dlr AS (SELECT b,
+    ROUND(ln((CAST(ct + 1 AS DOUBLE) * (big_cs + 1024))
+           / (CAST(cs + 1 AS DOUBLE) * (big_ct + 1024))),
+          9)::DECIMAL(38,9) AS lr
+  FROM dbc, dtot),
+dw AS (SELECT f.id, COUNT(*) AS n_grams, SUM(l.lr) AS s
+       FROM dfb f JOIN dlr l ON f.b = l.b GROUP BY f.id)"""
+
+
+def _dsir_weights_sql() -> str:
+    return f"""WITH {_dsir_cte()}
+SELECT id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       ROUND(CAST(s AS DOUBLE), 6) AS logw
+FROM dw"""
+
+
+def _dsir_sample_sql(k: int = 50) -> str:
+    m = 1 << 48
+    return f"""WITH {_dsir_cte()},
+dwf AS (SELECT id, ROUND(CAST(s AS DOUBLE), 6) AS logw FROM dw),
+du AS (SELECT id, logw,
+    (CAST(('0x' || substr(md5('dsir:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+          % {m} AS DOUBLE) + 0.5) / {float(m)} AS u
+  FROM dwf)
+SELECT id AS doc_id, logw, ROUND(logw + (-ln(-ln(u))), 6) AS key
+FROM du ORDER BY key DESC, id ASC LIMIT {k}"""
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club curve phi(k) over every observed sym-degree threshold
     (algos/features.py:rich_club): density of the subgraph induced by
@@ -2398,6 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_landmark_sketch": q_landmark_sketch,
         "graph_landmark_est": q_landmark_est,
         "graph_rich_club": q_rich_club,
+        "docs_dsir_weights": q_dsir_weights,
+        "docs_dsir_sample": q_dsir_sample,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3270,6 +3356,8 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
             n_landmarks=3, max_depth=4, n_cands=20
         ),
         "graph_rich_club": _rich_club_sql(),
+        "docs_dsir_weights": _dsir_weights_sql(),
+        "docs_dsir_sample": _dsir_sample_sql(k=50),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

@@ -1891,6 +1891,24 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_bowtie(spark, sf_dir):
+    """Broder bowtie decomposition (algos/bowtie.py) of the TPC-H link
+    graph made cyclic with nation-mediated supplier->customer back-arcs
+    (td.cyclic_edges). Pivot = smallest customer with orders whose
+    nation has suppliers; three set-reachability BFS sweeps classify
+    every node as core/in/out/tendrils+tubes/disconnected. Spark runs
+    the sweeps to fixpoint (raising if >12 rounds were needed); the
+    oracle unrolls exactly 12 rounds, so equal depth = equal sets."""
+    from webgraph_spark.algos.bowtie import bowtie
+
+    e = td.cyclic_edges(spark, sf_dir)
+    p = td.bowtie_pivot(spark, sf_dir)
+    res = bowtie(e, pivot=p, max_rounds=13)
+    return res.counts.select(
+        "component", F.col("n_nodes").cast("long")
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (functions/curation.py): hashed
     word-bigram bucket LMs for target = docs from source 'src0' vs all
@@ -2484,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_rich_club": q_rich_club,
         "docs_dsir_weights": q_dsir_weights,
         "docs_dsir_sample": q_dsir_sample,
+        "graph_bowtie": q_bowtie,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3358,6 +3377,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_rich_club": _rich_club_sql(),
         "docs_dsir_weights": _dsir_weights_sql(),
         "docs_dsir_sample": _dsir_sample_sql(k=50),
+        "graph_bowtie": td.bowtie_sql(max_depth=12),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

@@ -206,6 +206,9 @@ def main():
         "graph_mis",
         "graph_densest",
         "transcript_role_bigrams",
+        "graph_landmark_sketch",
+        "graph_rich_club",
+        "docs_dsir_weights",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

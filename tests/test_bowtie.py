@@ -1,0 +1,72 @@
+"""Bowtie decomposition vs a pure-numpy reachability oracle."""
+
+import numpy as np
+import pytest
+
+from webgraph_spark.algos.bowtie import bowtie
+from webgraph_spark.datagen.graphs import erdos_renyi_numpy
+
+
+def _reach(adj, seeds):
+    n = adj.shape[0]
+    vis = np.zeros(n, dtype=bool)
+    vis[list(seeds)] = True
+    frontier = list(seeds)
+    while frontier:
+        nxt = set()
+        for u in frontier:
+            for v in np.nonzero(adj[u])[0]:
+                if not vis[v]:
+                    vis[v] = True
+                    nxt.add(v)
+        frontier = list(nxt)
+    return vis
+
+
+def _py_bowtie(adj, pivot):
+    n = adj.shape[0]
+    has_arc = adj.any(axis=1) | adj.any(axis=0)
+    fwd = _reach(adj, [pivot])
+    bwd = _reach(adj.T, [pivot])
+    core = fwd & bwd
+    inn = bwd & ~core
+    out = fwd & ~core
+    weak = _reach(adj | adj.T, list(np.nonzero(core)[0]))
+    tend = weak & ~fwd & ~bwd
+    disc = has_arc & ~weak
+    return {
+        "core": int(core.sum()),
+        "in": int(inn[has_arc].sum()),
+        "out": int(out[has_arc].sum()),
+        "tendrils_tubes": int(tend[has_arc].sum()),
+        "disconnected": int(disc.sum()),
+    }
+
+
+@pytest.mark.parametrize("n,p,seed", [(80, 0.025, 51), (120, 0.015, 52)])
+def test_bowtie_vs_numpy(spark, n, p, seed):
+    adj = erdos_renyi_numpy(n, p, seed=seed)
+    rows = [(int(u), int(v)) for u, v in zip(*np.nonzero(adj))]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    # pivot: a node in the largest SCC-ish area — pick the node with the
+    # largest fwd∩bwd reach among the first 10 with arcs
+    cands = sorted({u for u, _ in rows} | {v for _, v in rows})[:10]
+    pivot = max(
+        cands,
+        key=lambda c: int((_reach(adj, [c]) & _reach(adj.T, [c])).sum()),
+    )
+    res = bowtie(edges, pivot=int(pivot), max_rounds=n + 2)
+    got = {r["component"]: r["n_nodes"] for r in res.counts.collect()}
+    want = _py_bowtie(adj, pivot)
+    assert got == want
+    # membership is a partition of the node set
+    memb = res.membership.collect()
+    assert len(memb) == len({r["node"] for r in memb}) == sum(want.values())
+
+
+def test_bowtie_truncation_raises(spark):
+    # a 12-node directed path needs 11 rounds; cap at 3 must raise
+    rows = [(i, i + 1) for i in range(11)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    with pytest.raises(RuntimeError, match="truncated"):
+        bowtie(edges, pivot=0, max_rounds=3)

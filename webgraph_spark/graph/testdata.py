@@ -1949,3 +1949,132 @@ est AS (SELECT p.u, p.v, MIN(a.dist + b.dist) AS d_hat
 SELECT p.u, p.v, CAST(e.d_hat AS INT) AS d_hat
 FROM pairs p LEFT JOIN est e ON e.u = p.u AND e.v = p.v"""
     )
+
+
+CYC_CTE = f"""
+cyc AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT {OFF_SUPP} + s_suppkey AS src, c_custkey AS dst
+  FROM supplier JOIN customer ON s_nationkey = c_nationkey
+)"""
+
+BOWTIE_PIVOT_SQL = """(
+  SELECT MIN(c_custkey) FROM customer c
+  WHERE EXISTS (SELECT 1 FROM supplier s
+                WHERE s.s_nationkey = c.c_nationkey)
+    AND EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey))"""
+
+
+def cyclic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of CYC_CTE: the TPC-H link graph made cyclic by
+    nation-mediated supplier -> customer back-arcs (supplier links to
+    every customer of its nation), closing the
+    customer -> order -> part -> supplier loop."""
+    t = load_tables(spark, sf_dir, ["supplier", "customer"])
+    back = t["supplier"].join(
+        t["customer"],
+        t["supplier"]["s_nationkey"] == t["customer"]["c_nationkey"],
+    ).select(
+        (F.lit(OFF_SUPP) + F.col("s_suppkey")).alias("src"),
+        F.col("c_custkey").cast("long").alias("dst"),
+    )
+    return (
+        tpch_edges(spark, sf_dir)
+        .unionByName(back)
+        .distinct()
+    )
+
+
+def bowtie_pivot(spark: SparkSession, sf_dir: str) -> int:
+    """Spark twin of BOWTIE_PIVOT_SQL: smallest customer that both has
+    orders and whose nation has at least one supplier."""
+    t = load_tables(spark, sf_dir, ["supplier", "customer", "orders"])
+    cand = (
+        t["customer"]
+        .join(
+            t["supplier"].select("s_nationkey").distinct(),
+            F.col("c_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            t["orders"].select("o_custkey").distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .agg(F.min("c_custkey").alias("p"))
+        .first()
+    )
+    return int(cand["p"])
+
+
+def _reach_parts(
+    name: str, graph: str, seeds: str, max_depth: int
+) -> list[str]:
+    """Unrolled set-reachability CTEs over ``graph(src, dst)`` from the
+    ``seeds(node)`` CTE: emits ``{name}`` = all nodes reached."""
+    parts = [f"""
+{name}0 AS MATERIALIZED (SELECT DISTINCT node FROM {seeds})"""]
+    for k in range(1, max_depth + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT node FROM {name}{j}" for j in range(k)
+        )
+        parts.append(f"""
+{name}{k} AS MATERIALIZED (SELECT DISTINCT g.dst AS node
+  FROM {graph} g JOIN {name}{k - 1} f ON g.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM ({prev_all}) p WHERE p.node = g.dst))""")
+    all_v = " UNION ALL ".join(
+        f"SELECT node FROM {name}{j}" for j in range(max_depth + 1)
+    )
+    parts.append(f"""
+{name} AS MATERIALIZED ({all_v})""")
+    return parts
+
+
+def bowtie_sql(max_depth: int = 12) -> str:
+    """Twin of algos.bowtie.bowtie over the cyclic graph: pivot-relative
+    core/in/out/tendrils+tubes/disconnected counts. Each reachability
+    sweep is unrolled ``max_depth`` rounds — the Spark side raises if
+    the true fixpoint needs more, so equal depth means equal sets."""
+    parts = [EDGES_CTE, CYC_CTE]
+    parts.append(f"""
+cnodes AS MATERIALIZED (
+  SELECT src AS node FROM cyc UNION SELECT dst AS node FROM cyc)""")
+    parts.append(f"""
+pv AS (SELECT {BOWTIE_PIVOT_SQL} AS node)""")
+    parts.append("""
+tcyc AS (SELECT dst AS src, src AS dst FROM cyc)""")
+    parts.append("""
+scyc AS MATERIALIZED (
+  SELECT src, dst FROM cyc UNION SELECT dst AS src, src AS dst FROM cyc)""")
+    parts += _reach_parts("fwd", "cyc", "pv", max_depth)
+    parts += _reach_parts("bwd", "tcyc", "pv", max_depth)
+    parts.append("""
+core AS MATERIALIZED (SELECT f.node FROM fwd f JOIN bwd b ON f.node = b.node)""")
+    parts += _reach_parts("wk", "scyc", "core", max_depth)
+    parts.append("""
+member AS (
+  SELECT node, 'core' AS component FROM core
+  UNION ALL
+  SELECT node, 'in' FROM bwd
+  WHERE node NOT IN (SELECT node FROM core)
+  UNION ALL
+  SELECT node, 'out' FROM fwd
+  WHERE node NOT IN (SELECT node FROM core)
+  UNION ALL
+  SELECT node, 'tendrils_tubes' FROM wk
+  WHERE node NOT IN (SELECT node FROM fwd)
+    AND node NOT IN (SELECT node FROM bwd)
+  UNION ALL
+  SELECT node, 'disconnected' FROM cnodes
+  WHERE node NOT IN (SELECT node FROM wk))""")
+    parts.append("""
+cats AS (SELECT UNNEST(['core', 'in', 'out', 'tendrils_tubes',
+                        'disconnected']) AS component)""")
+    return (
+        "WITH " + ",".join(parts)
+        + """
+SELECT c.component, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_nodes
+FROM cats c LEFT JOIN (
+  SELECT component, COUNT(*) AS n FROM member GROUP BY component) m
+ON c.component = m.component"""
+    )

@@ -69,17 +69,27 @@ def dsir_log_weights(
     target: Column,
     ngram: int = 2,
     n_buckets: int = DEFAULT_BUCKETS,
+    persist_features: bool = False,
 ) -> DataFrame:
     """(id, n_grams, logw): per-document DSIR importance log-weight.
 
     logw = sum over the doc's grams of
-    ln( (c_tgt(b)+1) * (C_src + B)  /  ((c_src(b)+1) * (C_tgt + B)) )
+    ln( (c_tgt(b)+1) * (C_src + B)  /  ((c_src(b)+1) * (C_tgt + B) )
     — the add-one-smoothed log-likelihood ratio of the two bucket LMs,
     summed with gram multiplicity. Positive = looks like the target.
+
+    The gram stream feeds BOTH the LM build and the scoring join, so
+    the lazy plan tokenizes the corpus twice. At deployment scale set
+    ``persist_features=True`` (or checkpoint upstream): the (id, tgt,
+    bucket) rows are three small ints per token — far cheaper to cache
+    than to re-run split+explode+md5 over 100 TB of text. The caller
+    owns the persisted lifetime (Spark LRU-evicts under pressure).
     """
     feats = hashed_gram_buckets(
         docs, id_col, text_col, target, ngram, n_buckets
     )
+    if persist_features:
+        feats = feats.persist()
     bc = feats.groupBy("b").agg(
         F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("tgt"), 0).otherwise(1)).alias("cs"),

@@ -2027,6 +2027,49 @@ SELECT CAST(val AS BIGINT) AS k,
 FROM cum WHERE n_at > 0"""
 
 
+def q_rich_club_norm(spark, sf_dir):
+    """Normalized rich-club rho(k) = observed rich arcs / their exact
+    configuration-model expectation (S^2 - Q)/M (Colizza et al. 2006)
+    — same histogram-suffix-sum plan as graph_rich_club with two extra
+    window columns; rho > 1 = ordering beyond the degree sequence."""
+    from webgraph_spark.algos.features import rich_club_normalized
+
+    return rich_club_normalized(_edges(spark, sf_dir))
+
+
+def _rich_club_norm_sql() -> str:
+    return f"""WITH {td.EDGES_CTE},{td.SYM_CTE},
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+am AS (SELECT LEAST(a.deg, b.deg) AS val
+       FROM sym s JOIN deg a ON s.src = a.src JOIN deg b ON s.dst = b.src),
+nh AS (SELECT deg AS val, COUNT(*) AS n_at FROM deg GROUP BY deg),
+ah AS (SELECT val, COUNT(*) AS a_at FROM am GROUP BY val),
+vals AS (SELECT COALESCE(nh.val, ah.val) AS val,
+                COALESCE(n_at, 0) AS n_at, COALESCE(a_at, 0) AS a_at
+         FROM nh FULL OUTER JOIN ah ON nh.val = ah.val),
+tot AS (SELECT SUM(a_at) AS m_total FROM vals),
+cum AS (SELECT val, n_at,
+  COALESCE(SUM(n_at) OVER (ORDER BY val DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_gt,
+  COALESCE(SUM(a_at) OVER (ORDER BY val DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a_gt,
+  COALESCE(SUM(val * n_at) OVER (ORDER BY val DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_gt,
+  COALESCE(SUM(val * val * n_at) OVER (ORDER BY val DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS q_gt
+  FROM vals)
+SELECT CAST(val AS BIGINT) AS k,
+       CAST(n_gt AS BIGINT) AS n_rich,
+       CAST(a_gt AS BIGINT) AS rich_arcs,
+       CASE WHEN n_gt >= 2 THEN
+         ROUND(CAST(a_gt AS DOUBLE) / (n_gt * (n_gt - 1)), 6) END AS phi,
+       CASE WHEN n_gt >= 2 AND a_gt > 0 THEN
+         ROUND(CAST(a_gt AS DOUBLE)
+             / ((CAST(s_gt AS DOUBLE) * s_gt - CAST(q_gt AS DOUBLE))
+                / CAST(m_total AS DOUBLE)), 6) END AS rho
+FROM cum, tot WHERE n_at > 0"""
+
+
 def q_landmark_est(spark, sf_dir):
     """Distance-oracle QUERY side: row-local pairwise estimates
     d_hat(u,v) = min_i d(u,l_i)+d(l_i,v) from the landmark sketch, over
@@ -2500,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_landmark_sketch": q_landmark_sketch,
         "graph_landmark_est": q_landmark_est,
         "graph_rich_club": q_rich_club,
+        "graph_rich_club_norm": q_rich_club_norm,
         "docs_dsir_weights": q_dsir_weights,
         "docs_dsir_sample": q_dsir_sample,
         "graph_bowtie": q_bowtie,
@@ -3375,6 +3419,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
             n_landmarks=3, max_depth=4, n_cands=20
         ),
         "graph_rich_club": _rich_club_sql(),
+        "graph_rich_club_norm": _rich_club_norm_sql(),
         "docs_dsir_weights": _dsir_weights_sql(),
         "docs_dsir_sample": _dsir_sample_sql(k=50),
         "graph_bowtie": td.bowtie_sql(max_depth=12),

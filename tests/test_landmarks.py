@@ -109,3 +109,31 @@ def test_rich_club_vs_numpy(spark):
         phi = round(arcs / (n * (n - 1)), 6) if n >= 2 else None
         assert got[int(k)] == (n, arcs, phi), f"k={k}"
     assert set(got) == {int(k) for k in set(deg[deg > 0])}
+
+
+def test_rich_club_normalized_vs_numpy(spark):
+    from webgraph_spark.algos.features import rich_club_normalized
+
+    adj = erdos_renyi_numpy(70, 0.07, seed=42)
+    s = _sym_noloop(adj)
+    rows = [(int(u), int(v)) for u, v in zip(*np.nonzero(adj))]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["k"]: (r["n_rich"], r["rich_arcs"], r["phi"], r["rho"])
+        for r in rich_club_normalized(edges).collect()
+    }
+    deg = s.sum(axis=1)
+    M = int(s.sum())
+    for k in sorted(set(deg[deg > 0])):
+        rich = np.nonzero(deg > k)[0]
+        n = len(rich)
+        arcs = int(s[np.ix_(rich, rich)].sum())
+        phi = round(arcs / (n * (n - 1)), 6) if n >= 2 else None
+        S = int(deg[rich].sum())
+        Q = int((deg[rich] ** 2).sum())
+        rho = (
+            round(arcs / ((S * S - Q) / M), 6)
+            if n >= 2 and arcs > 0
+            else None
+        )
+        assert got[int(k)] == (n, arcs, phi, rho), f"k={k}"

@@ -336,3 +336,86 @@ def rich_club(edges: DataFrame) -> DataFrame:
             ),
         ).alias("phi"),
     )
+
+
+def rich_club_normalized(edges: DataFrame) -> DataFrame:
+    """:func:`rich_club` plus the configuration-model normalizer
+    (Colizza et al., Nature Physics 2006): rho(k) = phi(k) / phi_cm(k),
+    where phi_cm is the EXPECTED density among the rich set R(k) under
+    a degree-preserving random rewiring — E[arcs i->j] = d_i d_j / M
+    for i != j, so
+
+        E[rich arcs] = (S_R^2 - Q_R) / M,
+        S_R = sum of rich degrees, Q_R = sum of rich squared degrees,
+        M   = total sym arcs.
+
+    rho > 1 = genuine rich-club ordering beyond what the degree
+    sequence forces. Exact closed form — no rewired-sample baseline
+    needed, so it stays a deterministic, oracle-checkable aggregation.
+
+    Scale shape: identical to :func:`rich_club` — S_R and Q_R are two
+    MORE suffix sums over the same degree histogram (d*n_at and
+    d^2*n_at), so the extra cost is two window columns on a tiny frame.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.transforms import simplify
+
+    sym = simplify(edges.select("src", "dst"))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    am = (
+        sym.join(deg.withColumnRenamed("deg", "dj"), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dk")),
+            "dst",
+        )
+        .select(F.least("dj", "dk").alias("val"))
+    )
+    nh = deg.groupBy(F.col("deg").alias("val")).agg(
+        F.count("*").alias("n_at")
+    )
+    ah = am.groupBy("val").agg(F.count("*").alias("a_at"))
+    vals = nh.join(ah, "val", "full_outer").select(
+        "val",
+        F.coalesce("n_at", F.lit(0)).alias("n_at"),
+        F.coalesce("a_at", F.lit(0)).alias("a_at"),
+    )
+    w = (
+        Window.orderBy(F.desc("val"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.select(
+        "val",
+        "n_at",
+        F.coalesce(F.sum("n_at").over(w), F.lit(0)).alias("n_gt"),
+        F.coalesce(F.sum("a_at").over(w), F.lit(0)).alias("a_gt"),
+        F.coalesce(F.sum(F.col("val") * F.col("n_at")).over(w), F.lit(0))
+        .alias("s_gt"),
+        F.coalesce(
+            F.sum(F.col("val") * F.col("val") * F.col("n_at")).over(w),
+            F.lit(0),
+        ).alias("q_gt"),
+    )
+    # total sym arcs from the histogram itself: no extra job, rides the
+    # plan as a broadcast 1-row cross join
+    cum = cum.crossJoin(
+        F.broadcast(vals.agg(F.sum("a_at").alias("m_total")))
+    )
+    phi = F.col("a_gt").cast("double") / (
+        F.col("n_gt") * (F.col("n_gt") - F.lit(1))
+    )
+    e_cm = (
+        F.col("s_gt").cast("double") * F.col("s_gt")
+        - F.col("q_gt").cast("double")
+    ) / F.col("m_total").cast("double")
+    phi_cm = e_cm / (F.col("n_gt") * (F.col("n_gt") - F.lit(1)))
+    return cum.where(F.col("n_at") > 0).select(
+        F.col("val").cast("long").alias("k"),
+        F.col("n_gt").cast("long").alias("n_rich"),
+        F.col("a_gt").cast("long").alias("rich_arcs"),
+        F.when(F.col("n_gt") >= 2, F.round(phi, 6)).alias("phi"),
+        F.when(
+            (F.col("n_gt") >= 2) & (F.col("a_gt") > 0),
+            F.round(F.col("a_gt").cast("double") / e_cm, 6),
+        ).alias("rho"),
+    )

@@ -17,10 +17,17 @@ queries at 100-TB scale, where per-query BFS is impossible: the sketch
 is built once with L batched BFS waves (L small, e.g. 16-64) and each
 estimate is a row-local array expression — no shuffle at query time.
 
-Scale shape: one batched multi-source BFS (frontier rows ≤ L·n,
-the per-round join is co-partitioned on src) + one groupBy(node)
-pivot to the wide vector. Landmark selection is a top-L over the
-degree table (tiny, driver-collected).
+Scale shape — BITMASK frontier, not per-source rows: all L <= 62
+landmark BFS waves share ONE state row per node (seen mask + distance
+array), the same packed-state trick as HyperBall's register file.
+Per round: one co-partitioned edges-frontier join, one groupBy(node)
+``bit_or`` with MAP-SIDE COMBINE (a hub receiving 10^6 messages
+collapses to one long per map task), one state join. State is O(n)
+longs + one L-int array — NOT O(L*n) rows; messages are O(adjacent
+arcs of changed nodes), and the frontier shrinks to saturation.
+(The first implementation tracked (source, node) pairs: 16x the state
+rows and 871 s at 31.5M edges / 16 landmarks; the bitmask plan is the
+one you'd run at 100 TB.)
 """
 
 from __future__ import annotations
@@ -28,7 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.transforms import no_loops, symmetrize
-from .centrality import multi_source_bfs
+from ..plans.iterate import release_local_checkpoint
+
+MAX_LANDMARKS = 62  # mask lives in one signed long
 
 
 def top_degree_landmarks(edges: DataFrame, n_landmarks: int) -> list[int]:
@@ -53,28 +62,92 @@ def landmark_sketch(
     """(node, d0, d1, ..., d{L-1}): undirected distance to each
     landmark, null when unreached within ``max_depth``. Column ``di``
     is the i-th landmark in (degree DESC, node ASC) order."""
-    lms = top_degree_landmarks(edges, n_landmarks)
-    sym = no_loops(symmetrize(edges.select("src", "dst")))
-    dists = multi_source_bfs(
-        sym, lms, max_rounds=max_depth, num_partitions=num_partitions
-    )
+    if n_landmarks > MAX_LANDMARKS:
+        raise ValueError(
+            f"n_landmarks={n_landmarks} > {MAX_LANDMARKS}: the seen-set "
+            "mask is one long; shard into multiple sketches instead"
+        )
     spark = edges.sparkSession
-    lm_idx = spark.createDataFrame(
-        [(int(l), i) for i, l in enumerate(lms)], "source long, li int"
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    lms = top_degree_landmarks(edges, n_landmarks)
+    sym = (
+        no_loops(symmetrize(edges.select("src", "dst")))
+        .repartition(num_partitions, "src")
+        .persist()
     )
-    tagged = dists.join(F.broadcast(lm_idx), "source")
+
+    L = n_landmarks
+    init = [
+        (
+            int(node),
+            sum(1 << i for i, l in enumerate(lms) if l == node),
+            [0 if lms[i] == node else None for i in range(L)],
+        )
+        for node in sorted(set(lms))
+    ]
+    state = spark.createDataFrame(
+        init, f"node long, seen long, ds array<int>"
+    )
+    state = state.localCheckpoint(eager=True)
+    frontier = state.select("node", F.col("seen").alias("mask"))
+
+    for rnd in range(1, max_depth + 1):
+        msgs = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.bit_or("mask").alias("msg"))
+        )
+        joined = msgs.join(state, "node", "full_outer").select(
+            "node",
+            F.coalesce("seen", F.lit(0)).alias("seen"),
+            "ds",
+            F.coalesce("msg", F.lit(0))
+            .bitwiseAND(F.bitwise_not(F.coalesce("seen", F.lit(0))))
+            .alias("newly"),
+        )
+        grown = joined.select(
+            "node",
+            F.col("seen").bitwiseOR(F.col("newly")).alias("seen"),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.col("newly"), i).bitwiseAND(1) == 1,
+                        F.lit(rnd),
+                    ).otherwise(F.element_at(F.col("ds"), i + 1))
+                    for i in range(L)
+                ]
+            ).alias("ds"),
+            "newly",
+        ).persist()
+        new_state = grown.select("node", "seen", "ds").localCheckpoint(
+            eager=True
+        )
+        nxt = grown.where(F.col("newly") != 0).select(
+            "node", F.col("newly").alias("mask")
+        )
+        nxt_ck = nxt.localCheckpoint(eager=True)
+        grown.unpersist()
+        release_local_checkpoint(state)
+        state = new_state
+        frontier = nxt_ck
+        if frontier.isEmpty():
+            break
+
+    sym.unpersist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    wide = tagged.groupBy("node").agg(
+    wide = state.select(
+        "node",
         *[
-            F.min(F.when(F.col("li") == i, F.col("dist")))
-            .cast("int")
-            .alias(f"d{i}")
-            for i in range(n_landmarks)
-        ]
+            F.element_at(F.col("ds"), i + 1).cast("int").alias(f"d{i}")
+            for i in range(L)
+        ],
     )
     return nodes.join(wide, "node", "left")
 

@@ -319,3 +319,74 @@ def test_streaming_maintained_components_match_cold(spark, tmp_path):
     cold = connected_components(df, max_iter=100)
     want = {(r["node"], r["component"]) for r in cold.labels.collect()}
     assert got == want
+
+
+def test_streaming_maintained_pagerank_matches_cold_and_warm_starts(
+    spark, tmp_path
+):
+    import json
+    import os
+
+    import numpy as np
+
+    from webgraph_spark.algos.pagerank import pagerank
+    from webgraph_spark.streaming.events import maintain_pagerank
+
+    rng = np.random.default_rng(43)
+    arcs = [
+        (int(s), int(d))
+        for s, d in zip(rng.integers(0, 120, 400), rng.integers(0, 120, 400))
+    ]
+    df = spark.createDataFrame(arcs, "src long, dst long")
+    stage = str(tmp_path / "arc_stream")
+    # realistic ingest shape: bulk history in batch 1, a small (2.5%)
+    # delta in batch 2 — the regime warm-starting is FOR
+    spark.createDataFrame(arcs[:390], "src long, dst long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(stage)
+    spark.createDataFrame(arcs[390:], "src long, dst long").coalesce(
+        1
+    ).write.mode("append").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    ranks_root = str(tmp_path / "ranks")
+    q = maintain_pagerank(
+        stream,
+        str(tmp_path / "edges"),
+        ranks_root,
+        str(tmp_path / "ckpt"),
+        tol=1e-8,
+    ).start()
+    q.awaitTermination(240)
+
+    versions = sorted(
+        (d for d in os.listdir(ranks_root) if d.startswith("v=")),
+        key=lambda d: int(d[2:]),
+    )
+    assert len(versions) >= 2
+    last = versions[-1]
+    got = {
+        r["node"]: r["rank"]
+        for r in spark.read.parquet(os.path.join(ranks_root, last)).collect()
+    }
+    cold = pagerank(df.distinct(), tol=1e-8, max_iter=200)
+    want = {r["node"]: r["rank"] for r in cold.ranks.collect()}
+    assert set(got) == set(want)
+    assert all(abs(got[n] - want[n]) < 1e-6 for n in want)
+    # warm start observable: later batches converge in fewer rounds
+    metas = [
+        json.load(open(os.path.join(ranks_root, v, "_meta.json")))
+        for v in versions
+    ]
+    assert metas[0]["warm_started"] is False
+    assert all(m["warm_started"] for m in metas[1:])
+    assert all(m["converged"] for m in metas)
+    # the 2.5%-delta batch re-converges strictly faster than a cold run
+    # on the same final graph (the saving is log(seed-distance ratio) /
+    # log(1/alpha) rounds — modest at n=120, grows with graph size /
+    # shrinking relative deltas; observed 23 vs 26 here)
+    assert metas[-1]["iterations"] < cold.iterations

@@ -234,3 +234,88 @@ def maintain_components(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def maintain_pagerank(
+    edge_stream: DataFrame,
+    edges_root: str,
+    ranks_root: str,
+    checkpoint: str,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+):
+    """foreachBatch maintenance of a durable PageRank snapshot under a
+    stream of arriving arcs — the RANKING half of the continuous-ingest
+    story, pairing :func:`maintain_components`.
+
+    Per micro-batch: (1) the batch's arcs append to the cumulative
+    parquet edge table at ``edges_root``; (2) PageRank reruns over the
+    full (deduplicated) table WARM-STARTED from the latest snapshot
+    (``init_ranks``: prior converged vector, new nodes seeded 1/n,
+    renormalized — algos/pagerank.py); (3) the new vector lands
+    atomically at ``ranks_root/v=<batch_id>`` (_SUCCESS marker), so a
+    reader always sees a complete version and a killed run resumes from
+    the last one.
+
+    Power iteration restarted from a near-fixpoint vector re-converges
+    in a fraction of the cold-start rounds for small deltas (asserted
+    in tests), so steady-state per-batch cost is a few damped sweeps —
+    never a cold recompute. Arc deletions are out of scope (recompute
+    cold), matching the batch operator's contract.
+
+    A tiny ``_meta.json`` per version records the iteration count so the
+    warm-start saving is observable, not just claimed.
+    """
+    import json
+    import os
+
+    from ..algos.pagerank import pagerank
+
+    def _latest(spark: SparkSession):
+        try:
+            dirs = [
+                d for d in os.listdir(ranks_root)
+                if d.startswith("v=")
+                and os.path.exists(os.path.join(ranks_root, d, "_SUCCESS"))
+            ]
+        except FileNotFoundError:
+            return None
+        if not dirs:
+            return None
+        last = max(dirs, key=lambda d: int(d[2:]))
+        return spark.read.parquet(os.path.join(ranks_root, last)).select(
+            "node", "rank"
+        )
+
+    def sink(batch: DataFrame, batch_id: int):
+        spark = batch.sparkSession
+        batch.select("src", "dst").write.mode("append").parquet(edges_root)
+        full = spark.read.parquet(edges_root).distinct()
+        prev = _latest(spark)
+        res = pagerank(
+            full,
+            alpha=alpha,
+            tol=tol,
+            max_iter=max_iter,
+            num_partitions=num_partitions,
+            init_ranks=prev,
+        )
+        vdir = os.path.join(ranks_root, f"v={batch_id}")
+        res.ranks.write.mode("overwrite").parquet(vdir)
+        with open(os.path.join(vdir, "_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "iterations": res.iterations,
+                    "converged": res.converged,
+                    "warm_started": prev is not None,
+                },
+                f,
+            )
+
+    return (
+        edge_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

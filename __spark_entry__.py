@@ -1891,6 +1891,48 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """view -> click -> purchase ordered funnel over the events table
+    (functions/mining.py:funnel_counts): per prefix, users completing
+    the steps in strict epoch-microsecond order, plus exact total lag.
+    One filtered min-agg per step, joins co-keyed on user — no event
+    arrays, no whole-stream window."""
+    from webgraph_spark.functions.mining import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, ["view", "click", "purchase"]).select(
+        F.col("step").cast("int"),
+        "event_type",
+        F.col("n_users").cast("long"),
+        F.col("total_lag_us").cast("long"),
+    )
+
+
+def _events_funnel_sql() -> str:
+    return """WITH p1 AS (
+  SELECT user_id AS u, MIN(epoch_us(ts)) AS t1, MIN(epoch_us(ts)) AS tk
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+p2 AS (
+  SELECT e.user_id AS u, MIN(p.t1) AS t1, MIN(epoch_us(e.ts)) AS tk
+  FROM events e JOIN p1 p ON e.user_id = p.u
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > p.tk
+  GROUP BY e.user_id),
+p3 AS (
+  SELECT e.user_id AS u, MIN(p.t1) AS t1, MIN(epoch_us(e.ts)) AS tk
+  FROM events e JOIN p2 p ON e.user_id = p.u
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > p.tk
+  GROUP BY e.user_id)
+SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(0 AS BIGINT) AS total_lag_us FROM p1
+UNION ALL
+SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(tk - t1), 0) AS BIGINT) FROM p2
+UNION ALL
+SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(tk - t1), 0) AS BIGINT) FROM p3"""
+
+
 def q_bowtie(spark, sf_dir):
     """Broder bowtie decomposition (algos/bowtie.py) of the TPC-H link
     graph made cyclic with nation-mediated supplier->customer back-arcs
@@ -2547,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": q_dsir_weights,
         "docs_dsir_sample": q_dsir_sample,
         "graph_bowtie": q_bowtie,
+        "events_funnel3": q_events_funnel,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3423,6 +3466,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "docs_dsir_weights": _dsir_weights_sql(),
         "docs_dsir_sample": _dsir_sample_sql(k=50),
         "graph_bowtie": td.bowtie_sql(max_depth=12),
+        "events_funnel3": _events_funnel_sql(),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

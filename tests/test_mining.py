@@ -74,3 +74,41 @@ def test_transition_counts_vs_pandas(spark):
         for (a, b), c in pairs.items()
     }
     assert got == exp
+
+
+def test_funnel_counts_vs_python(spark):
+    from webgraph_spark.functions.mining import funnel_counts
+
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # user 1: full ordered funnel; user 2: B before A (breaks at step 2
+    # only for the A-started chain); user 3: A then B same-microsecond
+    # (must NOT chain); user 4: A,B,C spread wide (horizon test)
+    ev = [
+        (1, "A", 0), (1, "B", 10), (1, "C", 20),
+        (2, "B", 0), (2, "A", 5), (2, "C", 9),
+        (3, "A", 7), (3, "B", 7), (3, "C", 30),
+        (4, "A", 0), (4, "B", 1), (4, "C", 1000),
+    ]
+    for u, t, off in ev:
+        rows.append((u, base + dt.timedelta(microseconds=off), t))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    got = {
+        r["step"]: (r["event_type"], r["n_users"], r["total_lag_us"])
+        for r in funnel_counts(df, ["A", "B", "C"]).collect()
+    }
+    # step1: users 1,2,3,4 all have an A
+    assert got[1] == ("A", 4, 0)
+    # step2: u1 (B@10>0), u4 (B@1>0); u2 has no B after A@5; u3's B ties
+    assert got[2] == ("B", 2, (10 - 0) + (1 - 0))
+    # step3: u1 (C@20), u4 (C@1000)
+    assert got[3] == ("C", 2, 20 + 1000)
+
+    got_h = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, ["A", "B", "C"], horizon_us=100).collect()
+    }
+    assert got_h[3] == 1  # u4's C exceeds the 100us horizon

@@ -227,3 +227,74 @@ tot AS MATERIALIZED (
 SELECT p.src_label, p.dst_label, CAST(p.n AS BIGINT) AS n,
        ROUND(CAST(p.n AS DOUBLE) / t.t, {round_to}) AS p
 FROM pairs p JOIN tot t ON p.src_label = t.src_label"""
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_us: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel completion counts (the classic product-analytics
+    funnel): for each prefix of ``steps``, how many users performed the
+    steps IN ORDER — step k's event strictly after step k-1's — plus
+    the exact total lag (microseconds from step 1) over completers.
+
+    Semantics: t1 = min event time of steps[0]; t_k = min event time of
+    steps[k-1] strictly after t_{k-1}. "Strictly after" compares epoch
+    MICROseconds, so same-microsecond events never chain — a
+    deterministic rule both engines share. ``horizon_us`` additionally
+    requires t_k - t1 <= horizon_us (the "within N hours" funnel).
+
+    Scale shape: one filtered min-aggregation per step (map-side
+    combine over user keys), each joined user-to-user with the previous
+    step's frame — k small (3-5), every join co-keyed on the user
+    column. No window over the whole event stream, no per-user event
+    arrays: hub users (10^6 events) collapse in the partial aggregates.
+
+    Returns (step int, event_type, n_users, total_lag_us) — one row per
+    funnel prefix, fully lazy (a union of 1-row aggregates).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    spark = events.sparkSession
+    prev = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(us).alias("t1"))
+        .select("u", "t1", F.col("t1").alias("tk"))
+    )
+    out = prev.agg(
+        F.lit(1).alias("step"),
+        F.lit(steps[0]).alias("event_type"),
+        F.count("*").cast("long").alias("n_users"),
+        F.lit(0).cast("long").alias("total_lag_us"),
+    )
+    for k, ev in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == ev)
+            .select(
+                F.col(user_col).alias("u"), us.alias("t_ev")
+            )
+            .join(prev, "u")
+            .where(F.col("t_ev") > F.col("tk"))
+        )
+        if horizon_us is not None:
+            nxt = nxt.where(
+                F.col("t_ev") - F.col("t1") <= F.lit(int(horizon_us))
+            )
+        prev = nxt.groupBy("u").agg(
+            F.min("t1").alias("t1"), F.min("t_ev").alias("tk")
+        )
+        out = out.unionByName(
+            prev.agg(
+                F.lit(k).alias("step"),
+                F.lit(ev).alias("event_type"),
+                F.count("*").cast("long").alias("n_users"),
+                F.coalesce(
+                    F.sum(F.col("tk") - F.col("t1")), F.lit(0)
+                ).cast("long").alias("total_lag_us"),
+            )
+        )
+    return out

@@ -1933,6 +1933,108 @@ SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
        CAST(COALESCE(SUM(tk - t1), 0) AS BIGINT) FROM p3"""
 
 
+def q_transitivity(spark, sf_dir):
+    """Global transitivity C = 3*triangles / wedges, wedges =
+    sum d(d-1)/2 — the whole-graph companion to the per-node
+    graph_clustering_coeff, computed over the user co-occurrence
+    projection (the layered TPC-H link graph is triangle-free by
+    construction, so the projection is the triangle-bearing surface,
+    same as graph_truss4). Exact integer numerator and denominator;
+    one float division at the end."""
+    from webgraph_spark.algos.triangles import triangle_count
+    from webgraph_spark.functions.mining import bipartite_project
+    from webgraph_spark.operators.transforms import simplify
+
+    e = bipartite_project(
+        _user_attr_pairs(spark, sf_dir), min_weight=7
+    ).select("src", "dst")
+    tri = triangle_count(e)
+    sym = simplify(e)
+    w = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("long")
+            .alias("wedges")
+        )
+    )
+    return w.select(
+        F.lit(int(tri)).cast("long").alias("triangles"),
+        "wedges",
+        F.round(
+            F.lit(3.0) * F.lit(int(tri)) / F.col("wedges").cast("double"), 6
+        ).alias("transitivity"),
+    )
+
+
+def _transitivity_sql() -> str:
+    return f"""WITH ua AS (
+  SELECT DISTINCT user_id AS u, {_PROJ_ATTR_SQL} AS a FROM events),
+proj AS (
+  SELECT x.u AS src, y.u AS dst FROM ua x JOIN ua y
+  ON x.a = y.a AND x.u < y.u
+  GROUP BY x.u, y.u HAVING COUNT(*) >= 7),
+und AS (
+  SELECT src, dst FROM proj WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM proj WHERE src <> dst
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY src),
+orient AS (
+  SELECT u.src, u.dst FROM und u
+  JOIN deg ds ON ds.node = u.src
+  JOIN deg dd ON dd.node = u.dst
+  WHERE ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
+),
+tri AS (SELECT COUNT(*) AS t FROM orient e1
+  JOIN orient e2 ON e1.dst = e2.src
+  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg)
+SELECT CAST(tri.t AS BIGINT) AS triangles, wed.wedges,
+       ROUND(3.0 * tri.t / CAST(wed.wedges AS DOUBLE), 6) AS transitivity
+FROM tri, wed"""
+
+
+def q_events_retention(spark, sf_dir):
+    """Day-granular retention cohorts: users grouped by first-activity
+    day (cohort), counted by distinct activity on each later day-offset
+    — the canonical product-analytics triangle table. Two aggregations
+    + one user-keyed join; distinct (cohort, offset, user) collapses in
+    map-side partials, so hub users cost one row per active day."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = F.date_trunc("day", F.col("ts"))
+    acts = ev.select(
+        F.col("user_id").alias("u"), days.alias("d")
+    ).distinct()
+    first = acts.groupBy("u").agg(F.min("d").alias("cohort"))
+    joined = acts.join(first, "u").select(
+        "cohort",
+        F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"),
+        "u",
+    )
+    return (
+        joined.groupBy("cohort", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("int"),
+            "n_users",
+        )
+    )
+
+
+def _events_retention_sql() -> str:
+    return """WITH acts AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d FROM events),
+first AS (SELECT u, MIN(d) AS cohort FROM acts GROUP BY u)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM acts a JOIN first f ON a.u = f.u
+GROUP BY 1, 2"""
+
+
 def q_bowtie(spark, sf_dir):
     """Broder bowtie decomposition (algos/bowtie.py) of the TPC-H link
     graph made cyclic with nation-mediated supplier->customer back-arcs
@@ -2590,6 +2692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_sample": q_dsir_sample,
         "graph_bowtie": q_bowtie,
         "events_funnel3": q_events_funnel,
+        "events_retention": q_events_retention,
+        "graph_transitivity": q_transitivity,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3467,6 +3571,8 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "docs_dsir_sample": _dsir_sample_sql(k=50),
         "graph_bowtie": td.bowtie_sql(max_depth=12),
         "events_funnel3": _events_funnel_sql(),
+        "events_retention": _events_retention_sql(),
+        "graph_transitivity": _transitivity_sql(),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

@@ -1891,6 +1891,27 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_langid_trained(spark, sf_dir):
+    """Trained in-engine language ID (functions/langid.py): one-vs-rest
+    logistic regression over hashed char-trigram fractions, full-batch
+    GD, argmax with a CASE-chain tie-break. The driver corpus' lang
+    labels are synthetic noise, so this row gates cross-engine GD
+    determinism; the accuracy gate lives in the pytest on a separable
+    fixture."""
+    from webgraph_spark.functions.langid import train_and_classify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_and_classify(docs).select(
+        F.col("doc_id").cast("long"), "lang_true", "pred", "p"
+    )
+
+
+def _langid_sql_cached() -> str:
+    from webgraph_spark.functions.langid import langid_sql
+
+    return langid_sql()
+
+
 def q_events_funnel(spark, sf_dir):
     """view -> click -> purchase ordered funnel over the events table
     (functions/mining.py:funnel_counts): per prefix, users completing
@@ -2694,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel3": q_events_funnel,
         "events_retention": q_events_retention,
         "graph_transitivity": q_transitivity,
+        "docs_langid_trained": q_langid_trained,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3573,6 +3595,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "events_funnel3": _events_funnel_sql(),
         "events_retention": _events_retention_sql(),
         "graph_transitivity": _transitivity_sql(),
+        "docs_langid_trained": _langid_sql_cached(),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

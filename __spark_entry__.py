@@ -1891,6 +1891,19 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_attack_tolerance(spark, sf_dir):
+    """Albert-Jeong-Barabasi attack-tolerance curve: delete the k
+    top-degree hubs (k = 0, 10, 50) and measure fragmentation
+    (largest CC, component count) of the survivors — star-CC to
+    fixpoint per point, truncation-raising
+    (algos/components.py:attack_tolerance)."""
+    from webgraph_spark.algos.components import attack_tolerance
+
+    return attack_tolerance(
+        _edges(spark, sf_dir), ks=[0, 10, 50], num_partitions=16
+    )
+
+
 def q_langid_trained(spark, sf_dir):
     """Trained in-engine language ID (functions/langid.py): one-vs-rest
     logistic regression over hashed char-trigram fractions, full-batch
@@ -2716,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "graph_transitivity": q_transitivity,
         "docs_langid_trained": q_langid_trained,
+        "graph_attack_tolerance": q_attack_tolerance,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3596,6 +3610,9 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "events_retention": _events_retention_sql(),
         "graph_transitivity": _transitivity_sql(),
         "docs_langid_trained": _langid_sql_cached(),
+        "graph_attack_tolerance": td.attack_tolerance_sql(
+            ks=[0, 10, 50], rounds=30
+        ),
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

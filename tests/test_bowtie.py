@@ -70,3 +70,51 @@ def test_bowtie_truncation_raises(spark):
     edges = spark.createDataFrame(rows, "src long, dst long")
     with pytest.raises(RuntimeError, match="truncated"):
         bowtie(edges, pivot=0, max_rounds=3)
+
+
+def test_attack_tolerance_vs_numpy(spark):
+    from webgraph_spark.algos.components import attack_tolerance
+
+    adj = erdos_renyi_numpy(90, 0.04, seed=61)
+    rows = [(int(u), int(v)) for u, v in zip(*np.nonzero(adj))]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["k"]: (r["n_nodes"], r["n_arcs"], r["largest_cc"], r["n_components"])
+        for r in attack_tolerance(edges, ks=[0, 5, 15]).collect()
+    }
+
+    s = adj | adj.T
+    np.fill_diagonal(s, False)
+    deg = s.sum(axis=1)
+    order = sorted(range(len(deg)), key=lambda v: (-deg[v], v))
+    for k in [0, 5, 15]:
+        keep = np.ones(len(deg), dtype=bool)
+        keep[order[:k]] = False
+        sk = s & keep[:, None] & keep[None, :]
+        alive = np.nonzero(sk.any(axis=1))[0]
+        # CC via BFS over survivors
+        seen = set()
+        comps = []
+        for v in alive:
+            if v in seen:
+                continue
+            stack, comp = [v], set()
+            while stack:
+                u = stack.pop()
+                if u in comp:
+                    continue
+                comp.add(u)
+                stack.extend(
+                    w for w in np.nonzero(sk[u])[0] if w not in comp
+                )
+            seen |= comp
+            comps.append(len(comp))
+        want = (
+            len(alive),
+            int(sk.sum()),
+            max(comps) if comps else 0,
+            len(comps),
+        )
+        assert got[k] == want, f"k={k}: {got[k]} != {want}"
+    # fragmentation is monotone in k for this fixture
+    assert got[0][2] >= got[5][2] >= got[15][2]

@@ -380,3 +380,79 @@ def merge_components_incremental(
     )
     out = old.unionByName(new_nodes).repartition(num_partitions, "node")
     return ComponentsResult(out, merge.iterations, merge.converged)
+
+
+def attack_tolerance(
+    edges: DataFrame,
+    ks: list[int],
+    max_iter: int = 40,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hub-removal robustness curve (Albert-Jeong-Barabasi, Nature
+    2000 — "error and attack tolerance of complex networks", the other
+    canonical whole-web structural analysis beside the bowtie): for
+    each k, delete the k highest-sym-degree nodes (deg DESC, node ASC
+    tie-break) and report how the graph fragments.
+
+    Returns one row per k: (k, n_nodes, n_arcs, largest_cc,
+    n_components) over the surviving symmetrized loop-free graph.
+
+    Scale shape: the hub list is top-k of a degree aggregate (tiny,
+    broadcast into a filter — deleting hubs is a scan, not a shuffle);
+    each surviving graph runs large-star/small-star CC (O(log n)
+    rounds). len(ks) curves = len(ks) independent CC jobs; the curve
+    is usually 3-5 points.
+    """
+    from ..operators.transforms import no_loops
+
+    sym_all = no_loops(symmetrize(edges.select("src", "dst"))).persist()
+    deg = sym_all.groupBy("src").agg(F.count("*").alias("d"))
+    spark = edges.sparkSession
+    out = None
+    for k in ks:
+        if k > 0:
+            hubs = [
+                int(r["src"])
+                for r in deg.orderBy(F.col("d").desc(), F.col("src").asc())
+                .limit(k)
+                .collect()
+            ]
+            sym = sym_all.where(
+                ~F.col("src").isin(hubs) & ~F.col("dst").isin(hubs)
+            )
+        else:
+            sym = sym_all
+        res = connected_components_stars(
+            sym, max_iter=max_iter, num_partitions=num_partitions
+        )
+        if not res.converged:
+            raise RuntimeError(
+                f"attack_tolerance CC truncated at k={k}; raise max_iter"
+            )
+        # isolated survivors (every neighbor deleted) leave the arc
+        # table and are not counted — the curve is over nodes that
+        # still participate in the graph, mirrored by the oracle
+        sizes = res.labels.groupBy("component").agg(
+            F.count("*").alias("sz")
+        )
+        row = (
+            sizes.agg(
+                F.max("sz").cast("long").alias("largest_cc"),
+                F.count("*").cast("long").alias("n_components"),
+            )
+            .crossJoin(
+                res.labels.agg(F.count("*").cast("long").alias("n_nodes"))
+            )
+            .crossJoin(
+                sym.agg((F.count("*")).cast("long").alias("n_arcs"))
+            )
+            .select(
+                F.lit(int(k)).cast("int").alias("k"),
+                "n_nodes",
+                "n_arcs",
+                "largest_cc",
+                "n_components",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2078,3 +2078,55 @@ FROM cats c LEFT JOIN (
   SELECT component, COUNT(*) AS n FROM member GROUP BY component) m
 ON c.component = m.component"""
     )
+
+
+def attack_tolerance_sql(ks: list[int], rounds: int = 30) -> str:
+    """Twin of algos.components.attack_tolerance: per k, delete the k
+    top-sym-degree hubs (deg DESC, node ASC), unrolled hash-min CC over
+    the surviving sym graph (``rounds`` >= its diameter — the Spark
+    side raises if ITS fixpoint needs more than max_iter rounds, and
+    hash-min converges in <= diameter rounds, so equal-depth unrolls
+    agree), then (k, n_nodes, n_arcs, largest_cc, n_components).
+    Nodes whose every neighbor was deleted leave the graph and are not
+    counted."""
+    parts = [EDGES_CTE, SYM_CTE]
+    parts.append("""
+adeg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d
+                      FROM sym GROUP BY src)""")
+    selects = []
+    for k in ks:
+        p = f"k{k}"
+        if k > 0:
+            parts.append(f"""
+rm_{p} AS MATERIALIZED (SELECT node FROM (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY d DESC, node ASC) AS rn
+  FROM adeg) t WHERE rn <= {k})""")
+            parts.append(f"""
+sym_{p} AS MATERIALIZED (SELECT src, dst FROM sym
+  WHERE src NOT IN (SELECT node FROM rm_{p})
+    AND dst NOT IN (SELECT node FROM rm_{p}))""")
+        else:
+            parts.append(f"""
+sym_{p} AS MATERIALIZED (SELECT src, dst FROM sym)""")
+        parts.append(f"""
+l_{p}_0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS component FROM sym_{p})""")
+        for t in range(1, rounds + 1):
+            prev = f"l_{p}_{t - 1}"
+            parts.append(f"""
+m_{p}_{t} AS MATERIALIZED (SELECT s.dst AS node, MIN(l.component) AS mn
+  FROM sym_{p} s JOIN {prev} l ON s.src = l.node GROUP BY s.dst)""")
+            parts.append(f"""
+l_{p}_{t} AS MATERIALIZED (SELECT l.node,
+  LEAST(l.component, COALESCE(m.mn, l.component)) AS component
+  FROM {prev} l LEFT JOIN m_{p}_{t} m ON l.node = m.node)""")
+        selects.append(f"""
+SELECT CAST({k} AS INT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM l_{p}_{rounds}) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sym_{p}) AS n_arcs,
+       (SELECT CAST(MAX(sz) AS BIGINT) FROM (
+          SELECT COUNT(*) AS sz FROM l_{p}_{rounds} GROUP BY component) z)
+         AS largest_cc,
+       (SELECT CAST(COUNT(DISTINCT component) AS BIGINT)
+        FROM l_{p}_{rounds}) AS n_components""")
+    return "WITH " + ",".join(parts) + " UNION ALL ".join(selects)

@@ -1891,6 +1891,31 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_trunc_top5(spark, sf_dir):
+    """Matryoshka-truncated top-5 cosine: score on the first 16 of 64
+    dims (4x compute/bandwidth saving; the slice happens before the
+    cross join so the corpus scan ships 16 floats per row)."""
+    from webgraph_spark.functions.similarity import truncated_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return truncated_topk(emb, queries, k=5, dim_keep=16)
+
+
+def q_trunc_recall5(spark, sf_dir):
+    """Recall@5 of the 16-dim truncated scorer vs the exact 64-dim
+    top-5 — the approximation-quality gate for dimension truncation.
+    NOTE: the synthetic fixture embeddings are NOT matryoshka-trained
+    (energy is uniform across dims), so this measures ~0.08 — the gate
+    correctly reporting that truncation is unsafe on non-MRL vectors;
+    the pytest shows recall ~1.0 when the prefix carries the energy."""
+    from webgraph_spark.functions.similarity import truncated_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    return truncated_recall(emb, queries, k=5, dim_keep=16)
+
+
 def q_attack_tolerance(spark, sf_dir):
     """Albert-Jeong-Barabasi attack-tolerance curve: delete the k
     top-degree hubs (k = 0, 10, 50) and measure fragmentation
@@ -2730,6 +2755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_transitivity": q_transitivity,
         "docs_langid_trained": q_langid_trained,
         "graph_attack_tolerance": q_attack_tolerance,
+        "emb_trunc_top5": q_trunc_top5,
+        "emb_trunc_recall5": q_trunc_recall5,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3346,7 +3373,10 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
 WHERE rank <= {k}"""
 
 
-def _cosine_sql() -> str:
+def _cosine_sql(dim_keep: int | None = None) -> str:
+    emb = (
+        "embedding" if dim_keep is None else f"embedding[1:{dim_keep}]"
+    )
     dot = (
         "list_reduce(list_transform(range(1, len(q.embedding) + 1), "
         "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), "
@@ -3362,11 +3392,13 @@ def _cosine_sql() -> str:
         "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), "
         "(a, b) -> a + b))"
     )
-    return f"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    return f"""WITH qsrc AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
+e AS (SELECT vec_id, embedding FROM qsrc),
+q AS (SELECT vec_id, embedding FROM qsrc WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          ROUND(({dot}) / (({qnorm}) * ({enorm})), 6) AS sim
-  FROM embeddings e CROSS JOIN q
+  FROM e CROSS JOIN q
   WHERE e.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
@@ -3613,6 +3645,16 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_attack_tolerance": td.attack_tolerance_sql(
             ks=[0, 10, 50], rounds=30
         ),
+        "emb_trunc_top5": _cosine_sql(dim_keep=16),
+        "emb_trunc_recall5": f"""WITH ex AS (
+  SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1
+), ap AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM ({_cosine_sql(dim_keep=16)}) t2
+)
+SELECT COUNT(*) AS exact_pairs,
+       CAST(COALESCE(SUM(ap.hit), 0) AS BIGINT) AS hits,
+       ROUND(CAST(COALESCE(SUM(ap.hit), 0) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM ex LEFT JOIN ap USING (query_id, neighbor_id)""",
         "transcript_role_bigrams": _mining.transition_counts_sql(
             source_cte="seq AS MATERIALIZED (SELECT user_id AS g, event_id AS o, event_type AS lab FROM events)",
         ),

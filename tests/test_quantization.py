@@ -245,3 +245,32 @@ def test_pq_deterministic_across_parallelism(spark):
     b = pq_train(_mk_emb(spark, vecs).repartition(8), m=2, n_codes=3,
                  iters=2, dim=DIM)
     assert a == b
+
+
+def test_truncated_recall_high_when_prefix_carries_energy(spark):
+    """MRL-style vectors (prefix dims dominate) keep truncated recall
+    near 1; uniform-energy vectors lose it — the gate discriminates."""
+    import numpy as np
+
+    from webgraph_spark.functions.similarity import truncated_recall
+
+    rng = np.random.RandomState(11)
+    n, dim, keep = 120, 64, 16
+
+    def mk(scale_tail):
+        vecs = rng.randn(n, dim)
+        vecs[:, keep:] *= scale_tail
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+
+    mrl = mk(0.05)  # 0.25% of tail variance -> prefix carries ranking
+    q = mrl.where("vec_id < 8")
+    r = truncated_recall(mrl, q, k=5, dim_keep=keep).first()
+    assert r["recall_at_k"] >= 0.9, r
+
+    flat = mk(1.0)
+    q2 = flat.where("vec_id < 8")
+    r2 = truncated_recall(flat, q2, k=5, dim_keep=keep).first()
+    assert r2["recall_at_k"] < r["recall_at_k"]

@@ -854,3 +854,46 @@ def pq_recall(
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
     return _recall_frame(embeddings, queries, approx, k, id_col, vec_col)
+
+
+def truncated_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim_keep: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncated exact scorer (Kusupati et
+    al. 2022): cosine over only the FIRST ``dim_keep`` components —
+    the 4x-compute / 4x-bandwidth retrieval path when embeddings are
+    trained nested. The slice happens BEFORE the broadcast/cross join,
+    so the corpus scan ships dim_keep floats per row, not the full
+    vector (column pruning the planner can't do on array elements)."""
+    tq = queries.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dim_keep).alias(vec_col)
+    )
+    tc = embeddings.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dim_keep).alias(vec_col)
+    )
+    return cosine_topk(tc, tq, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def truncated_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim_keep: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the truncated scorer vs the full-dimension exact
+    top-k — measures what the 4x saving costs in ranking quality (the
+    same statistical-acceptance gate as the LSH/IVF/SQ8/PQ paths)."""
+    approx = truncated_topk(
+        embeddings, queries, k=k, dim_keep=dim_keep,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return _recall_frame(
+        embeddings, queries, approx, k=k, id_col=id_col, vec_col=vec_col
+    )

@@ -1891,6 +1891,18 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_fiedler(spark, sf_dir):
+    """Approximate Fiedler vector (algos/spectral.py:fiedler_bisection):
+    12 deflated power-iteration rounds on cI - L, the spectral-
+    bisection partitioning signal. Fixed rounds, md5-parity start;
+    both engines execute the identical recurrence."""
+    from webgraph_spark.algos.spectral import fiedler_bisection
+
+    return fiedler_bisection(
+        _edges(spark, sf_dir), iters=12, num_partitions=16
+    ).select(F.col("node").cast("long"), "score")
+
+
 def q_trunc_top5(spark, sf_dir):
     """Matryoshka-truncated top-5 cosine: score on the first 16 of 64
     dims (4x compute/bandwidth saving; the slice happens before the
@@ -2757,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_attack_tolerance": q_attack_tolerance,
         "emb_trunc_top5": q_trunc_top5,
         "emb_trunc_recall5": q_trunc_recall5,
+        "graph_fiedler": q_fiedler,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3645,6 +3658,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_attack_tolerance": td.attack_tolerance_sql(
             ks=[0, 10, 50], rounds=30
         ),
+        "graph_fiedler": td.fiedler_sql(iters=12, round_to=6),
         "emb_trunc_top5": _cosine_sql(dim_keep=16),
         "emb_trunc_recall5": f"""WITH ex AS (
   SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1

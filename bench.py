@@ -209,6 +209,10 @@ def main():
         "graph_landmark_sketch",
         "graph_rich_club",
         "docs_dsir_weights",
+        "events_funnel3",
+        "events_retention",
+        "graph_transitivity",
+        "graph_bowtie",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

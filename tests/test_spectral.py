@@ -134,3 +134,51 @@ def test_salsa_vs_numpy(spark, n, p, seed):
     np.testing.assert_allclose(got[nz], want[nz], atol=1e-12)
     # stochastic chain: mass preserved
     assert abs(out["auth"].sum() - 1.0) < 1e-9
+
+
+def test_fiedler_bisection_splits_two_blocks(spark):
+    """Two dense ER blocks joined by one bridge edge: the sign pattern
+    must separate the blocks and agree with numpy's exact Fiedler
+    vector (up to global sign)."""
+    import numpy as np
+
+    from webgraph_spark.algos.spectral import fiedler_bisection
+
+    rng = np.random.RandomState(17)
+    nb = 25
+    n = 2 * nb
+    adj = np.zeros((n, n), dtype=bool)
+    for lo in (0, nb):
+        for i in range(lo, lo + nb):
+            for j in range(lo, lo + nb):
+                if i < j and rng.rand() < 0.5:
+                    adj[i, j] = adj[j, i] = True
+    adj[0, nb] = adj[nb, 0] = True  # the bridge
+    rows = [(int(u), int(v)) for u, v in zip(*np.nonzero(adj))]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+
+    got = {
+        r["node"]: r["score"]
+        for r in fiedler_bisection(edges, iters=60).collect()
+    }
+    # numpy exact Fiedler vector
+    d = adj.sum(axis=1)
+    L = np.diag(d) - adj.astype(float)
+    vals, vecs = np.linalg.eigh(L)
+    fied = vecs[:, 1]
+    # align global sign via node 0
+    if fied[0] * got[0] < 0:
+        fied = -fied
+    agree = sum(1 for v in range(n) if got[v] * fied[v] > 0)
+    assert agree >= int(0.95 * n), f"sign agreement {agree}/{n}"
+    blocks = {v: (0 if v < nb else 1) for v in range(n)}
+    side = {v: got[v] > 0 for v in range(n)}
+    # the two blocks land on opposite sides (allow the bridge endpoints
+    # to wobble)
+    from collections import Counter
+
+    c0 = Counter(side[v] for v in range(nb))
+    c1 = Counter(side[v] for v in range(nb, n))
+    assert c0.most_common(1)[0][1] >= nb - 1
+    assert c1.most_common(1)[0][1] >= nb - 1
+    assert c0.most_common(1)[0][0] != c1.most_common(1)[0][0]

@@ -286,3 +286,114 @@ def salsa_authority(
     if round_to is not None:
         state = state.select("node", F.round("auth", round_to).alias("auth"))
     return state
+
+
+def fiedler_bisection(
+    edges: DataFrame,
+    iters: int = 12,
+    num_partitions: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate Fiedler vector by DEFLATED power iteration — the
+    spectral-bisection signal (Fiedler 1973; the classic graph-
+    partitioning heuristic complementing algos/partition.py's LP
+    variant).
+
+    Iterates B = cI - L on the simple graph (L = D - A, c = max_deg+1,
+    so B is PSD and its top eigenvector is the all-ones vector):
+    each round y(v) = (c - d(v))*x(v) + sum_{u~v} x(u), then CENTER
+    (subtract the mean — deflates the all-ones component) and L2-
+    normalize. After k rounds x approximates the eigenvector of L's
+    second-smallest eigenvalue; sign(x) is the bisection.
+
+    Start vector: portable md5-parity +-1 per node (both engines bake
+    the identical start), centered and normalized.
+
+    Scale shape: per round ONE co-partitioned edges-state join + one
+    groupBy(node) sum (map-side combine) + two scalar aggregates
+    (mean, norm) broadcast back — the PageRank iteration plan with a
+    different diagonal term. Fixed iteration count, no convergence
+    collect in the loop.
+
+    Returns (node, score) with score rounded (signed zero normalized
+    to +0.0 so cross-engine hashing is stable).
+    """
+    from ..functions.hashing import md5_long
+    from ..operators.transforms import simplify
+    from ..plans.iterate import release_local_checkpoint
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    sym = (
+        simplify(edges.select("src", "dst"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    c = int(
+        deg.agg(F.max("d").alias("m")).collect()[0]["m"] or 0
+    ) + 1
+
+    s0 = F.when(
+        md5_long(F.concat(F.lit("fv:"), F.col("node").cast("string")))
+        % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    state = deg.select("node", "d", s0.alias("x"))
+
+    def center_normalize(df: DataFrame) -> DataFrame:
+        stats = df.agg(
+            F.avg("x").alias("mu"),
+            F.count("*").alias("n"),
+        )
+        centered = df.crossJoin(F.broadcast(stats)).select(
+            "node", "d", (F.col("x") - F.col("mu")).alias("x")
+        )
+        nrm = centered.agg(
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nr")
+        )
+        return centered.crossJoin(F.broadcast(nrm)).select(
+            "node",
+            "d",
+            F.coalesce(
+                F.try_divide(F.col("x"), F.col("nr")), F.lit(0.0)
+            ).alias("x"),
+        )
+
+    state = center_normalize(state).localCheckpoint(eager=True)
+    for _ in range(iters):
+        msg = (
+            sym.join(
+                state.select(F.col("node").alias("src"), "x").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("x").alias("nb"))
+        )
+        y = (
+            state.join(msg.hint("shuffle_hash"), "node", "left")
+            .select(
+                "node",
+                "d",
+                (
+                    (F.lit(float(c)) - F.col("d")) * F.col("x")
+                    + F.coalesce("nb", F.lit(0.0))
+                ).alias("x"),
+            )
+        )
+        new_state = center_normalize(y).localCheckpoint(eager=True)
+        release_local_checkpoint(state)
+        state = new_state
+    sym.unpersist()
+    rounded = F.round(F.col("x"), round_to)
+    return state.select(
+        "node",
+        F.when(rounded == 0, F.lit(0.0)).otherwise(rounded).alias("score"),
+    )

@@ -2130,3 +2130,53 @@ SELECT CAST({k} AS INT) AS k,
        (SELECT CAST(COUNT(DISTINCT component) AS BIGINT)
         FROM l_{p}_{rounds}) AS n_components""")
     return "WITH " + ",".join(parts) + " UNION ALL ".join(selects)
+
+
+def fiedler_sql(iters: int = 12, round_to: int = 6) -> str:
+    """Twin of algos.spectral.fiedler_bisection: deflated power
+    iteration on B = cI - L over the simple graph, md5-parity start,
+    center + L2-normalize per round, signed-zero-normalized rounding."""
+    parts = [EDGES_CTE, SYM_CTE]
+    parts.append("""
+fdeg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d
+                      FROM sym GROUP BY src)""")
+    parts.append("""
+fc AS (SELECT MAX(d) + 1 AS c FROM fdeg)""")
+    parts.append("""
+fx_r AS (SELECT node, d,
+  CASE WHEN (('0x' || substr(md5('fv:' || CAST(node AS VARCHAR)), 1, 15))
+             ::BIGINT % 2) = 0 THEN 1.0 ELSE -1.0 END AS x
+  FROM fdeg)""")
+
+    def cn(src: str, out: str) -> list[str]:
+        return [
+            f"""
+{out}_mu AS (SELECT AVG(x) AS mu FROM {src})""",
+            f"""
+{out}_c AS (SELECT node, d, x - (SELECT mu FROM {out}_mu) AS x FROM {src})""",
+            f"""
+{out}_nr AS (SELECT sqrt(SUM(x * x)) AS nr FROM {out}_c)""",
+            f"""
+{out} AS MATERIALIZED (SELECT node, d,
+  COALESCE(x / NULLIF((SELECT nr FROM {out}_nr), 0.0), 0.0) AS x
+  FROM {out}_c)""",
+        ]
+    parts += cn("fx_r", "fx0")
+    for k in range(1, iters + 1):
+        prev = f"fx{k - 1}"
+        parts.append(f"""
+fm{k} AS MATERIALIZED (SELECT s.dst AS node, SUM(p.x) AS nb
+  FROM sym s JOIN {prev} p ON s.src = p.node GROUP BY s.dst)""")
+        parts.append(f"""
+fy{k} AS (SELECT p.node, p.d,
+  ((SELECT c FROM fc) - p.d) * p.x + COALESCE(m.nb, 0.0) AS x
+  FROM {prev} p LEFT JOIN fm{k} m ON p.node = m.node)""")
+        parts += cn(f"fy{k}", f"fx{k}")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT node,
+  CASE WHEN ROUND(x, {round_to}) = 0 THEN 0.0
+       ELSE ROUND(x, {round_to}) END AS score
+FROM fx{iters}"""
+    )

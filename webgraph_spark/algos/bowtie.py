@@ -108,6 +108,11 @@ def bowtie(
         .unionByName(tag(tend, "tendrils_tubes"))
         .unionByName(tag(disc, "disconnected"))
     )
+    # cut lineage so the reachability caches can be released now rather
+    # than leaking for the rest of the session
+    membership = membership.localCheckpoint(eager=True)
+    for df in (core, fwd, bwd, nodes):
+        df.unpersist()
     spark = edges.sparkSession
     cats = spark.createDataFrame(
         [(c,) for c in CATEGORIES], "component string"

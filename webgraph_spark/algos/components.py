@@ -408,7 +408,7 @@ def attack_tolerance(
     sym_all = no_loops(symmetrize(edges.select("src", "dst"))).persist()
     deg = sym_all.groupBy("src").agg(F.count("*").alias("d"))
     spark = edges.sparkSession
-    out = None
+    out: list[tuple] = []
     for k in ks:
         if k > 0:
             hubs = [
@@ -435,24 +435,24 @@ def attack_tolerance(
         sizes = res.labels.groupBy("component").agg(
             F.count("*").alias("sz")
         )
-        row = (
-            sizes.agg(
-                F.max("sz").cast("long").alias("largest_cc"),
-                F.count("*").cast("long").alias("n_components"),
-            )
-            .crossJoin(
-                res.labels.agg(F.count("*").cast("long").alias("n_nodes"))
-            )
-            .crossJoin(
-                sym.agg((F.count("*")).cast("long").alias("n_arcs"))
-            )
-            .select(
-                F.lit(int(k)).cast("int").alias("k"),
-                "n_nodes",
-                "n_arcs",
-                "largest_cc",
-                "n_components",
+        stat = sizes.agg(
+            F.max("sz").cast("long").alias("largest_cc"),
+            F.count("*").cast("long").alias("n_components"),
+            F.sum("sz").cast("long").alias("n_nodes"),
+        ).collect()[0]
+        n_arcs = sym.count()
+        out.append(
+            (
+                int(k),
+                int(stat["n_nodes"] or 0),
+                int(n_arcs),
+                int(stat["largest_cc"] or 0),
+                int(stat["n_components"]),
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    sym_all.unpersist()
+    return spark.createDataFrame(
+        out,
+        "k int, n_nodes long, n_arcs long, largest_cc long, "
+        "n_components long",
+    )

@@ -390,3 +390,76 @@ def test_streaming_maintained_pagerank_matches_cold_and_warm_starts(
     # log(1/alpha) rounds — modest at n=120, grows with graph size /
     # shrinking relative deltas; observed 23 vs 26 here)
     assert metas[-1]["iterations"] < cold.iterations
+
+
+def test_streaming_funnel_matches_batch_on_ordered_stream(spark, tmp_path):
+    """Per-user time-ordered arrival across micro-batches: the final
+    streaming state must reproduce the batch funnel exactly."""
+    import datetime as dt
+
+    import numpy as np
+
+    from webgraph_spark.functions.mining import funnel_counts
+    from webgraph_spark.streaming.stateful import streaming_funnel
+
+    rng = np.random.default_rng(47)
+    base = dt.datetime(2026, 2, 1)
+    types = ["view", "click", "purchase", "other"]
+    rows = []
+    for i in range(1200):
+        rows.append(
+            (
+                int(rng.integers(0, 80)),
+                base + dt.timedelta(microseconds=i * 1000),
+                types[int(rng.integers(0, 4))],
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    stage = str(tmp_path / "ev_stream")
+    # split by TIME into two files -> per-user arrival is time-ordered
+    early = [r for r in rows if r[1] < base + dt.timedelta(microseconds=600_000)]
+    late = [r for r in rows if r[1] >= base + dt.timedelta(microseconds=600_000)]
+    spark.createDataFrame(
+        early, "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    spark.createDataFrame(
+        late, "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("append").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = streaming_funnel(stream, ["view", "click", "purchase"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    upd = spark.sql(
+        "SELECT * FROM funnel_updates"
+    ).toPandas()
+    # last update per user = final cumulative state
+    final = upd.groupby("user_id").last()
+    stream_counts = {
+        k: int((final["steps_done"] >= k).sum()) for k in (1, 2, 3)
+    }
+    batch = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert stream_counts == batch
+    # lag agreement for completers
+    done3 = final[final["steps_done"] == 3]
+    batch_lag = {
+        r["step"]: r["total_lag_us"]
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert int((done3["tk"] - done3["t1"]).sum()) == batch_lag[3]

@@ -168,3 +168,96 @@ def batch_distinct_outdegree_twin(
         np.maximum.at(regs, reg, rho)
         out.append((src, len(grp), _estimate(regs)))
     return pd.DataFrame(out, columns=["src", "arcs_seen", "distinct_est"])
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("t1", LongType()),
+        StructField("tk", LongType()),
+    ]
+)
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("steps_done", LongType()),
+        StructField("t1", LongType()),
+        StructField("tk", LongType()),
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of functions.mining.funnel_counts: a per-user
+    funnel STATE MACHINE in ``applyInPandasWithState``.
+
+    State per user = (steps completed, t1, t_last) — three longs, O(1)
+    regardless of event volume. Each micro-batch walks its (filtered,
+    time-sorted) events forward: an event advances the state iff it is
+    the NEXT step and strictly later (epoch micros) than the current
+    step time — exactly the batch operator's ordering rule, applied
+    greedily in time order, which yields the identical minima when a
+    user's events arrive time-ordered across batches (asserted in
+    tests). A late event older than the current state time is IGNORED
+    (the documented approximation every O(1)-state streaming funnel
+    makes; replay cold for exact late-data semantics).
+
+    Division of labor: type->step mapping and epoch-micros conversion
+    happen JVM-side; Python sees (us, st) int columns only. Output mode
+    ``update``: one row per user seen in the batch with its cumulative
+    progress.
+    """
+    nsteps = len(steps)
+    st = F.when(F.col(type_col) == steps[0], 1)
+    for i, s in enumerate(steps[1:], start=2):
+        st = st.when(F.col(type_col) == s, i)
+    prepared = (
+        events.where(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            st.cast("long").alias("st"),
+        )
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            k, t1, tk = state.get
+        else:
+            k, t1, tk = 0, -1, -1
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("us", kind="mergesort")
+        us = batch["us"].to_numpy(dtype=np.int64)
+        stp = batch["st"].to_numpy(dtype=np.int64)
+        for i in range(len(us)):
+            if k == 0:
+                if stp[i] == 1:
+                    k, t1, tk = 1, int(us[i]), int(us[i])
+            elif k < nsteps and stp[i] == k + 1 and us[i] > tk:
+                k += 1
+                tk = int(us[i])
+        state.update((k, t1, tk))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "steps_done": [k],
+                "t1": [t1],
+                "tk": [tk],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

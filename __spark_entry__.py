@@ -1891,6 +1891,74 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_oddball(spark, sf_dir):
+    """OddBall ego-net anomaly scores (algos/features.py:oddball_scores)
+    over the user co-occurrence projection (triangle-bearing surface):
+    log-space residuals from the Ego Density Power Law fit. Regression
+    sums ride exact decimals, so alpha/beta and every score are
+    engine-identical."""
+    from webgraph_spark.algos.features import oddball_scores
+    from webgraph_spark.functions.mining import bipartite_project
+
+    proj = bipartite_project(
+        _user_attr_pairs(spark, sf_dir), min_weight=7
+    ).select("src", "dst")
+    return oddball_scores(proj)
+
+
+def _oddball_sql() -> str:
+    return f"""WITH ua AS (
+  SELECT DISTINCT user_id AS u, {_PROJ_ATTR_SQL} AS a FROM events),
+proj AS (
+  SELECT x.u AS src, y.u AS dst FROM ua x JOIN ua y
+  ON x.a = y.a AND x.u < y.u
+  GROUP BY x.u, y.u HAVING COUNT(*) >= 7),
+und AS (
+  SELECT src, dst FROM proj WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM proj WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY src),
+orient AS MATERIALIZED (
+  SELECT u.src, u.dst FROM und u
+  JOIN deg ds ON ds.node = u.src
+  JOIN deg dd ON dd.node = u.dst
+  WHERE ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM orient e1
+  JOIN orient e2 ON e1.dst = e2.src
+  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (
+  SELECT u AS node FROM tri UNION ALL
+  SELECT v FROM tri UNION ALL SELECT w FROM tri),
+pt AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node),
+base AS (
+  SELECT d.node, d.d AS deg, d.d + COALESCE(pt.t, 0) AS ego_edges
+  FROM deg d LEFT JOIN pt ON d.node = pt.node),
+terms AS MATERIALIZED (
+  SELECT node, deg, ego_edges,
+         ROUND(ln(CAST(deg AS DOUBLE)), 9) AS x,
+         ROUND(ln(CAST(ego_edges AS DOUBLE)), 9) AS y
+  FROM base),
+sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxx
+  FROM terms),
+coefs AS (
+  SELECT (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS beta,
+         n, sx, sy FROM sums),
+c2 AS (SELECT beta, (sy - beta * sx) / n AS alpha FROM coefs)
+SELECT t.node, CAST(t.deg AS BIGINT) AS deg,
+       CAST(t.ego_edges AS BIGINT) AS ego_edges,
+       ROUND(ABS(t.y - (c.alpha + c.beta * t.x)), 6) AS score
+FROM terms t CROSS JOIN c2 c"""
+
+
 def q_fiedler(spark, sf_dir):
     """Approximate Fiedler vector (algos/spectral.py:fiedler_bisection):
     12 deflated power-iteration rounds on cI - L, the spectral-
@@ -2770,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_trunc_top5": q_trunc_top5,
         "emb_trunc_recall5": q_trunc_recall5,
         "graph_fiedler": q_fiedler,
+        "graph_oddball": q_oddball,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3659,6 +3728,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
             ks=[0, 10, 50], rounds=30
         ),
         "graph_fiedler": td.fiedler_sql(iters=12, round_to=6),
+        "graph_oddball": _oddball_sql(),
         "emb_trunc_top5": _cosine_sql(dim_keep=16),
         "emb_trunc_recall5": f"""WITH ex AS (
   SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1

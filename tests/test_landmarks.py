@@ -137,3 +137,55 @@ def test_rich_club_normalized_vs_numpy(spark):
             else None
         )
         assert got[int(k)] == (n, arcs, phi, rho), f"k={k}"
+
+
+def test_oddball_scores_vs_numpy_and_flags_clique(spark):
+    from decimal import Decimal
+    import math
+
+    from webgraph_spark.algos.features import oddball_scores
+
+    # ER background + a planted 8-clique: clique members' ego-nets are
+    # near-cliques -> they must land in the top scores
+    adj = erdos_renyi_numpy(60, 0.05, seed=71)
+    s = _sym_noloop(adj)
+    for i in range(8):
+        for j in range(8):
+            if i != j:
+                s[i, j] = True
+    rows = [(int(u), int(v)) for u, v in zip(*np.nonzero(np.triu(s)))]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["node"]: (r["deg"], r["ego_edges"], r["score"])
+        for r in oddball_scores(edges).collect()
+    }
+
+    deg = s.sum(axis=1)
+    nodes = np.nonzero(deg > 0)[0]
+    tri = {
+        int(v): int(s[np.ix_(np.nonzero(s[v])[0], np.nonzero(s[v])[0])].sum())
+        // 2
+        for v in nodes
+    }
+    xs = {v: round(math.log(deg[v]), 9) for v in nodes}
+    ys = {v: round(math.log(deg[v] + tri[v]), 9) for v in nodes}
+    q = lambda f: Decimal(f"{f:.12f}")
+    n = len(nodes)
+    sx = sum(q(xs[v]) for v in nodes)
+    sy = sum(q(ys[v]) for v in nodes)
+    sxy = sum(q(round(xs[v] * ys[v], 12)) for v in nodes)
+    sxx = sum(q(round(xs[v] * xs[v], 12)) for v in nodes)
+    beta = (n * float(sxy) - float(sx) * float(sy)) / (
+        n * float(sxx) - float(sx) * float(sx)
+    )
+    alpha = (float(sy) - beta * float(sx)) / n
+    for v in nodes:
+        want = (
+            int(deg[v]),
+            int(deg[v]) + tri[v],
+            round(abs(ys[v] - (alpha + beta * xs[v])), 6),
+        )
+        assert got[int(v)] == want, f"node {v}"
+    # clique members dominate the anomaly ranking
+    top = sorted(got, key=lambda v: -got[v][2])[:8]
+    assert len(set(top) & set(range(8))) >= 6

@@ -419,3 +419,69 @@ def rich_club_normalized(edges: DataFrame) -> DataFrame:
             F.round(F.col("a_gt").cast("double") / e_cm, 6),
         ).alias("rho"),
     )
+
+
+def oddball_scores(edges: DataFrame) -> DataFrame:
+    """OddBall ego-net anomaly scores (Akoglu-McGlohon-Faloutsos, PAKDD
+    2010): fit the Ego Density Power Law ln(E) = alpha + beta*ln(d)
+    across all nodes (E = ego-net edge count = d + triangles-through-
+    node on the simple graph), then score each node by its absolute
+    log-space residual — near-cliques and star-centers stick out.
+
+    Returns (node, deg, ego_edges, score).
+
+    Cross-engine float discipline: per-node ln terms are rounded to 9
+    decimals (identical doubles both engines), the five regression
+    sums accumulate as DECIMAL(38,12) — exact and order-independent —
+    so alpha/beta and every residual are bit-identical; only then the
+    final ROUND(...,6).
+
+    Scale shape: the triangle counter's oriented wedge join (one
+    degree-ordered orientation, hub-safe) + one groupBy; the
+    regression is five scalar aggregates broadcast back; scoring is a
+    pure projection. Nothing driver-side but the 1-row coefficients.
+    """
+    from ..operators.transforms import simplify
+    from .triangles import triangles_per_node
+
+    sym = simplify(edges.select("src", "dst"))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    tri = triangles_per_node(edges)
+    base = deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        (F.col("deg") + F.coalesce("triangles", F.lit(0))).alias(
+            "ego_edges"
+        ),
+    )
+    x = F.round(F.log(F.col("deg").cast("double")), 9)
+    y = F.round(F.log(F.col("ego_edges").cast("double")), 9)
+    terms = base.select(
+        "node", "deg", "ego_edges", x.alias("x"), y.alias("y")
+    )
+    dec = "decimal(38,12)"
+    sums = terms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec)).alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec)).alias("sxx"),
+    )
+    j = terms.crossJoin(F.broadcast(sums))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    beta = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    alpha = (sy - beta * sx) / n
+    return j.select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.col("ego_edges").cast("long").alias("ego_edges"),
+        F.round(F.abs(F.col("y") - (alpha + beta * F.col("x"))), 6).alias(
+            "score"
+        ),
+    )

@@ -1891,6 +1891,20 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (algos/pagerank.py:trustrank): inverse-PageRank seed
+    selection (5 rounds, top-20 at a round-9 deterministic cut) +
+    8 rounds of seed-restart trust propagation — the canonical
+    link-spam-demotion pipeline, both stages the engine's standard
+    one-shuffle-per-iteration PageRank plan."""
+    from webgraph_spark.algos.pagerank import trustrank
+
+    return trustrank(
+        _edges(spark, sf_dir),
+        n_seeds=20, inv_iters=5, iters=8, num_partitions=16,
+    ).select(F.col("node").cast("long"), "trust")
+
+
 def q_oddball(spark, sf_dir):
     """OddBall ego-net anomaly scores (algos/features.py:oddball_scores)
     over the user co-occurrence projection (triangle-bearing surface):
@@ -2839,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_trunc_recall5": q_trunc_recall5,
         "graph_fiedler": q_fiedler,
         "graph_oddball": q_oddball,
+        "graph_trustrank": q_trustrank,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3729,6 +3744,9 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         ),
         "graph_fiedler": td.fiedler_sql(iters=12, round_to=6),
         "graph_oddball": _oddball_sql(),
+        "graph_trustrank": td.trustrank_sql(
+            n_seeds=20, inv_iters=5, iters=8
+        ),
         "emb_trunc_top5": _cosine_sql(dim_keep=16),
         "emb_trunc_recall5": f"""WITH ex AS (
   SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1

@@ -170,3 +170,25 @@ def test_warm_start_same_fixpoint_fewer_iterations(spark):
     # mass conserved
     m = warm.ranks.agg(F.sum("rank")).collect()[0][0]
     assert abs(m - 1.0) < 1e-9
+
+
+def test_trustrank_trust_confined_to_reachable_set(spark):
+    """Two directed clusters, no arcs between them: trust restarts on
+    seeds picked by inverse PR, so nodes unreachable from every seed
+    must score exactly p(v)*(1-alpha) terms only -> 0 for non-seeds of
+    the other cluster; total mass stays 1."""
+    from webgraph_spark.algos.pagerank import trustrank
+
+    # cluster A: 0..9 ring with chords; cluster B: 100..109 ring
+    arcs = [(i, (i + 1) % 10) for i in range(10)]
+    arcs += [(i, (i + 3) % 10) for i in range(10)]
+    arcs += [(100 + i, 100 + (i + 1) % 10) for i in range(10)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    out = {r["node"]: r["trust"] for r in
+           trustrank(edges, n_seeds=3, inv_iters=4, iters=10).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # seeds all come from one side (inverse PR is symmetric across the
+    # two rings up to tie-break, which prefers small node ids -> A)
+    a_mass = sum(v for n, v in out.items() if n < 100)
+    b_mass = sum(v for n, v in out.items() if n >= 100)
+    assert a_mass > 0.999 and b_mass < 1e-9

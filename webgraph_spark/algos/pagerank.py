@@ -644,3 +644,55 @@ def pagerank_weighted(
         done or fixed_iterations is not None,
         float(carry["delta"]),
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    n_seeds: int = 20,
+    inv_iters: int = 5,
+    iters: int = 8,
+    alpha: float = 0.85,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """TrustRank (Gyongyi-Garcia-Molina-Pedersen, VLDB 2004 — the
+    canonical link-spam-demotion algorithm): (1) INVERSE PageRank
+    (PageRank on the transposed graph, fixed ``inv_iters`` rounds)
+    ranks nodes by how well trust flowing FROM them covers the graph;
+    (2) the top ``n_seeds`` become the trusted seed set; (3) trust
+    propagates as personalized PageRank with restart uniform on the
+    seeds (fixed ``iters`` rounds).
+
+    Seed selection orders by ROUND(rank, 9) DESC, node ASC — the
+    9-digit quantization makes the cut deterministic across engines
+    and cluster runs (sub-1e-9 rank noise cannot reorder the cut).
+
+    Returns (node, trust) with trust rounded to 9. Both stages are the
+    existing one-shuffle-per-iteration PageRank plans; the seed pick is
+    a driver-side top-L collect of a 2-column frame.
+    """
+    from ..operators.transforms import transpose
+
+    spark = edges.sparkSession
+    inv = pagerank(
+        transpose(edges.select("src", "dst")),
+        alpha=alpha,
+        fixed_iterations=inv_iters,
+        num_partitions=num_partitions,
+    )
+    top = (
+        inv.ranks.select("node", F.round("rank", 9).alias("r"))
+        .orderBy(F.col("r").desc(), F.col("node").asc())
+        .limit(n_seeds)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        [(int(r["node"]),) for r in top], "node long"
+    )
+    res = personalized_pagerank(
+        edges.select("src", "dst"),
+        seeds,
+        alpha=alpha,
+        fixed_iterations=iters,
+        num_partitions=num_partitions,
+    )
+    return res.ranks.select("node", F.round("rank", 9).alias("trust"))

@@ -2180,3 +2180,80 @@ SELECT node,
        ELSE ROUND(x, {round_to}) END AS score
 FROM fx{iters}"""
     )
+
+
+def trustrank_sql(
+    n_seeds: int = 20,
+    inv_iters: int = 5,
+    iters: int = 8,
+    alpha: float = 0.85,
+    round_to: int = 9,
+) -> str:
+    """Twin of algos.pagerank.trustrank: inverse PageRank on the
+    transposed edge table (uniform init, uniform dangling), seed cut at
+    ROUND(rank, 9) DESC / node ASC, then the personalized-PageRank
+    trust recurrence with restart uniform on the seeds."""
+    parts = [EDGES_CTE, NODES_CTE]
+    parts.append("""
+tedges AS MATERIALIZED (SELECT dst AS src, src AS dst FROM edges)""")
+    parts.append("""
+t_outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM tedges GROUP BY src)""")
+    parts.append("""
+t_dang AS MATERIALIZED (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM t_outdeg))""")
+    parts.append("""
+t_nn AS (SELECT COUNT(*) AS n FROM nodes)""")
+    parts.append("""
+t_r0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM t_nn) AS rank FROM nodes)""")
+    for k in range(1, inv_iters + 1):
+        prev = f"t_r{k - 1}"
+        parts.append(f"""
+t_dm{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m
+  FROM {prev} r JOIN t_dang d ON r.node = d.node)""")
+        parts.append(f"""
+t_c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / o.c) AS contrib
+  FROM tedges e JOIN {prev} r ON e.src = r.node
+  JOIN t_outdeg o ON o.src = e.src GROUP BY e.dst)""")
+        parts.append(f"""
+t_r{k} AS MATERIALIZED (SELECT n.node,
+  (1.0 - {alpha}) / (SELECT n FROM t_nn)
+  + {alpha} * ((SELECT m FROM t_dm{k}) / (SELECT n FROM t_nn)
+               + COALESCE(c.contrib, 0.0)) AS rank
+  FROM nodes n LEFT JOIN t_c{k} c ON n.node = c.node)""")
+    parts.append(f"""
+tseeds AS MATERIALIZED (SELECT node FROM (
+  SELECT node, ROW_NUMBER() OVER (
+    ORDER BY ROUND(rank, 9) DESC, node ASC) AS rn
+  FROM t_r{inv_iters}) t WHERE rn <= {n_seeds})""")
+    parts.append("""
+f_pvec AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN 1.0 / (SELECT COUNT(*) FROM tseeds) ELSE 0.0 END AS p
+  FROM nodes n LEFT JOIN tseeds s ON n.node = s.node)""")
+    parts.append("""
+f_outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM edges GROUP BY src)""")
+    parts.append("""
+f_dang AS MATERIALIZED (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM f_outdeg))""")
+    parts.append("""
+f_r0 AS MATERIALIZED (SELECT node, p AS rank FROM f_pvec)""")
+    for k in range(1, iters + 1):
+        prev = f"f_r{k - 1}"
+        parts.append(f"""
+f_dm{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m
+  FROM {prev} r JOIN f_dang d ON r.node = d.node)""")
+        parts.append(f"""
+f_c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / o.c) AS contrib
+  FROM edges e JOIN {prev} r ON e.src = r.node
+  JOIN f_outdeg o ON o.src = e.src GROUP BY e.dst)""")
+        parts.append(f"""
+f_r{k} AS MATERIALIZED (SELECT p.node,
+  p.p * ((1.0 - {alpha}) + {alpha} * (SELECT m FROM f_dm{k}))
+  + {alpha} * COALESCE(c.contrib, 0.0) AS rank
+  FROM f_pvec p LEFT JOIN f_c{k} c ON p.node = c.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, ROUND(rank, {round_to}) AS trust FROM f_r{iters}"
+    )

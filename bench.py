@@ -213,6 +213,9 @@ def main():
         "events_retention",
         "graph_transitivity",
         "graph_bowtie",
+        "graph_trustrank",
+        "graph_fiedler",
+        "graph_oddball",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

@@ -112,7 +112,10 @@ def lang_id_ngram(texts: pd.Series) -> pd.Series:
     """n-gram heuristic language ID (Arrow-batched; vectorized scoring).
 
     Real pipelines plug a model here; the Spark-side contract (string in,
-    label out, Arrow batches) is what the engine tests."""
+    label out, Arrow batches) is what the engine tests. A TRAINED
+    in-engine alternative (one-vs-rest LR over hashed trigram
+    fractions, oracle-checked + accuracy-gated) lives in
+    functions/langid.py — prefer it when labeled data exists."""
     low = texts.fillna("").str.lower()
     # CJK first (codepoint range check, vectorized)
     is_cjk = low.str.contains(r"[一-鿿]", regex=True)

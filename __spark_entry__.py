@@ -1891,6 +1891,56 @@ def q_landmark_sketch(spark, sf_dir):
     )
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Per-type hourly volume z-scores: hours whose event count
+    deviates from the type's mean (population sigma). Moments are
+    EXACT integer sums, so both engines divide identical operands —
+    no float-order hazard anywhere. The monitoring primitive a
+    continuous-ingest deployment alarms on."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    stats = h.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = h.join(F.broadcast(stats), "event_type")
+    mu = F.col("s1").cast("double") / F.col("k")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("k")
+    ) / F.col("k")
+    z = F.when(
+        var > 0, F.round((F.col("n") - mu) / F.sqrt(var), 6)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("n").cast("long"),
+        z.alias("z"),
+    )
+
+
+def _events_anomaly_sql() -> str:
+    return """WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, COUNT(*) AS k, SUM(n) AS s1,
+              SUM(n * n) AS s2 FROM h GROUP BY event_type)
+SELECT h.event_type, strftime(h.hour, '%Y-%m-%d %H:00') AS hour,
+       CAST(h.n AS BIGINT) AS n,
+       CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k > 0
+            THEN ROUND((h.n - CAST(s1 AS DOUBLE) / k)
+                 / sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * s1 / k) / k), 6) END AS z
+FROM h JOIN st ON h.event_type = st.event_type"""
+
+
 def q_trustrank(spark, sf_dir):
     """TrustRank (algos/pagerank.py:trustrank): inverse-PageRank seed
     selection (5 rounds, top-20 at a round-9 deterministic cut) +
@@ -2854,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fiedler": q_fiedler,
         "graph_oddball": q_oddball,
         "graph_trustrank": q_trustrank,
+        "events_anomaly_z": q_events_anomaly,
         "transcript_role_bigrams": q_role_bigrams,
         "docs_sample_stratified": q_sample_stratified,
         "docs_contamination": q_contamination,
@@ -3747,6 +3798,7 @@ GROUP BY x.u, y.u HAVING COUNT(*) >= 7""",
         "graph_trustrank": td.trustrank_sql(
             n_seeds=20, inv_iters=5, iters=8
         ),
+        "events_anomaly_z": _events_anomaly_sql(),
         "emb_trunc_top5": _cosine_sql(dim_keep=16),
         "emb_trunc_recall5": f"""WITH ex AS (
   SELECT query_id, neighbor_id FROM ({_cosine_sql()}) t1

@@ -136,6 +136,16 @@ def q_modularity3(spark, sf_dir):
     return modularity(e, res.labels)
 
 
+def q_louvain2(spark, sf_dir):
+    """Two synchronous integer-exact Louvain modularity move rounds
+    (algos/louvain.py) — the distributed community-detection companion
+    to LP/LLP; deterministic at any parallelism, HUGEINT-scored gains."""
+    from webgraph_spark.algos.louvain import louvain_moves
+
+    res = louvain_moves(_edges(spark, sf_dir), rounds=2, num_partitions=16)
+    return res.labels.select("node", "label")
+
+
 def q_triangles(spark, sf_dir):
     n = triangle_count(_edges(spark, sf_dir))
     return spark.createDataFrame([(n,)], "triangles long")
@@ -2808,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc8": q_cc8,
         "graph_lp3": q_lp3,
         "graph_modularity3": q_modularity3,
+        "graph_louvain2": q_louvain2,
         "graph_triangles": q_triangles,
         "graph_doulion_triangles": q_doulion,
         "graph_rmat_degrees": q_rmat_degrees,
@@ -3578,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_cc8": td.cc_sql(rounds=8),
         "graph_lp3": td.lp_sql(rounds=3),
         "graph_modularity3": td.modularity_sql(rounds=3),
+        "graph_louvain2": td.louvain_sql(rounds=2),
         "graph_triangles": td.triangles_sql(),
         "graph_doulion_triangles": td.doulion_sql(k=4),
         "graph_rmat_degrees": _rmat_sql(),

@@ -67,10 +67,24 @@ def neighborhood_mean_features(
         ).select(F.col("to").alias("node"), "pos", "val")
         if include_self:
             msgs = msgs.unionByName(exploded)
-        agg = msgs.groupBy("node", "pos").agg(F.avg("val").alias("val"))
+        # mean via a DECIMAL-exact sum (messages quantized to 9 decimals
+        # first — the linkpred/curation idiom): float SUM order varies
+        # with partitioning and across engines, and a last-bit
+        # difference can flip the final ROUND at an unlucky boundary
+        # (seen once at sf0.001). The decimal sum is associative, so
+        # the result is bit-identical at any parallelism and in the
+        # DuckDB twin; one double division afterwards is deterministic.
+        dval = F.round("val", 9).cast("decimal(38,9)")
+        agg = msgs.groupBy("node", "pos").agg(
+            (F.sum(dval).cast("double") / F.count("*")).alias("val")
+        )
         is_last = h == hops - 1
         if round_to is not None and is_last:
-            agg = agg.select("node", "pos", F.round("val", round_to).alias("val"))
+            # "+ 0.0" collapses IEEE -0.0 to +0.0 (a tiny negative mean
+            # rounds to signed zero in some engines, not others)
+            agg = agg.select(
+                "node", "pos", (F.round("val", round_to) + F.lit(0.0)).alias("val")
+            )
         assembled = agg.groupBy("node").agg(
             F.array_sort(
                 F.collect_list(F.struct("pos", "val"))
@@ -84,7 +98,9 @@ def neighborhood_mean_features(
         if round_to is not None and is_last:
             fallback = fallback.select(
                 "node",
-                F.transform("vec", lambda v: F.round(v, round_to)).alias("vec"),
+                F.transform(
+                    "vec", lambda v: F.round(v, round_to) + F.lit(0.0)
+                ).alias("vec"),
             )
         state = assembled.unionByName(fallback)
     return state
@@ -129,12 +145,18 @@ msgs AS (
   {self_union}
 ),
 agg AS MATERIALIZED (
-  SELECT node, pos, ROUND(AVG(val), {round_to}) AS val
+  -- decimal-exact sum then one double division: order-independent,
+  -- mirrors the Spark plan bit-for-bit (see neighborhood_mean_features)
+  -- "+ 0.0" collapses IEEE -0.0 to +0.0, matching the Spark plan
+  SELECT node, pos,
+         ROUND(CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / COUNT(*), {round_to}) + 0.0 AS val
   FROM msgs GROUP BY node, pos
 )
 SELECT node, CAST(pos AS BIGINT) AS pos, val FROM agg
 UNION ALL
-SELECT e.node, CAST(e.pos AS BIGINT) AS pos, ROUND(e.val, {round_to}) AS val
+SELECT e.node, CAST(e.pos AS BIGINT) AS pos,
+       ROUND(e.val, {round_to}) + 0.0 AS val
 FROM ex e WHERE e.node NOT IN (SELECT node FROM agg)
 """
 

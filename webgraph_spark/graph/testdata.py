@@ -2257,3 +2257,62 @@ f_r{k} AS MATERIALIZED (SELECT p.node,
         "WITH " + ",".join(parts)
         + f"\nSELECT node, ROUND(rank, {round_to}) AS trust FROM f_r{iters}"
     )
+
+
+def louvain_sql(rounds: int = 2) -> str:
+    """Twin of :func:`webgraph_spark.algos.louvain.louvain_moves`
+    (one level, unweighted): unrolled synchronous integer-exact
+    modularity move rounds — per round, community strengths from the
+    previous labels, k_ic arc mass into neighbour communities, the
+    stay option unioned in, HUGEINT score m*k_ic - s_i*tot'_c, argmax
+    with min-label tie-break, alternating-parity move gate
+    ((node + k) % 2 = 0 may move in round k — the oscillation breaker,
+    see algos/louvain.py). No float arithmetic anywhere."""
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
+    parts.append("""
+lv_deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS s FROM sym GROUP BY src)""")
+    parts.append("""
+lv_m AS MATERIALIZED (SELECT COUNT(*) AS m FROM sym)""")
+    parts.append("""
+lv0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""")
+    for k in range(1, rounds + 1):
+        prev = f"lv{k - 1}"
+        parts.append(f"""
+lv_tot{k} AS MATERIALIZED (
+  SELECT l.label, SUM(COALESCE(d.s, 0)) AS tot
+  FROM {prev} l LEFT JOIN lv_deg d ON l.node = d.node GROUP BY l.label)""")
+        parts.append(f"""
+lv_kic{k} AS MATERIALIZED (
+  SELECT s.src AS node, l.label, COUNT(*) AS kic
+  FROM sym s JOIN {prev} l ON s.dst = l.node GROUP BY s.src, l.label)""")
+        parts.append(f"""
+lv_cand{k} AS MATERIALIZED (
+  SELECT node, label, MAX(kic) AS kic FROM (
+    SELECT node, label, kic FROM lv_kic{k}
+    UNION ALL SELECT node, label, 0 AS kic FROM {prev}) u
+  WHERE (node + {k}) % 2 = 0
+  GROUP BY node, label)""")
+        parts.append(f"""
+lv_sc{k} AS MATERIALIZED (
+  SELECT c.node, c.label,
+         CAST(m.m AS HUGEINT) * c.kic
+         - CAST(COALESCE(d.s, 0) AS HUGEINT)
+           * (COALESCE(t.tot, 0)
+              - CASE WHEN c.label = l.label THEN COALESCE(d.s, 0)
+                     ELSE 0 END) AS score
+  FROM lv_cand{k} c
+  JOIN {prev} l ON c.node = l.node
+  LEFT JOIN lv_deg d ON c.node = d.node
+  LEFT JOIN lv_tot{k} t ON c.label = t.label
+  CROSS JOIN lv_m m)""")
+        parts.append(f"""
+lv_best{k} AS MATERIALIZED (SELECT node, label FROM (
+  SELECT node, label,
+         ROW_NUMBER() OVER (PARTITION BY node
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM lv_sc{k}) t WHERE rn = 1)""")
+        parts.append(f"""
+lv{k} AS MATERIALIZED (
+  SELECT l.node, COALESCE(b.label, l.label) AS label
+  FROM {prev} l LEFT JOIN lv_best{k} b ON l.node = b.node)""")
+    return "WITH " + ",".join(parts) + f"\nSELECT node, label FROM lv{rounds}"

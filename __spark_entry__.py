@@ -146,6 +146,24 @@ def q_louvain2(spark, sf_dir):
     return res.labels.select("node", "label")
 
 
+def q_hitting6(spark, sf_dir):
+    """Truncated random-walk hitting time to the supplier layer
+    (algos/paths.py:hitting_time): expected steps for the uniform walk
+    on the symmetric graph to first reach a supplier node, value
+    iteration truncated at 6 — decimal-exact sums, bit-equal twin."""
+    from webgraph_spark.algos.paths import hitting_time
+    from webgraph_spark.graph.testdata import OFF_SUPP
+
+    e = _edges(spark, sf_dir)
+    targets = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .where(F.col("node") >= OFF_SUPP)
+        .distinct()
+    )
+    return hitting_time(e, targets, iters=6, num_partitions=16)
+
+
 def q_triangles(spark, sf_dir):
     n = triangle_count(_edges(spark, sf_dir))
     return spark.createDataFrame([(n,)], "triangles long")
@@ -2819,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lp3": q_lp3,
         "graph_modularity3": q_modularity3,
         "graph_louvain2": q_louvain2,
+        "graph_hitting6": q_hitting6,
         "graph_triangles": q_triangles,
         "graph_doulion_triangles": q_doulion,
         "graph_rmat_degrees": q_rmat_degrees,
@@ -3590,6 +3609,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lp3": td.lp_sql(rounds=3),
         "graph_modularity3": td.modularity_sql(rounds=3),
         "graph_louvain2": td.louvain_sql(rounds=2),
+        "graph_hitting6": td.hitting_time_sql(iters=6),
         "graph_triangles": td.triangles_sql(),
         "graph_doulion_triangles": td.doulion_sql(k=4),
         "graph_rmat_degrees": _rmat_sql(),

@@ -265,3 +265,113 @@ def temporal_reachability(
             release_local_checkpoint(state)
             state = new_state
     return state
+
+
+def hitting_time(
+    edges: DataFrame,
+    targets: DataFrame,
+    iters: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Truncated expected hitting time of a random walk on the
+    symmetrized simple graph: h(v) = expected number of steps for the
+    uniform walk started at v to first reach the ``targets(node)`` set.
+
+    Value iteration on the absorbing linear system, truncated at
+    ``iters``::
+
+        h_0(v)    = 0
+        h_k(v)    = 0                                   v in targets
+        h_k(v)    = 1 + (1/deg v) * sum_{u ~ v} h_{k-1}(u)   otherwise
+
+    h_k(v) equals the exact hitting time restricted to walks absorbed
+    within k steps plus k * P(not yet absorbed) — a monotone
+    lower-bound sequence converging to the true hitting time, the
+    standard truncated value iteration. Nodes that cannot reach the
+    target set converge to the truncation value k (report with the
+    iteration count; at k -> inf they are +inf). A node with no arcs
+    at all is pinned to k explicitly — the walk from it never moves.
+
+    Cross-engine determinism (the house contract, strongest form): h
+    is maintained as an INTEGER in units of 1e-9 steps. Neighbour sums
+    are exact int64 sums; the per-node division rounds half-up in
+    integer arithmetic — floor((2*S + deg) / (2*deg)) — so no float
+    exists anywhere in the loop and the DuckDB twin
+    (:func:`webgraph_spark.graph.testdata.hitting_time_sql`) is
+    bit-equal by construction. (A first draft divided a DECIMAL(38,9)
+    sum by the degree in float: with an even degree the quotient lands
+    EXACTLY on a .5 boundary at digit 10, and Spark's BigDecimal
+    HALF_UP vs DuckDB's float round disagreed on 134/18600 nodes.)
+    The single float appears in the output conversion hit = H / 1e9.
+    Overflow bound: max H = iters * 1e9, so a neighbour sum needs
+    degree * iters * 1e9 < 2^63 — degree < 1.5e9 at iters=6; beyond
+    that, swap the sum column to decimal(38,0).
+
+    Plan shape per iteration (PageRank's): one co-partitioned
+    shuffle-hash join of the symmetric arc table against the h table +
+    one groupBy(dst) sum with map-side combine — O(|E|) per round, no
+    per-node state growth; scale posture identical to the mandated
+    PageRank loop. Returns (node, hit double) with targets at 0.0.
+    """
+    from ..operators.transforms import no_loops, symmetrize
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = (
+        no_loops(symmetrize(edges.select("src", "dst")))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    tgt = targets.select("node").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = (
+        nodes.join(tgt.withColumn("_t", F.lit(1)).hint("shuffle_hash"), "node", "left")
+        .join(deg.hint("shuffle_hash"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("_t", F.lit(0)).alias("is_target"),
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+        )
+        .repartition(num_partitions, "node")
+        .persist()
+    )
+    scale = 10**9
+    h = base.select("node", F.lit(0).cast("long").alias("hs"))
+
+    def step(state: DataFrame, k: int):
+        contrib = (
+            sym.join(
+                state.select(F.col("node").alias("src"), "hs").hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hs").alias("nsum"))
+        )
+        new_h = (
+            base.join(contrib.hint("shuffle_hash"), "node", "left")
+            .withColumn("nsum", F.coalesce("nsum", F.lit(0)))
+            .select(
+                "node",
+                F.when(F.col("is_target") == 1, F.lit(0))
+                .when(F.col("deg") == 0, F.lit(k * scale))
+                .otherwise(
+                    F.lit(scale)
+                    + F.expr("(2 * nsum + deg) div (2 * deg)")
+                )
+                .cast("long")
+                .alias("hs"),
+            )
+        )
+        return new_h, {}, None
+
+    with iteration_confs(spark):
+        h, _, _ = iterate(spark, h, step, max_iter=iters, run_id="hitting_time")
+    sym.unpersist()
+    base.unpersist()
+    return h.select("node", (F.col("hs").cast("double") / F.lit(float(scale))).alias("hit"))

@@ -2316,3 +2316,42 @@ lv{k} AS MATERIALIZED (
   SELECT l.node, COALESCE(b.label, l.label) AS label
   FROM {prev} l LEFT JOIN lv_best{k} b ON l.node = b.node)""")
     return "WITH " + ",".join(parts) + f"\nSELECT node, label FROM lv{rounds}"
+
+
+def hitting_time_sql(iters: int = 6) -> str:
+    """Twin of :func:`webgraph_spark.algos.paths.hitting_time` with the
+    supplier layer (node >= OFF_SUPP) as the absorbing target set:
+    unrolled truncated value iteration in INTEGER units of 1e-9 steps —
+    exact int sums, half-up integer division, one float division at
+    the very end (see the Spark docstring for why no float may appear
+    inside the loop)."""
+    parts = [EDGES_CTE, NODES_CTE, SYM_CTE]
+    parts.append("""
+ht_deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src)""")
+    parts.append(f"""
+ht_base AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN n.node >= {OFF_SUPP} THEN 1 ELSE 0 END AS is_target,
+         COALESCE(d.deg, 0) AS deg
+  FROM nodes n LEFT JOIN ht_deg d ON n.node = d.node)""")
+    parts.append("""
+ht0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS hs FROM ht_base)""")
+    for k in range(1, iters + 1):
+        prev = f"ht{k - 1}"
+        parts.append(f"""
+ht_c{k} AS MATERIALIZED (
+  SELECT s.dst AS node, SUM(h.hs) AS nsum
+  FROM sym s JOIN {prev} h ON s.src = h.node GROUP BY s.dst)""")
+        parts.append(f"""
+ht{k} AS MATERIALIZED (
+  SELECT b.node,
+         CAST(CASE WHEN b.is_target = 1 THEN 0
+              WHEN b.deg = 0 THEN {k} * 1000000000
+              ELSE 1000000000
+                   + (2 * COALESCE(c.nsum, 0) + b.deg) // (2 * b.deg)
+         END AS BIGINT) AS hs
+  FROM ht_base b LEFT JOIN ht_c{k} c ON b.node = c.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, CAST(hs AS DOUBLE) / 1000000000.0 AS hit FROM ht{iters}"
+    )

@@ -2590,6 +2590,20 @@ def q_salsa4(spark, sf_dir):
 BM25_QUERY_TERMS = ["data", "model", "learning", "spark", "graph"]
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical + exact-cosine semantic lists
+    fused by reciprocal-rank fusion (functions/retrieval.py) — the
+    standard hybrid-search recipe for RAG/training-data stacks; both
+    rankers bounded to a top-50 pool, fusion is a pool-sized join."""
+    from webgraph_spark.functions.retrieval import hybrid_rrf_topk
+
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hybrid_rrf_topk(
+        docs, emb, BM25_QUERY_TERMS, query_vec_id=0, k=10, pool=50
+    )
+
+
 def q_bm25_top10(spark, sf_dir):
     """Okapi BM25 top-10 documents for a fixed bag-of-terms query
     (inverted-index DataFrame plan; ties break on doc_id)."""
@@ -2966,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector8": q_eigenvector8,
         "graph_salsa4": q_salsa4,
         "docs_bm25_top10": q_bm25_top10,
+        "docs_hybrid_rrf_top10": q_hybrid_rrf,
         "docs_bigram_lm": q_bigram_lm,
         "docs_ngram_topk": q_ngram_topk,
         "emb_kmeans": q_kmeans,
@@ -4030,6 +4045,9 @@ GROUP BY s.src""",
         "graph_eigenvector8": td.eigenvector_sql(iters=8, round_to=9),
         "graph_salsa4": td.salsa_sql(iters=4, round_to=9),
         "docs_bm25_top10": _retrieval.bm25_topk_sql(BM25_QUERY_TERMS, k=10),
+        "docs_hybrid_rrf_top10": _retrieval.hybrid_rrf_sql(
+            BM25_QUERY_TERMS, query_vec_id=0, k=10, pool=50
+        ),
         "docs_bigram_lm": _retrieval.bigram_lm_sql(),
         "docs_ngram_topk": _retrieval.ngram_topk_sql(n=3, k=20),
         "emb_kmeans": (

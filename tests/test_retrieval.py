@@ -237,3 +237,52 @@ def test_tfidf_dense_and_index_paths_agree(spark):
             ).collect()
         }
         assert dense == index, f"paths diverge at min_sim={min_sim}"
+
+
+# ------------------------------------------------------------------- RRF
+
+def test_rrf_fuse_known_ranks(spark):
+    from webgraph_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank long")
+    out = rrf_fuse([lex, sem], k=10, c=60).collect()
+    got = {r.doc_id: (r.rrf, r.rank_0, r.rank_1) for r in out}
+    assert got[20] == (pytest.approx(1 / 62 + 1 / 61, abs=1e-9), 2, 1)
+    assert got[10] == (pytest.approx(1 / 61, abs=1e-9), 1, 0)
+    assert got[40] == (pytest.approx(1 / 62, abs=1e-9), 0, 2)
+    # doc in both lists outranks any doc in one list at these depths
+    order = [r.doc_id for r in out]
+    assert order[0] == 20
+
+
+def test_rrf_fuse_tie_breaks_by_doc_id(spark):
+    from webgraph_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1), (3, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (5, 2)], "doc_id long, rank long")
+    out = rrf_fuse([a, b], k=2, c=60).collect()
+    # symmetric ranks -> equal rrf; ascending doc_id wins
+    assert [r.doc_id for r in out] == [3, 5]
+
+
+def test_hybrid_rrf_contains_lexical_and_semantic_hits(spark):
+    import numpy as np
+    from webgraph_spark.functions.retrieval import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(7, 8))
+    vecs[2] = vecs[0] * 0.9 + 0.01  # vec 2 near the query vec 0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(7)],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_rrf_topk(
+        docs, emb, ["spark", "graph"], query_vec_id=0, k=5, pool=5
+    ).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 in ids  # strongest lexical hit ("spark, spark, spark")
+    assert 2 in ids  # strongest semantic hit (constructed neighbour)
+    top = out[0]
+    assert top.rrf >= out[-1].rrf

@@ -551,3 +551,149 @@ SELECT ngram, COUNT(*)::BIGINT AS cnt,
        COUNT(DISTINCT doc_id)::BIGINT AS n_docs
 FROM g GROUP BY ngram
 ORDER BY cnt DESC, ngram ASC LIMIT {k}"""
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) of any number
+    of ranked candidate lists: rrf(d) = sum_lists 1 / (c + rank_d);
+    a document missing from a list contributes 0 from it.
+
+    Each input frame must carry (id_col, rank) with rank 1-based and
+    deterministic (the house contract: every ranker here breaks score
+    ties by ascending id). The fused score is a sum of CONSTANT-order
+    terms — list i's term is coalesced at position i in one fixed
+    expression — so it is bit-stable across engines and parallelism.
+    Output: (doc_id, rrf, rank_0, rank_1, ...) with missing ranks as 0,
+    top-k by (rrf desc, doc_id asc).
+
+    Scale posture: each list is already top-pool sized (driver-bounded),
+    so the fusion is a broadcast-sized multi-way outer join — the
+    expensive part of hybrid retrieval stays in the rankers, which are
+    each one scan + one bounded top-k.
+    """
+    assert ranked_lists, "need at least one ranked list"
+    fused = None
+    for i, lst in enumerate(ranked_lists):
+        part = lst.select(
+            F.col(id_col), F.col("rank").cast("long").alias(f"rank_{i}")
+        )
+        fused = part if fused is None else fused.join(part, id_col, "full_outer")
+    rrf = None
+    for i in range(len(ranked_lists)):
+        term = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"rank_{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        rrf = term if rrf is None else rrf + term
+    out = fused.select(
+        id_col,
+        F.round(rrf, round_to).alias("rrf"),
+        *[
+            F.coalesce(F.col(f"rank_{i}"), F.lit(0)).alias(f"rank_{i}")
+            for i in range(len(ranked_lists))
+        ],
+    )
+    return out.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 over ``docs.text`` and
+    exact cosine over ``embeddings`` (vec_id is the doc_id — the
+    document-embedding pairing of the test tables), each truncated to
+    its top-``pool``, fused with reciprocal-rank fusion — the standard
+    hybrid-search recipe for RAG / training-data retrieval stacks.
+
+    The semantic query is the corpus vector ``query_vec_id`` (excluded
+    from its own neighbour list by the cosine ranker; it may still
+    surface through the lexical list, which is honest hybrid
+    behaviour). Returns (doc_id, rrf, rank_0=lexical, rank_1=semantic).
+    """
+    from .similarity import cosine_topk
+
+    from pyspark.sql import Window
+
+    lex_scores = bm25_topk(docs, query_terms, k=pool)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex_scores.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("rank")
+    )
+    q = embeddings.where(F.col("vec_id") == query_vec_id)
+    sem = cosine_topk(embeddings, q, k=pool).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, sem], k=k, c=c)
+
+
+def hybrid_rrf_sql(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    c: int = 60,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_topk` over the test tables."""
+    bm25 = bm25_topk_sql(query_terms, k=pool)
+    dot = (
+        "list_reduce(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b)"
+    )
+    qnorm = (
+        "sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    enorm = (
+        "sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    return f"""
+WITH lexpool AS MATERIALIZED ({bm25}),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM lexpool
+),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = {query_vec_id}),
+sem_scored AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(({dot}) / (({qnorm}) * ({enorm})), 6) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+),
+sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS rank
+    FROM sem_scored) t
+  WHERE rank <= {pool}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         ROUND(
+           (CASE WHEN l.rank IS NOT NULL
+                 THEN 1.0 / ({c}.0 + CAST(l.rank AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN s.rank IS NOT NULL
+                 THEN 1.0 / ({c}.0 + CAST(s.rank AS DOUBLE)) ELSE 0.0 END),
+           {round_to}) AS rrf,
+         CAST(COALESCE(l.rank, 0) AS BIGINT) AS rank_0,
+         CAST(COALESCE(s.rank, 0) AS BIGINT) AS rank_1
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, rrf, rank_0, rank_1 FROM fused
+ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+"""

@@ -463,6 +463,18 @@ def q_wl_labels(spark, sf_dir):
     return wl_refinement(_edges(spark, sf_dir), iters=3, num_partitions=16)
 
 
+def q_simrank_top20(spark, sf_dir):
+    """Fingerprint SimRank (Fogaras-Racz WWW'05): top-20 node pairs by
+    expected decay^(first meeting step) of md5-seeded reverse walks —
+    the scalable Monte-Carlo SimRank, hub-capped meeting buckets,
+    shared decay literals (algos/linkpred.py:simrank_fingerprint)."""
+    from webgraph_spark.algos.linkpred import simrank_fingerprint
+
+    return simrank_fingerprint(
+        _edges(spark, sf_dir), n_walks=8, length=4, decay=0.5, k=20
+    )
+
+
 def q_link_prediction(spark, sf_dir):
     """Link-prediction scores (Liben-Nowell & Kleinberg 2003): common
     neighbours / Jaccard / Adamic-Adar for all pairs among the 20
@@ -2969,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_extract_component": q_extract_component,
         "graph_hostgray_gamma_bits": q_hostgray_gamma_bits,
         "graph_random_walks": q_random_walks,
+        "graph_simrank_top20": q_simrank_top20,
         "graph_node2vec_walks": q_node2vec,
         "graph_wl_labels": q_wl_labels,
         "graph_link_prediction": q_link_prediction,
@@ -3148,6 +3161,14 @@ def _random_walks_sql() -> str:
 wsrc AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
          ORDER BY node LIMIT 5),"""
         + random_walks_sql(length=4, n_walks=2)
+    )
+
+
+def _simrank_sql() -> str:
+    from webgraph_spark.algos.linkpred import simrank_fingerprint_sql
+
+    return simrank_fingerprint_sql(
+        td.EDGES_CTE, n_walks=8, length=4, decay=0.5, k=20
     )
 
 
@@ -4029,6 +4050,7 @@ FROM base b LEFT JOIN per ON b.doc_id = per.doc_id""",
             group_expr=f"CAST(FLOOR(node / {td.OFF_ORDER}) AS BIGINT)"
         ),
         "graph_random_walks": _random_walks_sql(),
+        "graph_simrank_top20": _simrank_sql(),
         "graph_node2vec_walks": _node2vec_sql(),
         "graph_wl_labels": _wl_sql(),
         "graph_link_prediction": _link_prediction_sql(),

@@ -86,14 +86,16 @@ def random_walks(
     return out
 
 
-def random_walks_sql(length: int = 4, n_walks: int = 1) -> str:
+def random_walks_sql(length: int = 4, n_walks: int = 1,
+                     edges_table: str = "edges") -> str:
     """DuckDB twin CTE block: caller's WITH must already define
-    ``edges`` and ``wsrc(node)``. Reproduces the md5-picked walks
-    exactly."""
+    ``{edges_table}`` and ``wsrc(node)``. Reproduces the md5-picked
+    walks exactly (``edges_table`` lets a caller walk a transposed or
+    filtered view without CTE-name collisions)."""
     parts = [f"""
 succ AS MATERIALIZED (
   SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
-  FROM (SELECT DISTINCT src, dst FROM edges) t),
+  FROM (SELECT DISTINCT src, dst FROM {edges_table}) t),
 odeg AS (SELECT src, COUNT(*) AS outdeg FROM succ GROUP BY src),
 w0 AS MATERIALIZED (
   SELECT s.node * {n_walks} + j.j AS walk_id, s.node

@@ -41,6 +41,7 @@ from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
 from webgraph_spark.functions import clustering as _clustering
 from webgraph_spark.functions import mining as _mining
 from webgraph_spark.functions import retrieval as _retrieval
+from webgraph_spark.functions import similarity as _similarity
 from webgraph_spark.algos import features as _features
 from webgraph_spark.functions import mlscore as _mlscore
 from webgraph_spark.functions import sketches as _sketches
@@ -134,6 +135,17 @@ def q_modularity3(spark, sf_dir):
     e = _edges(spark, sf_dir)
     res = label_propagation(e, max_iter=3, num_partitions=16)
     return modularity(e, res.labels)
+
+
+def q_conductance(spark, sf_dir):
+    """Conductance of the 5 largest LP(3) communities — exact integer
+    cut/vol, one rounded division (algos/labelprop.py:
+    community_conductance); the per-community quality companion to Q."""
+    from webgraph_spark.algos.labelprop import community_conductance
+
+    e = _edges(spark, sf_dir)
+    res = label_propagation(e, max_iter=3, num_partitions=16)
+    return community_conductance(e, res.labels, k=5)
 
 
 def q_louvain2(spark, sf_dir):
@@ -665,6 +677,17 @@ def q_cosine_top5(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk(emb, queries, k=5)
+
+
+def q_emb_anisotropy(spark, sf_dir):
+    """Exact mean pairwise cosine of the normalized corpus (Ethayarajh
+    EMNLP'19 anisotropy diagnostic) via the ||sum of unit vectors||^2
+    identity — all n^2 pairs measured with ONE n*d-row aggregation,
+    no pair join (functions/similarity.py:anisotropy)."""
+    from webgraph_spark.functions.similarity import anisotropy
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return anisotropy(emb)
 
 
 def q_emb_label_counts(spark, sf_dir):
@@ -2864,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity3": q_modularity3,
         "graph_louvain2": q_louvain2,
         "graph_hitting6": q_hitting6,
+        "graph_conductance5": q_conductance,
         "graph_triangles": q_triangles,
         "graph_doulion_triangles": q_doulion,
         "graph_rmat_degrees": q_rmat_degrees,
@@ -2893,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_simhash,
         "docs_dedup_clusters": q_dedup_clusters,
         "emb_cosine_top5": q_cosine_top5,
+        "emb_anisotropy": q_emb_anisotropy,
         "emb_label_counts": q_emb_label_counts,
         "events_hourly": q_events_hourly,
         "events_sessions": q_event_sessions,
@@ -3646,6 +3671,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity3": td.modularity_sql(rounds=3),
         "graph_louvain2": td.louvain_sql(rounds=2),
         "graph_hitting6": td.hitting_time_sql(iters=6),
+        "graph_conductance5": td.conductance_sql(rounds=3, k=5),
         "graph_triangles": td.triangles_sql(),
         "graph_doulion_triangles": td.doulion_sql(k=4),
         "graph_rmat_degrees": _rmat_sql(),
@@ -3739,6 +3765,7 @@ sz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY canonical
 SELECT l.doc_id, l.canonical_id, s.cluster_size
 FROM lab l JOIN sz s USING (canonical_id)""",
         "emb_cosine_top5": _cosine_sql(),
+        "emb_anisotropy": _similarity.anisotropy_sql(),
         "emb_label_counts": (
             "SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n "
             "FROM embeddings GROUP BY label"

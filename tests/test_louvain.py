@@ -125,3 +125,21 @@ def test_louvain_sql_twin_duckdb(spark):
     got = {r.node: r.label for r in res.labels.collect()}
     assert got == want
     g.unpersist()
+
+
+def test_community_conductance_two_cliques(spark):
+    from webgraph_spark.algos.labelprop import community_conductance
+
+    g = _planted(spark, k=5, blocks=2)  # one bridge arc between cliques
+    labels = spark.createDataFrame(
+        [(i, i // 5) for i in range(10)], "node long, label long"
+    )
+    out = community_conductance(g, labels, k=2).collect()
+    by_label = {r.label: r for r in out}
+    # sym graph: each clique has 5*4=20 internal arcs + 1 bridge
+    # endpoint -> vol 21, cut 1; phi = 1/21
+    for lbl in (0, 1):
+        r = by_label[lbl]
+        assert r.n_nodes == 5
+        assert r.vol == 21 and r.cut == 1
+        assert r.phi == round(1 / 21, 9)

@@ -286,3 +286,35 @@ def test_hybrid_rrf_contains_lexical_and_semantic_hits(spark):
     assert 2 in ids  # strongest semantic hit (constructed neighbour)
     top = out[0]
     assert top.rrf >= out[-1].rrf
+
+
+def test_anisotropy_matches_bruteforce(spark):
+    import numpy as np
+    from webgraph_spark.functions.similarity import anisotropy
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 16))
+    vecs[7] = 0.0  # one zero vector must be excluded and counted
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    row = anisotropy(emb).collect()[0]
+    keep = [i for i in range(40) if i != 7]
+    u = vecs[keep] / np.linalg.norm(vecs[keep], axis=1, keepdims=True)
+    sims = u @ u.T
+    n = len(keep)
+    want = (sims.sum() - n) / (n * (n - 1))
+    assert row.n_vectors == n and row.n_zero == 1
+    assert row.mean_pairwise_cosine == pytest.approx(want, abs=1e-6)
+
+
+def test_anisotropy_identical_vectors_is_one(spark):
+    from webgraph_spark.functions.similarity import anisotropy
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    row = anisotropy(emb).collect()[0]
+    assert row.mean_pairwise_cosine == pytest.approx(1.0, abs=1e-9)

@@ -180,3 +180,67 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             F.col("m").cast("long").alias("m_arcs"),
         )
     )
+
+
+def community_conductance(
+    edges: DataFrame, labels: DataFrame, k: int = 5, round_to: int = 9
+) -> DataFrame:
+    """Conductance of the ``k`` largest communities of a partition:
+    phi(C) = cut(C, V-C) / min(vol(C), vol(V) - vol(C)) on the
+    symmetrized loop-free graph — the per-community quality score that
+    complements the global modularity Q (and the sweep objective of
+    algos/localcluster.py, here evaluated for a given partition).
+
+    All quantities are exact integers (vol = arc endpoints in C, cut =
+    arcs leaving C); the single float is the final division, rounded —
+    so the DuckDB twin matches bit-for-bit. Ties in the top-k-by-size
+    break by ascending label.
+
+    Shuffle shape: the two label joins + one groupBy(label) every
+    partition metric here uses; the top-k is a size-table sort. Scale
+    posture identical to :func:`modularity`.
+    """
+    sym = no_loops(symmetrize(edges.select("src", "dst")))
+    lab = labels.select("node", "label")
+    arcs = (
+        sym.join(lab.withColumnRenamed("node", "src")
+                    .withColumnRenamed("label", "lsrc"), "src")
+           .join(lab.withColumnRenamed("node", "dst")
+                    .withColumnRenamed("label", "ldst"), "dst")
+    )
+    per = arcs.groupBy(F.col("lsrc").alias("label")).agg(
+        F.count("*").alias("vol"),
+        F.sum(F.when(F.col("lsrc") != F.col("ldst"), 1).otherwise(0)).alias("cut"),
+    )
+    sizes = lab.groupBy("label").agg(F.count("*").alias("n_nodes"))
+    m = sym.count()  # total arc mass = vol(V)
+    top = (
+        sizes.orderBy(F.col("n_nodes").desc(), F.col("label").asc())
+        .limit(k)
+    )
+    return (
+        top.join(per, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("vol", F.lit(0)).alias("vol"),
+            F.coalesce("cut", F.lit(0)).alias("cut"),
+            F.when(
+                F.least(F.coalesce("vol", F.lit(0)),
+                        F.lit(m) - F.coalesce("vol", F.lit(0))) == 0,
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.round(
+                    F.coalesce("cut", F.lit(0)).cast("double")
+                    / F.least(
+                        F.coalesce("vol", F.lit(0)),
+                        F.lit(m) - F.coalesce("vol", F.lit(0)),
+                    ).cast("double"),
+                    round_to,
+                )
+            )
+            .alias("phi"),
+        )
+        .orderBy(F.col("n_nodes").desc(), F.col("label").asc())
+    )

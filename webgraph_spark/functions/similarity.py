@@ -897,3 +897,121 @@ def truncated_recall(
     return _recall_frame(
         embeddings, queries, approx, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def anisotropy(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 9,
+) -> DataFrame:
+    """EXACT mean pairwise cosine over all n*(n-1) ordered pairs of
+    L2-normalized vectors — the standard embedding-anisotropy
+    diagnostic (Ethayarajh EMNLP'19: contextual embeddings cluster in a
+    narrow cone; high mean cosine = degenerate geometry) — WITHOUT the
+    O(n^2) pair join:
+
+        sum_{a != b} cos(a,b) = ||sum_a u_a||^2 - n
+
+    so one pass accumulates the component-wise sum of unit vectors and
+    the whole statistic is (||S||^2 - n) / (n * (n - 1)).
+
+    Determinism: per-row normalization folds the squared components
+    LEFT-TO-RIGHT in the array (same order as the DuckDB twin's
+    list_reduce); unit components are quantized to 12 decimals and
+    summed as DECIMAL (order-free exact sums), and the 64 per-dimension
+    squares are again decimal-summed. The only unquantized floats are
+    per-row scalars with a fixed evaluation order, so the twin matches
+    bit-for-bit.
+
+    Scale posture: one projection + one groupBy(pos) over n*d rows —
+    embarrassingly partial-aggregable; no shuffle larger than d rows
+    leaves the map side. Zero vectors are excluded (reported).
+
+    Returns one row: (n_vectors, n_zero, mean_pairwise_cosine).
+    """
+    sq_sum = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(sq_sum).alias("nrm"),
+    )
+    n_zero = base.where(F.col("nrm") == 0.0).count()
+    unit = (
+        base.where(F.col("nrm") > 0.0)
+        .select(
+            "vid",
+            F.posexplode(
+                F.transform(
+                    "v", lambda x: F.round(x.cast("double") / F.col("nrm"), 12)
+                )
+            ).alias("pos", "u"),
+        )
+    )
+    dims = unit.groupBy("pos").agg(
+        F.sum(F.col("u").cast("decimal(38,12)")).alias("s")
+    )
+    tot = dims.agg(
+        F.sum(
+            F.round(F.col("s").cast("double") * F.col("s").cast("double"), 12)
+            .cast("decimal(38,12)")
+        ).alias("ss")
+    )
+    n_vec = base.where(F.col("nrm") > 0.0).count()
+    denom = n_vec * (n_vec - 1) if n_vec > 1 else 1
+    return tot.select(
+        F.lit(n_vec).cast("long").alias("n_vectors"),
+        F.lit(n_zero).cast("long").alias("n_zero"),
+        F.round(
+            (F.col("ss").cast("double") - F.lit(float(n_vec)))
+            / F.lit(float(denom)),
+            round_to,
+        ).alias("mean_pairwise_cosine"),
+    )
+
+
+def anisotropy_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`anisotropy` (identical fold order,
+    quantization, and decimal sums)."""
+    sq = (
+        f"list_reduce(list_transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS vid, {vec_col} AS v, sqrt({sq}) AS nrm
+  FROM {table}
+),
+unit AS MATERIALIZED (
+  SELECT vid,
+         generate_subscripts(v, 1) - 1 AS pos,
+         CAST(ROUND(CAST(unnest(v) AS DOUBLE) / nrm, 12)
+              AS DECIMAL(38,12)) AS u
+  FROM base WHERE nrm > 0.0
+),
+dims AS (SELECT pos, SUM(u) AS s FROM unit GROUP BY pos),
+tot AS (
+  SELECT SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 12)
+             AS DECIMAL(38,12))) AS ss
+  FROM dims),
+counts AS (
+  SELECT COUNT(*) FILTER (nrm > 0.0) AS n_vec,
+         COUNT(*) FILTER (nrm = 0.0) AS n_zero
+  FROM base)
+SELECT CAST(c.n_vec AS BIGINT) AS n_vectors,
+       CAST(c.n_zero AS BIGINT) AS n_zero,
+       ROUND((CAST(t.ss AS DOUBLE) - CAST(c.n_vec AS DOUBLE))
+             / CASE WHEN c.n_vec > 1
+                    THEN CAST(c.n_vec * (c.n_vec - 1) AS DOUBLE)
+                    ELSE 1.0 END, {round_to}) AS mean_pairwise_cosine
+FROM tot t, counts c
+"""

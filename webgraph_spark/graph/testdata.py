@@ -2355,3 +2355,41 @@ ht{k} AS MATERIALIZED (
         "WITH " + ",".join(parts)
         + f"\nSELECT node, CAST(hs AS DOUBLE) / 1000000000.0 AS hit FROM ht{iters}"
     )
+
+
+def conductance_sql(rounds: int = 3, k: int = 5, round_to: int = 9) -> str:
+    """Twin of :func:`webgraph_spark.algos.labelprop.
+    community_conductance` over the ``rounds``-round LP partition:
+    integer cut/vol per community, one rounded division, top-k by
+    (size desc, label asc)."""
+    lp = lp_sql(rounds)
+    lp_body = lp[len("WITH "):lp.rindex("\nSELECT")]
+    return (
+        "WITH " + lp_body + f""",
+cd_lab AS MATERIALIZED (SELECT node, label FROM l{rounds}),
+cd_arcs AS MATERIALIZED (
+  SELECT la.label AS lsrc, lb.label AS ldst
+  FROM sym s JOIN cd_lab la ON s.src = la.node
+             JOIN cd_lab lb ON s.dst = lb.node),
+cd_m AS (SELECT COUNT(*) AS m FROM sym),
+cd_per AS (
+  SELECT lsrc AS label, COUNT(*) AS vol,
+         SUM(CASE WHEN lsrc <> ldst THEN 1 ELSE 0 END) AS cut
+  FROM cd_arcs GROUP BY lsrc),
+cd_top AS (
+  SELECT label, COUNT(*) AS n_nodes FROM cd_lab GROUP BY label
+  ORDER BY n_nodes DESC, label ASC LIMIT {k})
+SELECT t.label, t.n_nodes,
+       COALESCE(p.vol, 0) AS vol,
+       COALESCE(p.cut, 0) AS cut,
+       CASE WHEN LEAST(COALESCE(p.vol, 0),
+                       (SELECT m FROM cd_m) - COALESCE(p.vol, 0)) = 0
+            THEN 0.0
+            ELSE ROUND(CAST(COALESCE(p.cut, 0) AS DOUBLE)
+                       / CAST(LEAST(COALESCE(p.vol, 0),
+                                    (SELECT m FROM cd_m) - COALESCE(p.vol, 0))
+                              AS DOUBLE), {round_to})
+       END AS phi
+FROM cd_top t LEFT JOIN cd_per p ON t.label = p.label
+ORDER BY t.n_nodes DESC, t.label ASC"""
+    )

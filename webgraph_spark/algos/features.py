@@ -67,23 +67,44 @@ def neighborhood_mean_features(
         ).select(F.col("to").alias("node"), "pos", "val")
         if include_self:
             msgs = msgs.unionByName(exploded)
-        # mean via a DECIMAL-exact sum (messages quantized to 9 decimals
-        # first — the linkpred/curation idiom): float SUM order varies
-        # with partitioning and across engines, and a last-bit
-        # difference can flip the final ROUND at an unlucky boundary
-        # (seen once at sf0.001). The decimal sum is associative, so
-        # the result is bit-identical at any parallelism and in the
-        # DuckDB twin; one double division afterwards is deterministic.
-        dval = F.round("val", 9).cast("decimal(38,9)")
+        # Order-independent exact mean: messages quantized to integer
+        # 1e-9 units and summed as LONG (float SUM order varies with
+        # partitioning/engine and can flip the final ROUND — seen at
+        # sf0.001; a first fix summed DECIMAL(38,9) but BigDecimal per
+        # message cost 6x wall time at sf0.1). The rounded mean is then
+        # computed entirely in integers — sign * ((2|s| + d) div (2d)),
+        # d = cnt * 10^(9-round_to) — i.e. HALF_UP without ever
+        # dividing in float, because s/(cnt*1e9) lands EXACTLY on .5
+        # boundaries whenever cnt divides the sum pattern, and Spark's
+        # BigDecimal-HALF_UP vs DuckDB's float round disagree there.
+        # Quantizing the INPUT with round(val*1e9) has no such hazard:
+        # raw doubles hit exact halves with probability ~0, and
+        # second-hop inputs are integer multiples of 1e-6 whose
+        # product with 1e9 is integral. Overflow bound: in-degree *
+        # |val| < 9e9 per (node, pos) — fine below ~1e9-degree hubs.
+        dval = F.round(F.col("val") * F.lit(1e9), 0).cast("long")
         agg = msgs.groupBy("node", "pos").agg(
-            (F.sum(dval).cast("double") / F.count("*")).alias("val")
+            F.sum(dval).alias("s"), F.count("*").alias("cnt")
         )
         is_last = h == hops - 1
         if round_to is not None and is_last:
-            # "+ 0.0" collapses IEEE -0.0 to +0.0 (a tiny negative mean
-            # rounds to signed zero in some engines, not others)
+            q = F.when(F.col("s") < 0, F.lit(-1)).otherwise(F.lit(1)) * F.expr(
+                f"(2 * abs(s) + cnt * {10 ** (9 - round_to)}) "
+                f"div (2 * cnt * {10 ** (9 - round_to)})"
+            )
             agg = agg.select(
-                "node", "pos", (F.round("val", round_to) + F.lit(0.0)).alias("val")
+                "node",
+                "pos",
+                (q.cast("double") / F.lit(float(10**round_to))).alias("val"),
+            )
+        else:
+            agg = agg.select(
+                "node",
+                "pos",
+                (
+                    F.col("s").cast("double")
+                    / (F.col("cnt").cast("double") * F.lit(1e9))
+                ).alias("val"),
             )
         assembled = agg.groupBy("node").agg(
             F.array_sort(
@@ -145,13 +166,20 @@ msgs AS (
   {self_union}
 ),
 agg AS MATERIALIZED (
-  -- decimal-exact sum then one double division: order-independent,
-  -- mirrors the Spark plan bit-for-bit (see neighborhood_mean_features)
-  -- "+ 0.0" collapses IEEE -0.0 to +0.0, matching the Spark plan
+  -- scaled-long exact sum + all-integer HALF_UP mean: order-free and
+  -- boundary-free, mirrors neighborhood_mean_features bit-for-bit
   SELECT node, pos,
-         ROUND(CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(38,9))) AS DOUBLE)
-               / COUNT(*), {round_to}) + 0.0 AS val
-  FROM msgs GROUP BY node, pos
+         CAST(CASE WHEN s < 0
+              THEN -(((-2 * s) + cnt * {10 ** (9 - round_to)})
+                     // (2 * cnt * {10 ** (9 - round_to)}))
+              ELSE ((2 * s + cnt * {10 ** (9 - round_to)})
+                    // (2 * cnt * {10 ** (9 - round_to)}))
+         END AS DOUBLE) / {float(10 ** round_to)} AS val
+  FROM (
+    SELECT node, pos,
+           SUM(CAST(ROUND(val * 1000000000.0, 0) AS BIGINT)) AS s,
+           COUNT(*) AS cnt
+    FROM msgs GROUP BY node, pos) g
 )
 SELECT node, CAST(pos AS BIGINT) AS pos, val FROM agg
 UNION ALL

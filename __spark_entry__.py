@@ -2704,6 +2704,115 @@ def q_tool_pairs(spark, sf_dir):
     return cooccurrence(tr, "conv_id", "tool")
 
 
+def _transcripts_view(spark, sf_dir):
+    """The events-derived transcripts table every transcript_* query
+    shares (identical derivation to q_transcript_graph /
+    testdata.TRANSCRIPT_EDGES_CTES): conv = user, stable (ts, event_id)
+    turn order, user/assistant role by event parity, tool on every
+    third event, text = event_type:event_id."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string")).alias("text"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        "ts",
+    )
+
+
+def q_tool_markov(spark, sf_dir):
+    """Stationary tool-importance over the transcript payload: the
+    tool->next-tool transition multigraph (consecutive tool turns within
+    a conversation, self-transitions kept — Markov chain semantics) fed
+    to weight-proportional PageRank (alpha=0.85, 8 fixed iterations) so
+    hub tools rank by where conversations actually route, not raw
+    frequency. Nodes are the tool names themselves; the oracle unrolls
+    the identical recurrence over a lag-derived transition CTE."""
+    from pyspark.sql import Window
+
+    from webgraph_spark.algos.pagerank import pagerank_weighted
+
+    tr = _transcripts_view(spark, sf_dir)
+    tools = tr.filter(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    trans = (
+        tools.select(
+            F.col("tool").alias("src"),
+            F.lead("tool").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("label"))
+    )
+    res = pagerank_weighted(trans, weight_col="label", fixed_iterations=8,
+                            num_partitions=8)
+    return res.ranks.select(
+        F.col("node").alias("tool"), F.round("rank", 9).alias("rank")
+    )
+
+
+def q_turn_latency(spark, sf_dir):
+    """Reply-latency rollup on the transcript payload: microsecond gap
+    from the previous turn in the same conversation, attributed to the
+    responding turn's role. Integer-exact sums/maxima (epoch-microsecond
+    longs on both engines); the mean is one IEEE double division of two
+    exact longs, rounded per row."""
+    from pyspark.sql import Window
+
+    tr = _transcripts_view(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        tr.select(
+            "role",
+            F.timestamp_diff(
+                "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_replies"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.sum("gap_us") / F.count(F.lit(1)), 9).alias("avg_gap_us"),
+    )
+
+
+PACK_BUDGET = 64
+
+
+def q_context_pack(spark, sf_dir):
+    """Training-context packing on the transcript payload: turns fill
+    fixed character-budget context windows in stable turn order
+    (exclusive-prefix-sum chunking, functions/packing.py — one window
+    cumsum per conversation, no per-row Python), then a per-window
+    rollup. The overflow-tolerant chunk rule floor(excl/budget) is
+    closed-form, so the oracle replicates it with the same window
+    cumsum in SQL."""
+    from webgraph_spark.functions.packing import pack_by_token_budget
+
+    tr = _transcripts_view(spark, sf_dir).withColumn(
+        "tokens", F.length("text").cast("long")
+    )
+    packed = pack_by_token_budget(
+        tr, "tokens", PACK_BUDGET, "conv_id", "turn_idx"
+    )
+    return packed.groupBy("conv_id", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("tokens").alias("total_tokens"),
+        F.min("turn_idx").cast("int").alias("first_turn"),
+        F.max("turn_idx").cast("int").alias("last_turn"),
+    )
+
+
 def q_wpagerank5(spark, sf_dir):
     """Weighted PageRank over the labelled edge table: transition
     probability proportional to arc multiplicity (rank*w/W(u)), uniform
@@ -3024,6 +3133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_kmeans,
         "events_hll_users": q_hll_users,
         "transcript_tool_pairs": q_tool_pairs,
+        "transcript_tool_markov": q_tool_markov,
+        "transcript_turn_latency": q_turn_latency,
+        "transcript_context_pack": q_context_pack,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4111,6 +4223,11 @@ GROUP BY s.src""",
             "src AS (SELECT CAST(user_id AS VARCHAR) AS g, "
             "CASE WHEN event_id % 3 = 0 THEN event_type ELSE NULL END AS it "
             "FROM events)"
+        ),
+        "transcript_tool_markov": td.transcript_tool_markov_sql(iters=8),
+        "transcript_turn_latency": td.transcript_turn_latency_sql(),
+        "transcript_context_pack": td.transcript_context_pack_sql(
+            budget=PACK_BUDGET
         ),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(

@@ -100,3 +100,35 @@ def test_edges_match_pandas_oracle(spark, graph50):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_transcript_payload_queries(spark):
+    """The three transcript-payload rollups (__spark_entry__): Markov
+    tool ranks form a distribution, latency gaps are positive and
+    complete, context windows respect the overflow-tolerant budget rule."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+
+    ranks = qs["transcript_tool_markov"](spark, sf).toPandas()
+    assert ranks["rank"].sum() == pytest.approx(1.0, abs=1e-6)
+    assert (ranks["rank"] > 0).all()
+
+    lat = qs["transcript_turn_latency"](spark, sf).toPandas()
+    assert set(lat["role"]) <= {"user", "assistant", "tool"}
+    assert (lat["sum_gap_us"] >= lat["max_gap_us"]).all()
+    assert (lat["max_gap_us"] > 0).all()
+    # every turn except each conversation's first contributes one gap
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_turns = ev.count()
+    n_convs = ev.select("user_id").distinct().count()
+    assert int(lat["n_replies"].sum()) == n_turns - n_convs
+
+    packed = qs["transcript_context_pack"](spark, sf).toPandas()
+    # batch ids are dense from 0 per conversation; exclusive-prefix rule
+    # means every non-final window starts below the budget boundary
+    for _, grp in packed.groupby("conv_id"):
+        bids = sorted(grp["batch_id"])
+        assert bids == list(range(len(bids)))
+    assert int(packed["n_turns"].sum()) == n_turns

@@ -215,6 +215,85 @@ def transcript_pipeline_sql(iters: int = 10, alpha: float = 0.85, round_to: int 
     )
 
 
+TRANSCRIPT_TR_CTE = """
+tr AS MATERIALIZED (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         event_type || ':' || CAST(event_id AS VARCHAR) AS text,
+         CASE WHEN event_id % 3 = 0 THEN event_type ELSE NULL END AS tool,
+         ts
+  FROM events
+)"""
+
+
+def transcript_tool_markov_sql(iters: int = 8, alpha: float = 0.85) -> str:
+    """Twin of __spark_entry__.q_tool_markov: tool->next-tool transition
+    multigraph (lag over the stable turn order, self-transitions kept)
+    fed to the unrolled weighted-PageRank recurrence (wpagerank_sql)."""
+    ledges_cte = (
+        TRANSCRIPT_TR_CTE
+        + """,
+ledges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS label FROM (
+    SELECT tool AS src,
+           LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+    FROM tr WHERE tool IS NOT NULL
+  ) t WHERE dst IS NOT NULL GROUP BY src, dst
+)"""
+    )
+    inner = wpagerank_sql(iters=iters, alpha=alpha, ledges_cte=ledges_cte)
+    return f"SELECT node AS tool, rank FROM (\n{inner}\n) q"
+
+
+def transcript_turn_latency_sql() -> str:
+    """Twin of __spark_entry__.q_turn_latency: epoch-microsecond gap to
+    the previous turn in the conversation, integer-exact rollup by the
+    responding role; mean = one double division of two exact longs."""
+    return (
+        "WITH "
+        + TRANSCRIPT_TR_CTE
+        + """,
+gaps AS (
+  SELECT role,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM tr
+)
+SELECT role,
+       CAST(COUNT(*) AS BIGINT) AS n_replies,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 9) AS avg_gap_us
+FROM gaps WHERE gap_us IS NOT NULL GROUP BY role"""
+    )
+
+
+def transcript_context_pack_sql(budget: int = 64) -> str:
+    """Twin of __spark_entry__.q_context_pack: overflow-tolerant context
+    windows batch_id = floor(exclusive_prefix_tokens / budget) per
+    conversation in stable turn order, then the per-window rollup."""
+    return (
+        "WITH "
+        + TRANSCRIPT_TR_CTE
+        + f""",
+packed AS (
+  SELECT conv_id, turn_idx, CAST(LENGTH(text) AS BIGINT) AS tokens,
+         CAST(FLOOR(COALESCE(SUM(LENGTH(text)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {float(budget)}) AS BIGINT) AS batch_id
+  FROM tr
+)
+SELECT conv_id, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(turn_idx) AS INT) AS first_turn,
+       CAST(MAX(turn_idx) AS INT) AS last_turn
+FROM packed GROUP BY conv_id, batch_id"""
+    )
+
+
 def harmonic_all_sql(max_depth: int = 4) -> str:
     """Exact per-node geometric centralities from ALL sources (unrolled
     closure on the DAG) + the literal acceptance flag the engine's

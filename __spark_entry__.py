@@ -2813,6 +2813,65 @@ def q_context_pack(spark, sf_dir):
     )
 
 
+def q_role_assortativity(spark, sf_dir):
+    """Categorical (role) assortativity of the turn-sequence chain
+    (Newman 2003 mixing coefficient): r = (m*Tr(E) - sum_i a_i*b_i) /
+    (m^2 - sum_i a_i*b_i) over the (src_role, dst_role) transition
+    counts. All three terms are EXACT int64 sums, so both engines
+    compute the identical final double (same posture as
+    graph_assortativity)."""
+    from pyspark.sql import Window
+
+    tr = _transcripts_view(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        tr.select(
+            F.col("role").alias("src_role"),
+            F.lead("role").over(w).alias("dst_role"),
+        )
+        .filter(F.col("dst_role").isNotNull())
+    )
+    e = pairs.groupBy("src_role", "dst_role").agg(F.count(F.lit(1)).alias("c"))
+    tot = e.agg(
+        F.sum("c").alias("m"),
+        F.sum(
+            F.when(F.col("src_role") == F.col("dst_role"), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("diag"),
+    )
+    rows = e.groupBy("src_role").agg(F.sum("c").alias("rc"))
+    cols = e.groupBy("dst_role").agg(F.sum("c").alias("cc"))
+    sab = (
+        rows.join(cols, rows.src_role == cols.dst_role)
+        .agg(F.sum(F.col("rc") * F.col("cc")).alias("s"))
+    )
+    return tot.crossJoin(sab).select(
+        F.col("m").cast("long").alias("m_pairs"),
+        F.round(
+            (F.col("m").cast("double") * F.col("diag") - F.col("s"))
+            / (F.col("m").cast("double") * F.col("m") - F.col("s")),
+            9,
+        ).alias("r_assort"),
+    )
+
+
+def q_conv_stats(spark, sf_dir):
+    """Conversation-length distribution on the transcript payload (the
+    degree-distribution analog for conversations): for each length,
+    how many conversations have exactly that many turns and how many
+    tool calls those conversations make in total. Integer-exact."""
+    tr = _transcripts_view(spark, sf_dir)
+    per_conv = tr.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count("tool").alias("n_tool_calls"),
+    )
+    return per_conv.groupBy("n_turns").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("n_tool_calls").alias("tool_calls"),
+    )
+
+
 def q_wpagerank5(spark, sf_dir):
     """Weighted PageRank over the labelled edge table: transition
     probability proportional to arc multiplicity (rank*w/W(u)), uniform
@@ -3136,6 +3195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_markov": q_tool_markov,
         "transcript_turn_latency": q_turn_latency,
         "transcript_context_pack": q_context_pack,
+        "transcript_role_assortativity": q_role_assortativity,
+        "transcript_conv_stats": q_conv_stats,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4229,6 +4290,8 @@ GROUP BY s.src""",
         "transcript_context_pack": td.transcript_context_pack_sql(
             budget=PACK_BUDGET
         ),
+        "transcript_role_assortativity": td.transcript_role_assortativity_sql(),
+        "transcript_conv_stats": td.transcript_conv_stats_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -294,6 +294,56 @@ FROM packed GROUP BY conv_id, batch_id"""
     )
 
 
+def transcript_role_assortativity_sql() -> str:
+    """Twin of __spark_entry__.q_role_assortativity: Newman categorical
+    mixing over role transitions, integer-exact terms, one double
+    division."""
+    return (
+        "WITH "
+        + TRANSCRIPT_TR_CTE
+        + """,
+pairs AS (
+  SELECT role AS src_role,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst_role
+  FROM tr
+),
+e AS MATERIALIZED (
+  SELECT src_role, dst_role, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs WHERE dst_role IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN src_role = dst_role THEN c ELSE 0 END)
+                    AS BIGINT) AS diag
+        FROM e),
+rs AS (SELECT src_role AS role, CAST(SUM(c) AS BIGINT) AS rc FROM e GROUP BY 1),
+cs AS (SELECT dst_role AS role, CAST(SUM(c) AS BIGINT) AS cc FROM e GROUP BY 1),
+sab AS (SELECT CAST(SUM(rs.rc * cs.cc) AS BIGINT) AS s
+        FROM rs JOIN cs ON rs.role = cs.role)
+SELECT tot.m AS m_pairs,
+       ROUND((CAST(tot.m AS DOUBLE) * tot.diag - sab.s)
+             / (CAST(tot.m AS DOUBLE) * tot.m - sab.s), 9) AS r_assort
+FROM tot, sab"""
+    )
+
+
+def transcript_conv_stats_sql() -> str:
+    """Twin of __spark_entry__.q_conv_stats: conversation-length
+    distribution with per-length tool-call totals, all exact integers."""
+    return (
+        "WITH "
+        + TRANSCRIPT_TR_CTE
+        + """,
+per_conv AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(COUNT(tool) AS BIGINT) AS n_tool_calls
+  FROM tr GROUP BY conv_id
+)
+SELECT n_turns, CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(n_tool_calls) AS BIGINT) AS tool_calls
+FROM per_conv GROUP BY n_turns"""
+    )
+
+
 def harmonic_all_sql(max_depth: int = 4) -> str:
     """Exact per-node geometric centralities from ALL sources (unrolled
     closure on the DAG) + the literal acceptance flag the engine's

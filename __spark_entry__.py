@@ -2813,6 +2813,47 @@ def q_context_pack(spark, sf_dir):
     )
 
 
+def q_pattern_dups(spark, sf_dir):
+    """Behavioral similarity candidates on the transcript payload:
+    conversation pairs whose role+tool interaction pattern (one token
+    per turn, stable turn order) collides in >= 1 MinHash LSH band,
+    scored with the exact shingle-set Jaccard — the same
+    MinHash -> LSH-band -> exact-Jaccard chain as docs_jaccard,
+    bucketed end-to-end (never all-pairs), over pattern strings instead
+    of document text. Surfaces conversation templates / scripted
+    traffic; thresholding is the caller's choice (the jaccard column
+    carries the evidence)."""
+    from webgraph_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
+
+    tr = _transcripts_view(spark, sf_dir)
+    tok = F.concat(
+        F.col("role"),
+        F.when(
+            F.col("tool").isNotNull(), F.concat(F.lit("+"), F.col("tool"))
+        ).otherwise(F.lit("")),
+    )
+    pat = (
+        tr.select("conv_id", "turn_idx", tok.alias("tok"))
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text")
+        )
+    )
+    pairs = minhash_lsh_candidates(
+        pat, "conv_id", "text", NUM_HASHES, BAND_ROWS, SHINGLE, HASH_SEED
+    )
+    return ngram_jaccard(pat, pairs, "conv_id", "text", SHINGLE)
+
+
 def q_role_assortativity(spark, sf_dir):
     """Categorical (role) assortativity of the turn-sequence chain
     (Newman 2003 mixing coefficient): r = (m*Tr(E) - sum_i a_i*b_i) /
@@ -3197,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_context_pack": q_context_pack,
         "transcript_role_assortativity": q_role_assortativity,
         "transcript_conv_stats": q_conv_stats,
+        "transcript_pattern_dups": q_pattern_dups,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -3253,6 +3295,57 @@ pairs AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
 )"""
+
+
+def _pattern_dups_sql() -> str:
+    """Twin of q_pattern_dups: the documents MinHash/LSH/Jaccard chain
+    (same hash family, bands, shingles) re-sourced from per-conversation
+    role+tool pattern strings built with an ordered string_agg."""
+    return f"""WITH {td.TRANSCRIPT_TR_CTE},
+pdocs AS (
+  SELECT conv_id AS doc_id,
+         string_agg(role || CASE WHEN tool IS NOT NULL THEN '+' || tool ELSE '' END,
+                    ' ' ORDER BY turn_idx) AS text
+  FROM tr GROUP BY conv_id
+),
+toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM pdocs),
+sh AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(t) >= {SHINGLE}
+         THEN list_transform(range(1, len(t) - {SHINGLE - 2}),
+                             i -> array_to_string(t[i:i+{SHINGLE - 1}], ' '))
+         ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM toks
+),
+hh AS (SELECT id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_P}) AS h FROM sh),
+sigs AS (
+  SELECT id, idx.i AS i,
+         MIN((({_A_SQL})[idx.i + 1] * h + ({_B_SQL})[idx.i + 1]) % {_P}) AS minhash
+  FROM hh CROSS JOIN (SELECT unnest(range(0, {NUM_HASHES})) AS i) idx
+  GROUP BY id, idx.i
+),
+bands AS (
+  SELECT id, i // {BAND_ROWS} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sigs GROUP BY id, i // {BAND_ROWS}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT s1.id AS id_a, s2.id AS id_b, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.id < s2.id
+  JOIN pairs p ON p.id_a = s1.id AND p.id_b = s2.id
+  GROUP BY s1.id, s2.id
+)
+SELECT x.id_a, x.id_b,
+       ROUND(x.common / (na.n + nb.n - x.common), 6) AS jaccard
+FROM inter x
+JOIN sizes na ON na.id = x.id_a
+JOIN sizes nb ON nb.id = x.id_b"""
 
 
 def _simhash_sql() -> str:
@@ -4292,6 +4385,7 @@ GROUP BY s.src""",
         ),
         "transcript_role_assortativity": td.transcript_role_assortativity_sql(),
         "transcript_conv_stats": td.transcript_conv_stats_sql(),
+        "transcript_pattern_dups": _pattern_dups_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

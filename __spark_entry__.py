@@ -3085,6 +3085,183 @@ def q_powerlaw_alpha(spark, sf_dir):
     )
 
 
+def q_ck_curve(spark, sf_dir):
+    """Degree-dependent clustering C(k) (Ravasz-Barabasi hierarchy
+    probe): per-degree-class average local clustering, computed as
+    2 * sum(triangles at degree k) / (k (k-1) n_k) so the numerator and
+    denominator are EXACT integers and the only float op is one double
+    multiply-divide chain, identical on both engines. A falling C(k)
+    power law is the standard hierarchical-modularity signature in web
+    and social graphs (the reference's Stats-sink users plot exactly
+    this). One wedge-join triangle count + two small groupBys — the
+    rollup adds no shuffle beyond graph_clustering_coeff's plan."""
+    from webgraph_spark.algos.triangles import triangles_per_node
+    from webgraph_spark.operators.transforms import simplify
+
+    e = _edges(spark, sf_dir)
+    tri = triangles_per_node(e)
+    deg = (
+        simplify(e).groupBy("src").agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )
+    per_node = deg.join(tri, "node", "left").select(
+        "deg", F.coalesce("triangles", F.lit(0)).cast("long").alias("t")
+    )
+    return per_node.groupBy("deg").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("t").cast("long").alias("sum_triangles"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0)
+                * F.sum("t")
+                / (F.col("deg") * (F.col("deg") - 1) * F.count("*")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ck"),
+    ).select(F.col("deg").cast("long").alias("deg"), "n_nodes",
+             "sum_triangles", "ck")
+
+
+def _ck_curve_sql() -> str:
+    """Twin of q_ck_curve: the graph_clustering_coeff oracle body
+    rolled up by degree with integer-exact triangle sums."""
+    return f"""SELECT CAST(deg AS BIGINT) AS deg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(triangles) AS BIGINT) AS sum_triangles,
+       ROUND(CASE WHEN deg >= 2
+             THEN 2.0 * SUM(triangles) / (deg * (deg - 1) * COUNT(*))
+             ELSE 0.0 END, 6) AS ck
+FROM ({_clustering_sql()}) per_node
+GROUP BY deg"""
+
+
+BURSTINESS_MIN_GAPS = 3
+
+
+def q_events_burstiness(spark, sf_dir):
+    """Per-user inter-event burstiness B = (sigma - mu) / (sigma + mu)
+    (Goh-Barabasi 2008) over microsecond inter-arrival gaps in the
+    stable (ts, event_id) order — the bot/automation detector a
+    continuous-ingest deployment runs next to the anomaly z-scores:
+    B -> -1 is a metronome (scripted traffic), B ~ 0 Poisson,
+    B -> +1 bursty human sessions. Gap moments are EXACT
+    DECIMAL(38,0) sums (gap^2 overflows int64), so both engines feed
+    identical integers into one sqrt and one division. One window +
+    one groupBy — two shuffles on user_id, scale-safe."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            F.timestamp_diff(
+                "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    dec = F.col("gap_us").cast("decimal(38,0)")
+    st = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("gap_us").alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    ).filter(F.col("n") >= BURSTINESS_MIN_GAPS)
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / F.col("n")
+    sig = F.sqrt(var)
+    return st.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("s1").cast("long").alias("sum_gap_us"),
+        F.round(
+            F.when(sig + mu > 0, (sig - mu) / (sig + mu)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("burstiness"),
+    )
+
+
+def _events_burstiness_sql() -> str:
+    return f"""WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events),
+st AS (
+  SELECT user_id, COUNT(*) AS n, SUM(gap_us) AS s1,
+         SUM(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+  FROM g WHERE gap_us IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= {BURSTINESS_MIN_GAPS})
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps, CAST(s1 AS BIGINT) AS sum_gap_us,
+  ROUND(CASE WHEN sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)
+                  + CAST(s1 AS DOUBLE) / n > 0
+        THEN (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)
+              - CAST(s1 AS DOUBLE) / n)
+           / (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)
+              + CAST(s1 AS DOUBLE) / n)
+        ELSE 0.0 END, 6) AS burstiness
+FROM st"""
+
+
+def q_role_diversity(spark, sf_dir):
+    """Per-role next-role routing diversity on the transcript payload:
+    Gini-Simpson index 1 - sum_j (c_j / t)^2 of each role's outgoing
+    transition distribution over the stable turn chain — the collision
+    complement, 0 = deterministic routing, (J-1)/J = uniform over J
+    successors. Chosen over Shannon entropy deliberately: the index is
+    a rational function of exact integer counts (numerator t^2 -
+    sum c^2 is an exact int64), so both engines perform ONE double
+    division with identical operands — no transcendental-libm hazard.
+    Same lag-window plan as transcript_role_bigrams plus one tiny
+    groupBy."""
+    from pyspark.sql import Window
+
+    tr = _transcripts_view(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    bi = (
+        tr.select(
+            F.col("role").alias("src"),
+            F.lead("role").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return bi.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_next_roles"),
+        F.sum("c").cast("long").alias("n_out"),
+        F.round(
+            (
+                F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c"))
+            ).cast("double")
+            / (F.sum("c") * F.sum("c")),
+            9,
+        ).alias("simpson_diversity"),
+    ).select(F.col("src").alias("role"), "n_next_roles", "n_out",
+             "simpson_diversity")
+
+
+def _role_diversity_sql() -> str:
+    return f"""WITH {td.TRANSCRIPT_TR_CTE},
+bi AS (
+  SELECT src, dst, COUNT(*) AS c FROM (
+    SELECT role AS src,
+           LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+    FROM tr) t
+  WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src AS role, CAST(COUNT(*) AS BIGINT) AS n_next_roles,
+       CAST(SUM(c) AS BIGINT) AS n_out,
+       ROUND(CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+             / (SUM(c) * SUM(c)), 9) AS simpson_diversity
+FROM bi GROUP BY src"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -3239,6 +3416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_role_assortativity": q_role_assortativity,
         "transcript_conv_stats": q_conv_stats,
         "transcript_pattern_dups": q_pattern_dups,
+        "transcript_role_diversity": q_role_diversity,
+        "graph_ck_curve": q_ck_curve,
+        "events_burstiness": q_events_burstiness,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4386,6 +4566,9 @@ GROUP BY s.src""",
         "transcript_role_assortativity": td.transcript_role_assortativity_sql(),
         "transcript_conv_stats": td.transcript_conv_stats_sql(),
         "transcript_pattern_dups": _pattern_dups_sql(),
+        "transcript_role_diversity": _role_diversity_sql(),
+        "graph_ck_curve": _ck_curve_sql(),
+        "events_burstiness": _events_burstiness_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

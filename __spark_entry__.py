@@ -3262,6 +3262,31 @@ SELECT src AS role, CAST(COUNT(*) AS BIGINT) AS n_next_roles,
 FROM bi GROUP BY src"""
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric near-dup verification on the documents table: exact
+    shingle-set containment max(|A∩B|/|A|, |A∩B|/|B|) for the same LSH
+    candidate pairs docs_jaccard verifies — catches quotes/subset
+    duplicates that symmetric Jaccard under-scores (Broder 1997). Same
+    pair-driven bounded plan (functions/dedup.py:ngram_containment)."""
+    from webgraph_spark.functions.dedup import ngram_containment
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", NUM_HASHES, BAND_ROWS, SHINGLE, HASH_SEED
+    )
+    return ngram_containment(d, pairs, "doc_id", "text", SHINGLE)
+
+
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-class-centroid confusion matrix over the embeddings
+    table (Rocchio prototype probe of label recoverability) —
+    functions/clustering.py:centroid_classify."""
+    from webgraph_spark.functions.clustering import centroid_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return centroid_classify(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree_dist_out": q_degree_out,
@@ -3419,6 +3444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_role_diversity": q_role_diversity,
         "graph_ck_curve": q_ck_curve,
         "events_burstiness": q_events_burstiness,
+        "docs_containment": q_containment,
+        "emb_centroid_confusion": q_centroid_classify,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4569,6 +4596,22 @@ GROUP BY s.src""",
         "transcript_role_diversity": _role_diversity_sql(),
         "graph_ck_curve": _ck_curve_sql(),
         "events_burstiness": _events_burstiness_sql(),
+        "docs_containment": f"""WITH {_PAIRS_CTE},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT s1.id AS id_a, s2.id AS id_b, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.id < s2.id
+  JOIN pairs p ON p.id_a = s1.id AND p.id_b = s2.id
+  GROUP BY s1.id, s2.id
+)
+SELECT x.id_a, x.id_b,
+       ROUND(x.common / na.n, 6) AS c_ab,
+       ROUND(x.common / nb.n, 6) AS c_ba,
+       ROUND(GREATEST(x.common / na.n, x.common / nb.n), 6) AS containment
+FROM inter x
+JOIN sizes na ON na.id = x.id_a
+JOIN sizes nb ON nb.id = x.id_b""",
+        "emb_centroid_confusion": _clustering.centroid_classify_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -596,3 +596,45 @@ def test_pii_scrub_planted(spark):
     s1 = next(r["s"] for r in scrubbed if r["doc_id"] == 1)
     assert "<EMAIL>" in s1 and "<IP>" in s1 and "<PHONE>" in s1
     assert "foo.org" not in s1 and "192.168" not in s1
+
+
+def test_containment_asymmetric(spark):
+    from webgraph_spark.functions.dedup import ngram_containment
+
+    # doc 10 is a verbatim prefix of doc 11: every trigram of 10 is in
+    # 11 -> c_ab = 1.0, while Jaccard would be 4/10 here.
+    rows = [
+        (10, "a b c d e f"),          # 4 trigrams
+        (11, "a b c d e f g h i j k l"),  # 10 trigrams, superset
+        (12, "x y z w v u"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(10, 11), (10, 12)], "id_a long, id_b long"
+    )
+    c = {
+        (r.id_a, r.id_b): r
+        for r in ngram_containment(d, pairs, "doc_id", "text").collect()
+    }
+    assert c[(10, 11)].c_ab == 1.0
+    assert abs(c[(10, 11)].c_ba - 0.4) < 1e-9
+    assert c[(10, 11)].containment == 1.0
+    assert (10, 12) not in c  # no shared shingle -> omitted
+
+
+def test_centroid_classify_separable(spark):
+    from webgraph_spark.functions.clustering import centroid_classify
+
+    # two orthogonal label cones -> perfect diagonal confusion
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + (i % 3), 0.1 * i, 0.0, 0.0], 0))
+        rows.append((100 + i, [0.0, 0.1 * i, 9.0 + (i % 2), 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r.label, r.assigned): r.n_vectors
+        for r in centroid_classify(emb).collect()
+    }
+    assert out == {(0, 0): 8, (1, 1): 8}

@@ -30,7 +30,7 @@ k-means++ can seed via the portable hash family and pass explicit
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _sqdist_expr(vec: Column, centroid: list[float]) -> Column:
@@ -276,3 +276,123 @@ pruned AS (
 SELECT a.id AS vec_id, CAST(a.cluster AS BIGINT) AS cluster,
        CAST(CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
 FROM asg a LEFT JOIN pruned p ON p.id = a.id"""
+
+
+# ---------------------------------------------------- centroid classifier
+
+def centroid_classify(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 9,
+) -> DataFrame:
+    """Nearest-class-centroid assignment + confusion counts — the
+    Rocchio / prototype classifier used as an embedding-space quality
+    probe: if class centroids separate the corpus, the space carries
+    the label signal (diagonal-heavy confusion matrix); a flat matrix
+    means the labels are not linearly recoverable.
+
+    Plan: one posexplode to long form (id, label, pos, x), one
+    groupBy(label, pos) for rounded per-dimension centroid means, one
+    broadcast join back on pos (centroids are |labels| x d rows — tiny)
+    and one groupBy(id, label) for the rounded dot products; argmax by
+    (sim desc, label asc). Per-group sums are rounded to ``round_to``
+    before every downstream use so the DuckDB twin reproduces each
+    float bit-for-bit (same discipline as :func:`kmeans`).
+
+    Scale posture: the wide work is n*d exploded rows joined against a
+    broadcastable centroid relation and re-aggregated with map-side
+    partial sums — no pair join, no all-labels state on any row.
+
+    Returns (label, assigned, n_vectors) confusion rows.
+    """
+    pts = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    cent = pts.groupBy("lbl", "pos").agg(
+        F.round(F.avg("x"), round_to).alias("m")
+    )
+    cnorm = cent.groupBy("lbl").agg(
+        F.round(F.sum(F.col("m") * F.col("m")), round_to).alias("cn2")
+    )
+    vnorm = pts.groupBy("id").agg(
+        F.round(F.sum(F.col("x") * F.col("x")), round_to).alias("vn2")
+    )
+    dots = (
+        pts.join(
+            F.broadcast(cent.select(F.col("lbl").alias("clbl"), "pos", "m")),
+            "pos",
+        )
+        .groupBy("id", "lbl", "clbl")
+        .agg(F.round(F.sum(F.col("x") * F.col("m")), round_to).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(cnorm.select(F.col("lbl").alias("clbl"), "cn2")), "clbl")
+        .join(vnorm, "id")
+        .select(
+            "id",
+            "lbl",
+            "clbl",
+            F.round(
+                F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("clbl").asc())
+    assigned = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return assigned.groupBy(
+        F.col("lbl").cast("long").alias("label"),
+        F.col("clbl").cast("long").alias("assigned"),
+    ).agg(F.count("*").alias("n_vectors"))
+
+
+def centroid_classify_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`centroid_classify`: identical long-form
+    relation, rounded centroid means, rounded dot/norm sums, and the
+    (sim desc, label asc) argmax."""
+    return f"""WITH pts AS MATERIALIZED (
+  SELECT {id_col} AS id, {label_col} AS lbl, d.i AS pos,
+         CAST({vec_col}[d.i + 1] AS DOUBLE) AS x
+  FROM {table} CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) d
+),
+cent AS MATERIALIZED (
+  SELECT lbl, pos, ROUND(AVG(x), {round_to}) AS m
+  FROM pts GROUP BY lbl, pos
+),
+cnorm AS (SELECT lbl, ROUND(SUM(m * m), {round_to}) AS cn2 FROM cent GROUP BY lbl),
+vnorm AS (SELECT id, ROUND(SUM(x * x), {round_to}) AS vn2 FROM pts GROUP BY id),
+dots AS (
+  SELECT p.id, p.lbl, c.lbl AS clbl,
+         ROUND(SUM(p.x * c.m), {round_to}) AS dot
+  FROM pts p JOIN cent c ON p.pos = c.pos
+  GROUP BY p.id, p.lbl, c.lbl
+),
+scored AS (
+  SELECT d.id, d.lbl, d.clbl,
+         ROUND(d.dot / (sqrt(v.vn2) * sqrt(c.cn2)), 6) AS sim
+  FROM dots d JOIN cnorm c ON d.clbl = c.lbl JOIN vnorm v ON d.id = v.id
+),
+assigned AS (
+  SELECT id, lbl, clbl FROM (
+    SELECT id, lbl, clbl,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, clbl ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT CAST(lbl AS BIGINT) AS label, CAST(clbl AS BIGINT) AS assigned,
+       COUNT(*) AS n_vectors
+FROM assigned GROUP BY lbl, clbl"""

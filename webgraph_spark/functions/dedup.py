@@ -201,6 +201,51 @@ def ngram_jaccard(
     )
 
 
+def ngram_containment(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT for candidate pairs:
+    (id_a, id_b, c_ab, c_ba, containment) where c_ab = |A∩B| / |A|
+    and containment = max(c_ab, c_ba). The asymmetric complement of
+    :func:`ngram_jaccard`: a short document quoted verbatim inside a
+    long one scores near-zero Jaccard but containment ~1 — the signal
+    training-data curation needs to catch quotes, boilerplate wrappers,
+    and subset-duplicate shards (Broder 1997's "containment" resemblance
+    companion).
+
+    Same pair-driven scale shape as ngram_jaccard: work is bounded by
+    |pairs| x shingles/doc; never a shingle-keyed self-join."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    both = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    c_ab = F.col("inter") / F.col("na")
+    c_ba = F.col("inter") / F.col("nb")
+    return (
+        both.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 6).alias("c_ab"),
+            F.round(c_ba, 6).alias("c_ba"),
+            F.round(F.greatest(c_ab, c_ba), 6).alias("containment"),
+        )
+    )
+
+
 # --------------------------------------------------------------- simhash
 
 def simhash16(

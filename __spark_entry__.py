@@ -3262,6 +3262,96 @@ SELECT src AS role, CAST(COUNT(*) AS BIGINT) AS n_next_roles,
 FROM bi GROUP BY src"""
 
 
+ZIPF_TOP = 200
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf exponent of the corpus token-frequency distribution: OLS
+    slope of ln(count) on ln(rank) over the top-200 tokens (rank by
+    count desc, token asc — a total order, so both engines pick the
+    identical head). Natural corpora sit near slope -1 (Zipf 1949);
+    template/synthetic text flattens the head — a cheap corpus-health
+    dial next to docs_repetition. Per-row ln values are quantized to
+    12 decimals and the four regression moments are DECIMAL(38,12)
+    sums (order-free exact, the anisotropy discipline), so the final
+    slope/intercept are single IEEE divisions of identical operands.
+    Scale: one token groupBy + a 200-row tail — nothing else."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    top = counts.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= ZIPF_TOP
+    )
+    x = F.round(F.log(F.col("r").cast("double")), 12)
+    y = F.round(F.log(F.col("c").cast("double")), 12)
+    dec = lambda col: F.round(col, 12).cast("decimal(38,12)")
+    m = top.agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(38,12)")).alias("sx"),
+        F.sum(y.cast("decimal(38,12)")).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sx2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    return m.select(
+        F.col("n").cast("long").alias("n_tokens_ranked"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+def _zipf_slope_sql() -> str:
+    return f"""WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r
+  FROM counts QUALIFY r <= {ZIPF_TOP}),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(38,12))) AS sx,
+         SUM(CAST(ROUND(ln(CAST(c AS DOUBLE)), 12) AS DECIMAL(38,12))) AS sy,
+         SUM(CAST(ROUND(ROUND(ln(CAST(r AS DOUBLE)), 12)
+                        * ROUND(ln(CAST(c AS DOUBLE)), 12), 12)
+             AS DECIMAL(38,12))) AS sxy,
+         SUM(CAST(ROUND(ROUND(ln(CAST(r AS DOUBLE)), 12)
+                        * ROUND(ln(CAST(r AS DOUBLE)), 12), 12)
+             AS DECIMAL(38,12))) AS sx2
+  FROM top)
+SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
+  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+        6) AS zipf_slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+FROM m"""
+
+
+def q_random_failure(spark, sf_dir):
+    """Random-failure robustness curve (Albert-Jeong-Barabasi, the
+    companion to graph_attack_tolerance): delete a deterministic
+    md5-coin fraction of nodes (0 / 200 / 500 permille) and measure
+    fragmentation of the survivors
+    (algos/components.py:random_failure_tolerance)."""
+    from webgraph_spark.algos.components import random_failure_tolerance
+
+    return random_failure_tolerance(
+        _edges(spark, sf_dir), permilles=[0, 200, 500], num_partitions=16
+    )
+
+
 def q_containment(spark, sf_dir):
     """Asymmetric near-dup verification on the documents table: exact
     shingle-set containment max(|A∩B|/|A|, |A∩B|/|B|) for the same LSH
@@ -3446,6 +3536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": q_events_burstiness,
         "docs_containment": q_containment,
         "emb_centroid_confusion": q_centroid_classify,
+        "graph_random_failure": q_random_failure,
+        "docs_zipf_slope": q_zipf_slope,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4612,6 +4704,10 @@ FROM inter x
 JOIN sizes na ON na.id = x.id_a
 JOIN sizes nb ON nb.id = x.id_b""",
         "emb_centroid_confusion": _clustering.centroid_classify_sql(),
+        "graph_random_failure": td.random_failure_sql(
+            permilles=[0, 200, 500]
+        ),
+        "docs_zipf_slope": _zipf_slope_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..operators.transforms import symmetrize
 
@@ -454,5 +454,84 @@ def attack_tolerance(
     return spark.createDataFrame(
         out,
         "k int, n_nodes long, n_arcs long, largest_cc long, "
+        "n_components long",
+    )
+
+
+def random_failure_tolerance(
+    edges: DataFrame,
+    permilles: list[int],
+    max_iter: int = 40,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Random-FAILURE robustness curve — the companion experiment to
+    :func:`attack_tolerance` in Albert-Jeong-Barabasi (Nature 2000):
+    instead of the k largest hubs, delete a uniformly "random" fraction
+    of nodes and measure fragmentation. Scale-free graphs are famously
+    resilient to random failure yet fragile to targeted attack; the two
+    curves side by side are the canonical robustness diagnostic.
+
+    Determinism: the coin is the engine-portable md5 hash of the node
+    id — node survives iff md5_long('rf:' || node) % 1000 >= permille —
+    so both engines (and any rerun) delete the identical node set; no
+    RNG state, no sampling nondeterminism.
+
+    Scale shape: node deletion is a hash predicate pushed into the edge
+    scan (no hub list, no broadcast at all); each surviving graph runs
+    large-star/small-star CC (O(log n) rounds). len(permilles)
+    independent CC jobs.
+
+    Returns one row per level: (permille, n_nodes, n_arcs, largest_cc,
+    n_components) over the surviving symmetrized loop-free graph.
+    """
+    from ..functions.hashing import md5_long
+    from ..operators.transforms import no_loops
+
+    sym_all = no_loops(symmetrize(edges.select("src", "dst"))).persist()
+    spark = edges.sparkSession
+
+    def coin(col: str) -> Column:
+        return md5_long(
+            F.concat(F.lit("rf:"), F.col(col).cast("string"))
+        ) % 1000
+
+    out: list[tuple] = []
+    for pm in permilles:
+        if pm > 0:
+            sym = sym_all.where(
+                (coin("src") >= pm) & (coin("dst") >= pm)
+            )
+        else:
+            sym = sym_all
+        res = connected_components_stars(
+            sym, max_iter=max_iter, num_partitions=num_partitions
+        )
+        if not res.converged:
+            raise RuntimeError(
+                f"random_failure CC truncated at permille={pm}; "
+                "raise max_iter"
+            )
+        sizes = res.labels.groupBy("component").agg(
+            F.count("*").alias("sz")
+        )
+        stat = sizes.agg(
+            F.max("sz").cast("long").alias("largest_cc"),
+            F.count("*").cast("long").alias("n_components"),
+            F.sum("sz").cast("long").alias("n_nodes"),
+        ).collect()[0]
+        n_arcs = sym.count()
+        out.append(
+            (
+                int(pm),
+                int(stat["n_nodes"] or 0),
+                int(n_arcs),
+                int(stat["largest_cc"] or 0),
+                int(stat["n_components"]),
+            )
+        )
+    sym_all.unpersist()
+    return spark.createDataFrame(
+        out,
+        "permille int, n_nodes long, n_arcs long, largest_cc long, "
         "n_components long",
     )

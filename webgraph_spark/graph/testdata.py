@@ -2261,6 +2261,49 @@ SELECT CAST({k} AS INT) AS k,
     return "WITH " + ",".join(parts) + " UNION ALL ".join(selects)
 
 
+def random_failure_sql(permilles: list[int], rounds: int = 30) -> str:
+    """Twin of algos.components.random_failure_tolerance: per level,
+    delete nodes whose portable md5 coin (md5_long('rf:' || node)
+    % 1000) falls below the permille, unrolled hash-min CC over the
+    surviving sym graph, then (permille, n_nodes, n_arcs, largest_cc,
+    n_components)."""
+    coin = "(('0x' || substr(md5('rf:' || CAST({c} AS VARCHAR)), 1, 15))::BIGINT % 1000)"
+    parts = [EDGES_CTE, SYM_CTE]
+    selects = []
+    for pm in permilles:
+        p = f"p{pm}"
+        if pm > 0:
+            parts.append(f"""
+sym_{p} AS MATERIALIZED (SELECT src, dst FROM sym
+  WHERE {coin.format(c='src')} >= {pm}
+    AND {coin.format(c='dst')} >= {pm})""")
+        else:
+            parts.append(f"""
+sym_{p} AS MATERIALIZED (SELECT src, dst FROM sym)""")
+        parts.append(f"""
+l_{p}_0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS component FROM sym_{p})""")
+        for t in range(1, rounds + 1):
+            prev = f"l_{p}_{t - 1}"
+            parts.append(f"""
+m_{p}_{t} AS MATERIALIZED (SELECT s.dst AS node, MIN(l.component) AS mn
+  FROM sym_{p} s JOIN {prev} l ON s.src = l.node GROUP BY s.dst)""")
+            parts.append(f"""
+l_{p}_{t} AS MATERIALIZED (SELECT l.node,
+  LEAST(l.component, COALESCE(m.mn, l.component)) AS component
+  FROM {prev} l LEFT JOIN m_{p}_{t} m ON l.node = m.node)""")
+        selects.append(f"""
+SELECT CAST({pm} AS INT) AS permille,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM l_{p}_{rounds}) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sym_{p}) AS n_arcs,
+       (SELECT CAST(MAX(sz) AS BIGINT) FROM (
+          SELECT COUNT(*) AS sz FROM l_{p}_{rounds} GROUP BY component) z)
+         AS largest_cc,
+       (SELECT CAST(COUNT(DISTINCT component) AS BIGINT)
+        FROM l_{p}_{rounds}) AS n_components""")
+    return "WITH " + ",".join(parts) + " UNION ALL ".join(selects)
+
+
 def fiedler_sql(iters: int = 12, round_to: int = 6) -> str:
     """Twin of algos.spectral.fiedler_bisection: deflated power
     iteration on B = cI - L over the simple graph, md5-parity start,

@@ -3339,6 +3339,18 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_pca_top(spark, sf_dir):
+    """Top principal component + explained-variance ratio of the
+    embedding corpus (functions/similarity.py:pca_top): power
+    iteration on the centered covariance, md5-parity start, sign
+    canonicalized — with emb_anisotropy the standard collapsed-
+    geometry diagnostic."""
+    from webgraph_spark.functions.similarity import pca_top
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_top(emb)
+
+
 def q_random_failure(spark, sf_dir):
     """Random-failure robustness curve (Albert-Jeong-Barabasi, the
     companion to graph_attack_tolerance): delete a deterministic
@@ -3538,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid_confusion": q_centroid_classify,
         "graph_random_failure": q_random_failure,
         "docs_zipf_slope": q_zipf_slope,
+        "emb_pca_top": q_pca_top,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4708,6 +4721,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
             permilles=[0, 200, 500]
         ),
         "docs_zipf_slope": _zipf_slope_sql(),
+        "emb_pca_top": _similarity.pca_top_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

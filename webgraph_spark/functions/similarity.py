@@ -1015,3 +1015,193 @@ SELECT CAST(c.n_vec AS BIGINT) AS n_vectors,
                     ELSE 1.0 END, {round_to}) AS mean_pairwise_cosine
 FROM tot t, counts c
 """
+
+
+# ------------------------------------------------------------- PCA probe
+
+def pca_top(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 12,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration on the (centered) covariance matrix — with anisotropy
+    the other standard geometry diagnostic: the explained-variance
+    ratio of PC1 tells you whether the space has collapsed onto a
+    dominant direction (rogue dimension / mean-shift artifacts in
+    contrastive embeddings).
+
+    Plan: one posexplode to (id, pos, x), per-dimension means, a
+    centered self-join on id for the d x d covariance (n*d^2 rows with
+    map-side partial sums — d is a small constant, so this is the
+    scale-safe Gram shape; no n^2 pair join), then ``iters`` fixed
+    power-iteration rounds on the 64-row vector state (matvec = one
+    join + one groupBy per round, the fiedler_bisection plan on a
+    dense tiny operator). Start vector is the portable md5-parity
+    +-1 per dimension; the sign of the result is canonicalized by the
+    largest-|loading| coordinate (ties to the smallest pos).
+
+    Returns d rows: (pos, loading, eigenvalue, explained_ratio),
+    rounded to ``round_to`` (signed zero normalized).
+    """
+    from .hashing import md5_long
+
+    pts = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    mean = pts.groupBy("pos").agg(F.avg("x").alias("m"))
+    cent = pts.join(F.broadcast(mean), "pos").select(
+        "id", "pos", (F.col("x") - F.col("m")).alias("x")
+    )
+    cov = (
+        cent.select(F.col("id"), F.col("pos").alias("i"), F.col("x").alias("xi"))
+        .join(
+            cent.select(F.col("id"), F.col("pos").alias("j"), F.col("x").alias("xj")),
+            "id",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("c"))
+        .persist()
+    )
+
+    v = mean.select(
+        "pos",
+        F.when(
+            md5_long(F.concat(F.lit("pca:"), F.col("pos").cast("string")))
+            % 2
+            == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("v"),
+    )
+
+    def normalize(df: DataFrame) -> DataFrame:
+        nrm = df.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nr"))
+        return df.crossJoin(F.broadcast(nrm)).select(
+            "pos",
+            F.coalesce(
+                F.try_divide(F.col("v"), F.col("nr")), F.lit(0.0)
+            ).alias("v"),
+        )
+
+    v = normalize(v).localCheckpoint(eager=True)
+    for _ in range(iters):
+        w = (
+            cov.join(v.select(F.col("pos").alias("j"), "v"), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("c") * F.col("v")).alias("v"))
+        )
+        v = normalize(w).localCheckpoint(eager=True)
+
+    # eigenvalue lambda = v' C v and trace for the explained ratio
+    cv = (
+        cov.join(v.select(F.col("pos").alias("j"), "v"), "j")
+        .groupBy(F.col("i").alias("pos"))
+        .agg(F.sum(F.col("c") * F.col("v")).alias("cv"))
+    )
+    lam = (
+        cv.join(v, "pos")
+        .agg(F.sum(F.col("cv") * F.col("v")).alias("lam"))
+    )
+    tr = cov.where(F.col("i") == F.col("j")).agg(
+        F.sum("c").alias("tr")
+    )
+    # sign canonicalization: flip so the largest-|loading| coord > 0
+    wsig = Window.orderBy(F.abs(F.col("v")).desc(), F.col("pos").asc())
+    sig = (
+        v.withColumn("rk", F.row_number().over(wsig))
+        .where(F.col("rk") == 1)
+        .select(
+            F.when(F.col("v") < 0, F.lit(-1.0))
+            .otherwise(F.lit(1.0))
+            .alias("s")
+        )
+    )
+    out = (
+        v.crossJoin(F.broadcast(sig))
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+    )
+    rounded = F.round(F.col("v") * F.col("s"), round_to)
+    cov.unpersist()
+    return out.select(
+        F.col("pos").cast("long").alias("pos"),
+        F.when(rounded == 0, F.lit(0.0)).otherwise(rounded).alias("loading"),
+        F.round(F.col("lam"), round_to).alias("eigenvalue"),
+        F.round(
+            F.coalesce(F.try_divide(F.col("lam"), F.col("tr")), F.lit(0.0)),
+            round_to,
+        ).alias("explained_ratio"),
+    )
+
+
+def pca_top_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 12,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pca_top`: identical long form, covariance
+    self-join, md5-parity start, unrolled normalized matvec rounds,
+    largest-|loading| sign canonicalization."""
+    parts = [f"""
+pts AS MATERIALIZED (
+  SELECT {id_col} AS id, d.i AS pos, CAST({vec_col}[d.i + 1] AS DOUBLE) AS x
+  FROM {table} CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) d)""",
+        """
+mn AS MATERIALIZED (SELECT pos, AVG(x) AS m FROM pts GROUP BY pos)""",
+        """
+cent AS MATERIALIZED (
+  SELECT p.id, p.pos, p.x - m.m AS x FROM pts p JOIN mn m ON p.pos = m.pos)""",
+        """
+cov AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS c
+  FROM cent a JOIN cent b ON a.id = b.id GROUP BY a.pos, b.pos)""",
+        """
+v0r AS (SELECT pos,
+  CASE WHEN (('0x' || substr(md5('pca:' || CAST(pos AS VARCHAR)), 1, 15))
+             ::BIGINT % 2) = 0 THEN 1.0 ELSE -1.0 END AS v
+  FROM mn)""",
+        """
+v0 AS MATERIALIZED (SELECT pos, COALESCE(v / NULLIF(nr, 0), 0.0) AS v FROM v0r
+  CROSS JOIN (SELECT sqrt(SUM(v * v)) AS nr FROM v0r) n)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+w{t} AS MATERIALIZED (SELECT c.i AS pos, SUM(c.c * v.v) AS v
+  FROM cov c JOIN v{t - 1} v ON c.j = v.pos GROUP BY c.i)""")
+        parts.append(f"""
+v{t} AS MATERIALIZED (SELECT pos, COALESCE(v / NULLIF(nr, 0), 0.0) AS v FROM w{t}
+  CROSS JOIN (SELECT sqrt(SUM(v * v)) AS nr FROM w{t}) n)""")
+    vf = f"v{iters}"
+    parts.append(f"""
+cvx AS (SELECT c.i AS pos, SUM(c.c * v.v) AS cv
+  FROM cov c JOIN {vf} v ON c.j = v.pos GROUP BY c.i)""")
+    parts.append(f"""
+lam AS (SELECT SUM(x.cv * v.v) AS lam
+  FROM cvx x JOIN {vf} v ON x.pos = v.pos)""")
+    parts.append("""
+trc AS (SELECT SUM(c) AS tr FROM cov WHERE i = j)""")
+    parts.append(f"""
+sig AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s FROM (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY abs(v) DESC, pos ASC) AS rk
+  FROM {vf}) WHERE rk = 1)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT CAST(v.pos AS BIGINT) AS pos,
+  CASE WHEN ROUND(v.v * sig.s, {round_to}) = 0 THEN 0.0
+       ELSE ROUND(v.v * sig.s, {round_to}) END AS loading,
+  ROUND(lam.lam, {round_to}) AS eigenvalue,
+  ROUND(COALESCE(lam.lam / NULLIF(trc.tr, 0), 0.0), {round_to})
+    AS explained_ratio
+FROM {vf} v CROSS JOIN sig CROSS JOIN lam CROSS JOIN trc"""
+    )

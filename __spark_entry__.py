@@ -3339,6 +3339,148 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_events_gini(spark, sf_dir):
+    """Gini coefficient of per-user event activity via the exact
+    rank formula G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i))
+    over counts sorted by (count asc, user asc — a total order, so
+    both engines rank identically). Every moment is an exact int64
+    sum; the Gini is ONE double division. The concentration dial for
+    traffic/contributor skew — the Lorenz summary next to
+    events_heavy_hitters' sketch. Scale: one groupBy + one sort of
+    the per-user counts relation."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    w = Window.orderBy(F.col("x").asc(), F.col("user_id").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("i") * F.col("x"))
+                - (F.count("*") + 1) * F.sum("x")
+            ).cast("double")
+            / (F.count("*") * F.sum("x")),
+            9,
+        ).alias("gini"),
+    )
+
+
+def _events_gini_sql() -> str:
+    return """WITH counts AS (
+  SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, user_id ASC) AS i
+  FROM counts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS total_events,
+       ROUND(CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+             / (COUNT(*) * SUM(x)), 9) AS gini
+FROM ranked"""
+
+
+def q_events_degree_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    out-degree distributions of the two event-stream snapshots
+    (same split as events_graph_diff): KS = max_k |F0(k) - F1(k)|
+    computed as max |C0(k)*n1 - C1(k)*n0| over the union of degree
+    values — an EXACT integer maximization with one final double
+    division, so no float-comparison hazard picks the wrong argmax.
+    The distribution-drift alarm for a continuously re-ingested
+    graph (degree churn tells you WHO moved; KS tells you whether
+    the SHAPE moved). Scale: two degree aggregates + a cumsum over
+    the tiny distinct-degree axis."""
+    from pyspark.sql import Window
+
+    g0, g1 = _event_snapshots(spark, sf_dir)
+
+    def hist(g):
+        return (
+            g.groupBy("src").agg(F.count("*").alias("d"))
+            .groupBy("d").agg(F.count("*").alias("c"))
+        )
+
+    h0 = hist(g0).withColumnRenamed("c", "c0")
+    h1 = hist(g1).withColumnRenamed("c", "c1")
+    u = (
+        h0.join(h1, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("c0", F.lit(0)).alias("c0"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = u.select(
+        "d",
+        F.sum("c0").over(w).alias("k0"),
+        F.sum("c1").over(w).alias("k1"),
+    )
+    tot = u.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n0",
+        "n1",
+        F.abs(
+            F.col("k0") * F.col("n1") - F.col("k1") * F.col("n0")
+        ).alias("num"),
+    )
+    ww = Window.orderBy(F.col("num").desc(), F.col("d").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(ww))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("d").cast("long").alias("ks_at_degree"),
+            "n0",
+            "n1",
+            F.round(
+                F.col("num").cast("double") / (F.col("n0") * F.col("n1")), 9
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def _events_degree_ks_sql() -> str:
+    return """WITH b AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events),
+g0 AS (
+  SELECT user_id AS src,
+         event_type || ':' || json_extract_string(props, '$.k') AS dst
+  FROM events, b WHERE epoch_us(ts) < b.mid),
+g1 AS (
+  SELECT user_id AS src,
+         event_type || ':' || json_extract_string(props, '$.k') AS dst
+  FROM events, b WHERE epoch_us(ts) >= b.mid),
+h0 AS (SELECT d, COUNT(*) AS c0 FROM (
+  SELECT src, COUNT(*) AS d FROM g0 GROUP BY src) GROUP BY d),
+h1 AS (SELECT d, COUNT(*) AS c1 FROM (
+  SELECT src, COUNT(*) AS d FROM g1 GROUP BY src) GROUP BY d),
+u AS (
+  SELECT COALESCE(h0.d, h1.d) AS d, COALESCE(c0, 0) AS c0,
+         COALESCE(c1, 0) AS c1
+  FROM h0 FULL OUTER JOIN h1 ON h0.d = h1.d),
+cum AS (
+  SELECT d,
+         SUM(c0) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS k0,
+         SUM(c1) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS k1
+  FROM u),
+tot AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM u)
+SELECT CAST(d AS BIGINT) AS ks_at_degree,
+       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND(CAST(abs(k0 * n1 - k1 * n0) AS DOUBLE) / (n0 * n1), 9)
+         AS ks_stat
+FROM (
+  SELECT d, k0, k1, n0, n1,
+         ROW_NUMBER() OVER (
+           ORDER BY abs(k0 * n1 - k1 * n0) DESC, d ASC) AS rk
+  FROM cum CROSS JOIN tot) WHERE rk = 1"""
+
+
 def q_pca_top(spark, sf_dir):
     """Top principal component + explained-variance ratio of the
     embedding corpus (functions/similarity.py:pca_top): power
@@ -3551,6 +3693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_failure": q_random_failure,
         "docs_zipf_slope": q_zipf_slope,
         "emb_pca_top": q_pca_top,
+        "events_gini": q_events_gini,
+        "events_degree_ks": q_events_degree_ks,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4722,6 +4866,8 @@ JOIN sizes nb ON nb.id = x.id_b""",
         ),
         "docs_zipf_slope": _zipf_slope_sql(),
         "emb_pca_top": _similarity.pca_top_sql(),
+        "events_gini": _events_gini_sql(),
+        "events_degree_ks": _events_degree_ks_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

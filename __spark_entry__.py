@@ -3339,6 +3339,110 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end training-data curation funnel — the pipeline-level
+    composition of the pillar's stages with per-stage survivor counts
+    (what a data-curation run reports to its dashboard):
+
+      0 total -> 1 quality (composite score >= 0.6)
+      -> 2 exact dedup (keep min doc_id per content fingerprint)
+      -> 3 near-dup (keep only full-corpus MinHash-LSH cluster
+           canonicals, threshold 0.8 Jaccard)
+      -> 4 language (lang = 'en')
+
+    Every stage reuses the already-oracle-checked operator (text_stats
+    quality, md5 fingerprint, near_dup_clusters) so the funnel gates
+    the COMPOSITION: joins between stages, filter ordering, and the
+    keep-min rules. Near-dup canonicals are computed on the full
+    corpus (the standard order: dedup clusters don't depend on which
+    quality survivors remain). Scale: each stage is one groupBy or
+    semi-join over the shrinking survivor set."""
+    from webgraph_spark.functions.dedup import near_dup_clusters
+    from webgraph_spark.functions.text import text_stats
+
+    docs = _docs(spark, sf_dir)
+    st = text_stats(docs, "doc_id", "text")
+    base = docs.select("doc_id", "lang").join(
+        st.select("doc_id", "quality", "fingerprint"), "doc_id"
+    )
+    s1 = base.where(F.col("quality") >= 0.6)
+    keep2 = s1.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    s2 = s1.join(keep2.select("doc_id"), "doc_id")
+    cl = near_dup_clusters(
+        docs, "doc_id", "text",
+        NUM_HASHES, BAND_ROWS, SHINGLE, HASH_SEED,
+        threshold=DEDUP_THRESHOLD,
+    )
+    canon = cl.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    s3 = s2.join(canon, "doc_id")
+    s4 = s3.where(F.col("lang") == "en")
+
+    def stage(df, i, name):
+        return df.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("filter"),
+            "n_docs",
+        )
+
+    return (
+        stage(base, 0, "total")
+        .unionAll(stage(s1, 1, "quality"))
+        .unionAll(stage(s2, 2, "exact_dedup"))
+        .unionAll(stage(s3, 3, "near_dedup"))
+        .unionAll(stage(s4, 4, "lang_en"))
+    )
+
+
+def _curation_funnel_sql() -> str:
+    """Twin of q_curation_funnel: the docs_dedup_clusters recursive
+    canonical chain + the text-stats quality/fingerprint expressions,
+    composed into the same five survivor counts."""
+    return f"""WITH RECURSIVE {_PAIRS_CTE},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT s1.id AS id_a, s2.id AS id_b, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.id < s2.id
+  JOIN pairs p ON p.id_a = s1.id AND p.id_b = s2.id
+  GROUP BY s1.id, s2.id
+),
+ver AS (
+  SELECT x.id_a, x.id_b
+  FROM inter x
+  JOIN sizes na ON na.id = x.id_a
+  JOIN sizes nb ON nb.id = x.id_b
+  WHERE ROUND(x.common / (na.n + nb.n - x.common), 6) >= {DEDUP_THRESHOLD}
+),
+dup_e AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION ALL SELECT id_b, id_a FROM ver
+),
+cl AS (
+  SELECT doc_id AS node, doc_id AS reach FROM documents
+  UNION
+  SELECT cl.node, dup_e.b FROM cl JOIN dup_e ON cl.reach = dup_e.a
+),
+lab AS (SELECT node AS doc_id, MIN(reach) AS canonical_id FROM cl GROUP BY node),
+stats AS ({_text_stats_sql()}),
+base AS (
+  SELECT d.doc_id, d.lang, st.quality, st.fingerprint
+  FROM documents d JOIN stats st USING (doc_id)),
+s1 AS (SELECT * FROM base WHERE quality >= 0.6),
+s2 AS (
+  SELECT s1.* FROM s1
+  JOIN (SELECT fingerprint, MIN(doc_id) AS doc_id
+        FROM s1 GROUP BY fingerprint) k USING (doc_id)),
+s3 AS (
+  SELECT s2.* FROM s2
+  JOIN lab ON s2.doc_id = lab.doc_id AND lab.doc_id = lab.canonical_id),
+s4 AS (SELECT * FROM s3 WHERE lang = 'en')
+SELECT CAST(0 AS INT) AS stage, 'total' AS filter,
+       CAST(COUNT(*) AS BIGINT) AS n_docs FROM base
+UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'lang_en', CAST(COUNT(*) AS BIGINT) FROM s4"""
+
+
 def q_events_gini(spark, sf_dir):
     """Gini coefficient of per-user event activity via the exact
     rank formula G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i))
@@ -3695,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_top": q_pca_top,
         "events_gini": q_events_gini,
         "events_degree_ks": q_events_degree_ks,
+        "docs_curation_funnel": q_curation_funnel,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4868,6 +4973,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "emb_pca_top": _similarity.pca_top_sql(),
         "events_gini": _events_gini_sql(),
         "events_degree_ks": _events_degree_ks_sql(),
+        "docs_curation_funnel": _curation_funnel_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

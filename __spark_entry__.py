@@ -39,6 +39,7 @@ from webgraph_spark.functions.hashing import (
 )
 from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
 from webgraph_spark.functions import clustering as _clustering
+from webgraph_spark.algos import motifs as _motifs
 from webgraph_spark.functions import mining as _mining
 from webgraph_spark.functions import retrieval as _retrieval
 from webgraph_spark.functions import similarity as _similarity
@@ -3339,6 +3340,16 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_triad_census(spark, sf_dir):
+    """Holland-Leinhardt 16-class directed triad census on the TPC-H
+    link graph (algos/motifs.py:triad_census — Batagelj-Mrvar sparse
+    enumeration + combinatorial completion): the canonical directed
+    micro-structure statistic refining triangles/reciprocity."""
+    from webgraph_spark.algos.motifs import triad_census
+
+    return triad_census(_edges(spark, sf_dir))
+
+
 def q_curation_funnel(spark, sf_dir):
     """End-to-end training-data curation funnel — the pipeline-level
     composition of the pillar's stages with per-stage survivor counts
@@ -3800,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gini": q_events_gini,
         "events_degree_ks": q_events_degree_ks,
         "docs_curation_funnel": q_curation_funnel,
+        "graph_triad_census": q_triad_census,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4974,6 +4986,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "events_gini": _events_gini_sql(),
         "events_degree_ks": _events_degree_ks_sql(),
         "docs_curation_funnel": _curation_funnel_sql(),
+        "graph_triad_census": _motifs.triad_census_sql(td.EDGES_CTE),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

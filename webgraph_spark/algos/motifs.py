@@ -134,3 +134,371 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+# ------------------------------------------------- directed triad census
+
+TRIAD_CLASSES = [
+    "003", "012", "102", "021D", "021U", "021C", "111D", "111U",
+    "030T", "030C", "201", "120D", "120U", "120C", "210", "300",
+]
+
+# (mutual, asym) dyad composition per class — used by the
+# Batagelj-Mrvar completion formulas for the 0/1-edge classes.
+TRIAD_DYADS = {
+    "003": (0, 0), "012": (0, 1), "102": (1, 0),
+    "021D": (0, 2), "021U": (0, 2), "021C": (0, 2),
+    "111D": (1, 1), "111U": (1, 1),
+    "030T": (0, 3), "030C": (0, 3), "201": (2, 0),
+    "120D": (1, 2), "120U": (1, 2), "120C": (1, 2),
+    "210": (2, 1), "300": (3, 0),
+}
+
+
+def triad_mask_table() -> dict[int, str]:
+    """The 64-entry arc-mask -> Holland-Leinhardt class lookup, shared
+    by the Spark plan, the DuckDB twin, and the brute-force test
+    oracle. For a sorted triple (p < q < r) the mask bits are:
+    1 p->q, 2 q->p, 4 p->r, 8 r->p, 16 q->r, 32 r->q.
+
+    Class names follow the canonical MAN enumeration (Holland-
+    Leinhardt 1970; same convention igraph documents): e.g. 021D is
+    the out-star A<-B->C, 111D has the asymmetric arc pointing INTO
+    the mutual dyad, 030C is the 3-cycle, 120C the mutual-closed
+    path."""
+    table: dict[int, str] = {}
+    for mask in range(64):
+        pairs = [
+            (0, 1, mask & 1, (mask >> 1) & 1),
+            (0, 2, (mask >> 2) & 1, (mask >> 3) & 1),
+            (1, 2, (mask >> 4) & 1, (mask >> 5) & 1),
+        ]
+        asym_arcs = []
+        mutual_pair = None
+        m = a = 0
+        for i, j, f, r in pairs:
+            if f and r:
+                m += 1
+                mutual_pair = (i, j)
+            elif f or r:
+                a += 1
+                asym_arcs.append((i, j) if f else (j, i))
+        if (m, a) == (0, 0):
+            name = "003"
+        elif (m, a) == (0, 1):
+            name = "012"
+        elif (m, a) == (1, 0):
+            name = "102"
+        elif (m, a) == (0, 2):
+            ends = [n for arc in asym_arcs for n in arc]
+            center = next(x for x in set(ends) if ends.count(x) == 2)
+            out = sum(1 for s, _ in asym_arcs if s == center)
+            name = {2: "021D", 0: "021U", 1: "021C"}[out]
+        elif (m, a) == (1, 1):
+            z = next(x for x in (0, 1, 2) if x not in mutual_pair)
+            s, _ = asym_arcs[0]
+            name = "111D" if s == z else "111U"
+        elif (m, a) == (0, 3):
+            outd = [0, 0, 0]
+            for s, _ in asym_arcs:
+                outd[s] += 1
+            name = "030C" if outd == [1, 1, 1] else "030T"
+        elif (m, a) == (1, 2):
+            z = next(x for x in (0, 1, 2) if x not in mutual_pair)
+            out = sum(1 for s, _ in asym_arcs if s == z)
+            name = {2: "120D", 0: "120U", 1: "120C"}[out]
+        elif (m, a) == (2, 0):
+            name = "201"
+        elif (m, a) == (2, 1):
+            name = "210"
+        else:
+            name = "300"
+        table[mask] = name
+    return table
+
+
+def triad_census(edges: DataFrame) -> DataFrame:
+    """Exact Holland-Leinhardt 16-class directed triad census — THE
+    classic whole-graph statistic of social-network analysis (and the
+    directed refinement of the reference's triangle/reciprocity
+    stats), via the Batagelj-Mrvar 2001 sparse algorithm:
+
+    - enumerate only triples with >= 2 non-null dyads — open wedges
+      (center join on the undirected support, third pair anti-joined
+      null) and support triangles (degree-ordered oriented join, each
+      triple once);
+    - classify each by its 6-bit arc mask through the shared 64-entry
+      lookup (:func:`triad_mask_table`);
+    - complete the 0/1-edge classes combinatorially:
+      T(012) = A(n-2) - sum(count * apairs), T(102) = M(n-2) -
+      sum(count * mpairs), T(003) = C(n,3) - everything else.
+
+    Scale shape: the wedge join is the standard sum-of-squared-degrees
+    bound (same as triangle counting — orient/cap hubs upstream if the
+    support graph has them); everything else is one distinct + two
+    aggregates. The 16-row result is assembled driver-side from three
+    collected scalars plus the <= 64-row mask histogram.
+
+    Returns (triad_class string, n_triads long), all 16 rows.
+    """
+    spark = edges.sparkSession
+    arcs = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    x = F.least("src", "dst")
+    y = F.greatest("src", "dst")
+    und = (
+        arcs.select(
+            x.alias("x"),
+            y.alias("y"),
+            F.when(F.col("src") < F.col("dst"), 1).otherwise(0).alias("fw"),
+            F.when(F.col("src") > F.col("dst"), 1).otherwise(0).alias("rv"),
+        )
+        .groupBy("x", "y")
+        .agg(F.max("fw").alias("f"), F.max("rv").alias("r"))
+        .persist()
+    )
+    n = (
+        arcs.select(F.col("src").alias("v"))
+        .union(arcs.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    dy = und.agg(
+        F.sum(F.col("f") * F.col("r")).alias("m"),
+        F.sum(
+            F.when(F.col("f") + F.col("r") == 1, 1).otherwise(0)
+        ).alias("a"),
+    ).collect()[0]
+    n_mut, n_asym = int(dy["m"] or 0), int(dy["a"] or 0)
+
+    # centered adjacency: (c, l, out = c->l, inn = l->c)
+    cns = und.select(
+        F.col("x").alias("c"), F.col("y").alias("l"),
+        F.col("f").alias("out"), F.col("r").alias("inn"),
+    ).unionAll(
+        und.select(
+            F.col("y").alias("c"), F.col("x").alias("l"),
+            F.col("r").alias("out"), F.col("f").alias("inn"),
+        )
+    )
+    a_side = cns.select(
+        "c", F.col("l").alias("l1"),
+        F.col("out").alias("o1"), F.col("inn").alias("i1"),
+    )
+    b_side = cns.select(
+        "c", F.col("l").alias("l2"),
+        F.col("out").alias("o2"), F.col("inn").alias("i2"),
+    )
+    wedges = a_side.join(b_side, "c").where(F.col("l1") < F.col("l2"))
+    open_w = wedges.join(
+        und.select(F.col("x").alias("l1"), F.col("y").alias("l2")),
+        ["l1", "l2"],
+        "left_anti",
+    )
+    wmask = (
+        F.when(
+            F.col("c") < F.col("l1"),
+            F.col("o1") * 1 + F.col("i1") * 2
+            + F.col("o2") * 4 + F.col("i2") * 8,
+        )
+        .when(
+            F.col("c") < F.col("l2"),
+            F.col("i1") * 1 + F.col("o1") * 2
+            + F.col("o2") * 16 + F.col("i2") * 32,
+        )
+        .otherwise(
+            F.col("i1") * 4 + F.col("o1") * 8
+            + F.col("i2") * 16 + F.col("o2") * 32
+        )
+    )
+    open_masks = open_w.select(wmask.alias("mask"))
+
+    # support triangles via degree-ordered orientation
+    deg = cns.groupBy(F.col("c").alias("v")).agg(F.count("*").alias("d"))
+    e = (
+        und.join(deg.select(F.col("v").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("v").alias("y"), F.col("d").alias("dy")), "y")
+    )
+    lo_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    ot = e.select(
+        F.when(lo_first, F.col("x")).otherwise(F.col("y")).alias("a"),
+        F.when(lo_first, F.col("y")).otherwise(F.col("x")).alias("b"),
+        "x", "y", "f", "r",
+    )
+    t12 = (
+        ot.select(
+            F.col("a").alias("u"), F.col("b").alias("v"),
+            F.col("x").alias("x1"), F.col("y").alias("y1"),
+            F.col("f").alias("f1"), F.col("r").alias("r1"),
+        )
+        .join(
+            ot.select(
+                F.col("a").alias("v"), F.col("b").alias("w"),
+                F.col("x").alias("x2"), F.col("y").alias("y2"),
+                F.col("f").alias("f2"), F.col("r").alias("r2"),
+            ),
+            "v",
+        )
+    )
+    tri = t12.join(
+        ot.select(
+            F.col("a").alias("u"), F.col("b").alias("w"),
+            F.col("x").alias("x3"), F.col("y").alias("y3"),
+            F.col("f").alias("f3"), F.col("r").alias("r3"),
+        ),
+        ["u", "w"],
+    )
+    p = F.least("u", "v", "w")
+    rr = F.greatest("u", "v", "w")
+    q = F.col("u") + F.col("v") + F.col("w") - p - rr
+
+    def contrib(xi, yi, fi, ri):
+        return (
+            F.when(
+                (F.col(xi) == p) & (F.col(yi) == q),
+                F.col(fi) * 1 + F.col(ri) * 2,
+            )
+            .when(
+                (F.col(xi) == p) & (F.col(yi) == rr),
+                F.col(fi) * 4 + F.col(ri) * 8,
+            )
+            .otherwise(F.col(fi) * 16 + F.col(ri) * 32)
+        )
+
+    tmask = (
+        contrib("x1", "y1", "f1", "r1")
+        + contrib("x2", "y2", "f2", "r2")
+        + contrib("x3", "y3", "f3", "r3")
+    )
+    tri_masks = tri.select(tmask.alias("mask"))
+
+    table = triad_mask_table()
+    lookup = spark.createDataFrame(
+        [(k, v) for k, v in table.items()], "mask int, triad_class string"
+    )
+    counted = (
+        open_masks.unionAll(tri_masks)
+        .groupBy("mask")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(lookup), "mask")
+        .groupBy("triad_class")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    und.unpersist()
+    counts = {r["triad_class"]: int(r["cnt"]) for r in counted}
+    sum_counted = sum(counts.values())
+    sum_a = sum(TRIAD_DYADS[c][1] * v for c, v in counts.items())
+    sum_m = sum(TRIAD_DYADS[c][0] * v for c, v in counts.items())
+    t012 = n_asym * (n - 2) - sum_a
+    t102 = n_mut * (n - 2) - sum_m
+    total = n * (n - 1) * (n - 2) // 6
+    t003 = total - sum_counted - t012 - t102
+    counts["012"] = t012
+    counts["102"] = t102
+    counts["003"] = t003
+    return spark.createDataFrame(
+        [(c, counts.get(c, 0)) for c in TRIAD_CLASSES],
+        "triad_class string, n_triads long",
+    )
+
+
+def triad_census_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`triad_census` over an ``edges(src, dst)``
+    CTE: identical support-graph flags, open-wedge / oriented-triangle
+    enumeration, the shared 64-entry mask lookup as a VALUES relation,
+    and the same combinatorial completion for 003/012/102."""
+    table = triad_mask_table()
+    mask_vals = ", ".join(f"({k}, '{v}')" for k, v in table.items())
+    cls_vals = ", ".join(
+        f"('{c}', {TRIAD_DYADS[c][0]}, {TRIAD_DYADS[c][1]})"
+        for c in TRIAD_CLASSES
+    )
+    return f"""WITH {edges_cte},
+tarcs AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+tund AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+         MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+  FROM tarcs GROUP BY 1, 2),
+tn AS (SELECT COUNT(*) AS n FROM (
+  SELECT src AS v FROM tarcs UNION SELECT dst FROM tarcs)),
+tdy AS (SELECT COALESCE(SUM(f * r), 0) AS m,
+               COALESCE(SUM(CASE WHEN f + r = 1 THEN 1 ELSE 0 END), 0) AS a
+        FROM tund),
+cns AS MATERIALIZED (
+  SELECT x AS c, y AS l, f AS o, r AS i FROM tund
+  UNION ALL SELECT y, x, r, f FROM tund),
+omask AS (
+  SELECT CASE WHEN w.c < w.l1 THEN w.o1 * 1 + w.i1 * 2 + w.o2 * 4 + w.i2 * 8
+              WHEN w.c < w.l2 THEN w.i1 * 1 + w.o1 * 2 + w.o2 * 16 + w.i2 * 32
+              ELSE w.i1 * 4 + w.o1 * 8 + w.i2 * 16 + w.o2 * 32 END AS mask
+  FROM (
+    SELECT a.c, a.l AS l1, a.o AS o1, a.i AS i1,
+           b.l AS l2, b.o AS o2, b.i AS i2
+    FROM cns a JOIN cns b ON a.c = b.c AND a.l < b.l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM tund u WHERE u.x = a.l AND u.y = b.l)) w),
+tdeg AS MATERIALIZED (SELECT c AS v, COUNT(*) AS d FROM cns GROUP BY c),
+ote AS MATERIALIZED (
+  SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+              THEN u.x ELSE u.y END AS a,
+         CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+              THEN u.y ELSE u.x END AS b,
+         u.x, u.y, u.f, u.r
+  FROM tund u JOIN tdeg dx ON u.x = dx.v JOIN tdeg dy ON u.y = dy.v),
+tmask AS (
+  SELECT (CASE WHEN t.x1 = t.p AND t.y1 = t.q THEN t.f1 * 1 + t.r1 * 2
+               WHEN t.x1 = t.p AND t.y1 = t.rr THEN t.f1 * 4 + t.r1 * 8
+               ELSE t.f1 * 16 + t.r1 * 32 END)
+       + (CASE WHEN t.x2 = t.p AND t.y2 = t.q THEN t.f2 * 1 + t.r2 * 2
+               WHEN t.x2 = t.p AND t.y2 = t.rr THEN t.f2 * 4 + t.r2 * 8
+               ELSE t.f2 * 16 + t.r2 * 32 END)
+       + (CASE WHEN t.x3 = t.p AND t.y3 = t.q THEN t.f3 * 1 + t.r3 * 2
+               WHEN t.x3 = t.p AND t.y3 = t.rr THEN t.f3 * 4 + t.r3 * 8
+               ELSE t.f3 * 16 + t.r3 * 32 END) AS mask
+  FROM (
+    SELECT LEAST(e1.a, e1.b, e2.b) AS p,
+           GREATEST(e1.a, e1.b, e2.b) AS rr,
+           e1.a + e1.b + e2.b - LEAST(e1.a, e1.b, e2.b)
+             - GREATEST(e1.a, e1.b, e2.b) AS q,
+           e1.x AS x1, e1.y AS y1, e1.f AS f1, e1.r AS r1,
+           e2.x AS x2, e2.y AS y2, e2.f AS f2, e2.r AS r2,
+           e3.x AS x3, e3.y AS y3, e3.f AS f3, e3.r AS r3
+    FROM ote e1 JOIN ote e2 ON e1.b = e2.a
+    JOIN ote e3 ON e3.a = e1.a AND e3.b = e2.b) t),
+hist AS MATERIALIZED (
+  SELECT lk.name AS triad_class, COUNT(*) AS cnt
+  FROM (SELECT mask FROM omask UNION ALL SELECT mask FROM tmask) ms
+  JOIN (VALUES {mask_vals}) lk(mask, name) ON ms.mask = lk.mask
+  GROUP BY lk.name),
+agg AS (
+  SELECT COALESCE(SUM(h.cnt), 0) AS sum_cnt,
+         COALESCE(SUM(h.cnt * c.apairs), 0) AS sum_a,
+         COALESCE(SUM(h.cnt * c.mpairs), 0) AS sum_m
+  FROM hist h JOIN (VALUES {cls_vals}) c(name, mpairs, apairs)
+    ON h.triad_class = c.name),
+base AS (
+  SELECT c.name, COALESCE(h.cnt, 0) AS cnt
+  FROM (VALUES {cls_vals}) c(name, mpairs, apairs)
+  LEFT JOIN hist h ON h.triad_class = c.name),
+t012 AS (SELECT (SELECT a FROM tdy) * ((SELECT n FROM tn) - 2)
+                - (SELECT sum_a FROM agg) AS v),
+t102 AS (SELECT (SELECT m FROM tdy) * ((SELECT n FROM tn) - 2)
+                - (SELECT sum_m FROM agg) AS v),
+t003 AS (SELECT (SELECT n FROM tn) * ((SELECT n FROM tn) - 1)
+                * ((SELECT n FROM tn) - 2) // 6
+                - (SELECT sum_cnt FROM agg)
+                - (SELECT v FROM t012) - (SELECT v FROM t102) AS v)
+SELECT name AS triad_class,
+  CAST(CASE name WHEN '012' THEN (SELECT v FROM t012)
+                 WHEN '102' THEN (SELECT v FROM t102)
+                 WHEN '003' THEN (SELECT v FROM t003)
+                 ELSE cnt END AS BIGINT) AS n_triads
+FROM base"""

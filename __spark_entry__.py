@@ -3340,6 +3340,144 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_assortativity_dir(spark, sf_dir):
+    """Directed degree assortativity, all four (alpha, beta) flavors
+    (Foster-Foster-Grassberger-Paczuski PNAS 2010): Pearson
+    correlation of (alpha-degree of src, beta-degree of dst) over the
+    loop-free distinct arc set, alpha/beta in {out, in}. Every moment
+    is an exact int64 sum; each variance stays exact int64 and is
+    cast to double only for the final sqrt/divide (the variance
+    PRODUCT would overflow int64, so the twin multiplies doubles in
+    the identical order). Complements the undirected
+    graph_assortativity with the directionality webgraph users
+    actually study (e.g. out-in is the classic 'do prolific linkers
+    point at popular pages')."""
+    arcs = (
+        _edges(spark, sf_dir)
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    dout = arcs.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("dout")
+    )
+    din = arcs.groupBy(F.col("dst").alias("v")).agg(
+        F.count("*").alias("din")
+    )
+    degs = (
+        dout.join(din, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("dout", F.lit(0)).alias("dout"),
+            F.coalesce("din", F.lit(0)).alias("din"),
+        )
+    )
+    j = (
+        arcs.join(
+            degs.select(
+                F.col("v").alias("src"),
+                F.col("dout").alias("so"),
+                F.col("din").alias("si"),
+            ),
+            "src",
+        )
+        .join(
+            degs.select(
+                F.col("v").alias("dst"),
+                F.col("dout").alias("to"),
+                F.col("din").alias("ti"),
+            ),
+            "dst",
+        )
+    )
+
+    aggs = [F.count("*").alias("m")]
+    for xa, xn in (("so", "o"), ("si", "i")):
+        aggs += [
+            F.sum(xa).alias(f"s_{xn}"),
+            F.sum(F.col(xa) * F.col(xa)).alias(f"s2_{xn}"),
+        ]
+    for ya, yn in (("to", "o"), ("ti", "i")):
+        aggs += [
+            F.sum(ya).alias(f"t_{yn}"),
+            F.sum(F.col(ya) * F.col(ya)).alias(f"t2_{yn}"),
+        ]
+    for xa, xn in (("so", "o"), ("si", "i")):
+        for ya, yn in (("to", "o"), ("ti", "i")):
+            aggs.append(F.sum(F.col(xa) * F.col(ya)).alias(f"p_{xn}{yn}"))
+    mo = j.agg(*aggs)
+
+    def corr(xn, yn):
+        d = lambda c: F.col(c).cast("decimal(38,0)")
+        m = d("m")
+        cov = m * d(f"p_{xn}{yn}") - d(f"s_{xn}") * d(f"t_{yn}")
+        vx = m * d(f"s2_{xn}") - d(f"s_{xn}") * d(f"s_{xn}")
+        vy = m * d(f"t2_{yn}") - d(f"t_{yn}") * d(f"t_{yn}")
+        return F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ),
+        )
+
+    out = mo.select(
+        F.col("m").cast("long").alias("n_arcs"),
+        corr("o", "i").alias("r_out_in"),
+        corr("o", "o").alias("r_out_out"),
+        corr("i", "i").alias("r_in_in"),
+        corr("i", "o").alias("r_in_out"),
+    )
+    return out
+
+
+def _assortativity_dir_sql() -> str:
+    corrs = []
+    for xn, xcol in (("o", "so"), ("i", "si")):
+        for yn, ycol in (("o", "to"), ("i", "ti")):
+            cov = f"(m * p_{xn}{yn} - s_{xn} * t_{yn})"
+            vx = f"(m * s2_{xn} - s_{xn} * s_{xn})"
+            vy = f"(m * t2_{yn} - t_{yn} * t_{yn})"
+            corrs.append(
+                (xn, yn,
+                 f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+                 f"ROUND(CAST({cov} AS DOUBLE) / "
+                 f"sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 6) "
+                 f"END")
+            )
+    sel = {f"{x}{y}": e for x, y, e in corrs}
+    return f"""WITH {td.EDGES_CTE},
+darcs AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+degs AS MATERIALIZED (
+  SELECT v, COALESCE(MAX(dout), 0) AS dout, COALESCE(MAX(din), 0) AS din
+  FROM (
+    SELECT src AS v, COUNT(*) AS dout, NULL AS din FROM darcs GROUP BY src
+    UNION ALL
+    SELECT dst AS v, NULL, COUNT(*) FROM darcs GROUP BY dst) u
+  GROUP BY v),
+j AS (
+  SELECT a.dout AS so, a.din AS si, b.dout AS "to", b.din AS ti
+  FROM darcs e JOIN degs a ON e.src = a.v JOIN degs b ON e.dst = b.v),
+mo AS (
+  SELECT COUNT(*) AS m,
+    SUM(so) AS s_o, SUM(so * so) AS s2_o,
+    SUM(si) AS s_i, SUM(si * si) AS s2_i,
+    SUM("to") AS t_o, SUM("to" * "to") AS t2_o,
+    SUM(ti) AS t_i, SUM(ti * ti) AS t2_i,
+    SUM(so * "to") AS p_oo, SUM(so * ti) AS p_oi,
+    SUM(si * "to") AS p_io, SUM(si * ti) AS p_ii
+  FROM j)
+SELECT CAST(m AS BIGINT) AS n_arcs,
+  {sel['oi']} AS r_out_in,
+  {sel['oo']} AS r_out_out,
+  {sel['ii']} AS r_in_in,
+  {sel['io']} AS r_in_out
+FROM mo"""
+
+
 def q_triad_census(spark, sf_dir):
     """Holland-Leinhardt 16-class directed triad census on the TPC-H
     link graph (algos/motifs.py:triad_census — Batagelj-Mrvar sparse
@@ -3812,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_degree_ks": q_events_degree_ks,
         "docs_curation_funnel": q_curation_funnel,
         "graph_triad_census": q_triad_census,
+        "graph_assortativity_dir": q_assortativity_dir,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -4987,6 +5126,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "events_degree_ks": _events_degree_ks_sql(),
         "docs_curation_funnel": _curation_funnel_sql(),
         "graph_triad_census": _motifs.triad_census_sql(td.EDGES_CTE),
+        "graph_assortativity_dir": _assortativity_dir_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

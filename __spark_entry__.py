@@ -3340,6 +3340,17 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_kmeans_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette of the emb_kmeans clustering
+    (functions/clustering.py:kmeans_silhouette) — the clustering-
+    quality gate a curation pipeline runs before trusting k-means
+    blocks for SemDeDup/IVF."""
+    from webgraph_spark.functions.clustering import kmeans_silhouette
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_silhouette(emb, k=4, iters=3)
+
+
 def q_assortativity_dir(spark, sf_dir):
     """Directed degree assortativity, all four (alpha, beta) flavors
     (Foster-Foster-Grassberger-Paczuski PNAS 2010): Pearson
@@ -3951,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curation_funnel": q_curation_funnel,
         "graph_triad_census": q_triad_census,
         "graph_assortativity_dir": q_assortativity_dir,
+        "emb_kmeans_silhouette": q_kmeans_silhouette,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5127,6 +5139,9 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "docs_curation_funnel": _curation_funnel_sql(),
         "graph_triad_census": _motifs.triad_census_sql(td.EDGES_CTE),
         "graph_assortativity_dir": _assortativity_dir_sql(),
+        "emb_kmeans_silhouette": _clustering.kmeans_silhouette_sql(
+            k=4, iters=3
+        ),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

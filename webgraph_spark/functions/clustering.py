@@ -102,7 +102,7 @@ def kmeans(
     return final, cents
 
 
-def kmeans_assign_sql(
+def _kmeans_cte_parts(
     k: int = 4,
     iters: int = 3,
     table: str = "embeddings",
@@ -110,11 +110,10 @@ def kmeans_assign_sql(
     vec_col: str = "embedding",
     dim: int = 64,
     round_to: int = 9,
-) -> str:
-    """DuckDB twin of :func:`kmeans`: the same recurrence unrolled as
-    CTEs over the long-form (id, dim, x) relation — init from the k
-    smallest ids, per-iteration rounded centroids, rounded-distance
-    argmin with min-cluster tiebreak. Returns (id, cluster, dist)."""
+) -> list[str]:
+    """Shared CTE chain of the unrolled k-means recurrence (used by
+    :func:`kmeans_assign_sql` and :func:`kmeans_silhouette_sql`):
+    pts, cent0..cent{iters}, dist0..dist{iters}, a0..a{iters}."""
     parts = [f"""
 pts AS MATERIALIZED (
   SELECT {id_col} AS id, d.i AS d, CAST({vec_col}[d.i + 1] AS DOUBLE) AS x
@@ -155,6 +154,23 @@ cent{t + 1} AS MATERIALIZED (
     ) upd ON c0.cluster = upd.cluster AND c0.d = upd.d
   ) u JOIN cent{t} prev ON u.cluster = prev.cluster AND u.d = prev.d
 )""")
+    return parts
+
+
+def kmeans_assign_sql(
+    k: int = 4,
+    iters: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`kmeans`: the same recurrence unrolled as
+    CTEs over the long-form (id, dim, x) relation — init from the k
+    smallest ids, per-iteration rounded centroids, rounded-distance
+    argmin with min-cluster tiebreak. Returns (id, cluster, dist)."""
+    parts = _kmeans_cte_parts(k, iters, table, id_col, vec_col, dim, round_to)
     final = f"""
 SELECT a.id AS id, CAST(a.cluster AS BIGINT) AS cluster,
        ROUND(d.d, 6) AS dist
@@ -396,3 +412,109 @@ assigned AS (
 SELECT CAST(lbl AS BIGINT) AS label, CAST(clbl AS BIGINT) AS assigned,
        COUNT(*) AS n_vectors
 FROM assigned GROUP BY lbl, clbl"""
+
+
+# ----------------------------------------------------------- silhouette
+
+def kmeans_silhouette(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 9,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the :func:`kmeans`
+    result — the standard clustering-quality score made scale-safe:
+    instead of the O(n^2) pairwise silhouette, a(i) / b(i) are the
+    Euclidean distances to the OWN and the NEAREST-OTHER final
+    centroid (Hruschka et al.'s "simplified silhouette", the form
+    every large-scale ML library ships). s(i) = (b - a) / max(a, b);
+    the report is the per-cluster mean.
+
+    Determinism: squared distances reuse the kmeans rounding contract
+    (round_to decimals), sqrt is IEEE-exact, per-point s is quantized
+    to 12 decimals and the cluster mean is a DECIMAL(38,12) sum with
+    one final double division — the oracle twin walks the identical
+    floats.
+
+    Scale: centroids are k x dim driver literals baked into one
+    projection over n rows + one groupBy(cluster) — no joins at all.
+
+    Returns (cluster, n_points, mean_silhouette).
+    """
+    assert k >= 2, "silhouette needs at least two clusters"
+    assigned, cents = kmeans(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        dim=dim, round_to=round_to,
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
+    structs = [
+        F.struct(
+            F.round(_sqdist_expr(F.col("v"), c), round_to).alias("d"),
+            F.lit(j).alias("j"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    arr = F.array(*structs)
+    best = F.array_min(arr)
+    da = F.sqrt(best["d"])
+    db = F.sqrt(
+        F.array_min(
+            F.filter(arr, lambda s: s["j"] != best["j"])
+        )["d"]
+    )
+    s = F.when(
+        F.greatest(da, db) > 0, (db - da) / F.greatest(da, db)
+    ).otherwise(F.lit(0.0))
+    pts = base.select(
+        best["j"].alias("cluster"),
+        F.round(s, 12).cast("decimal(38,12)").alias("s"),
+    )
+    return pts.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(
+            F.sum("s").cast("double") / F.count("*"), 6
+        ).alias("mean_silhouette"),
+    ).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_points",
+        "mean_silhouette",
+    )
+
+
+def kmeans_silhouette_sql(
+    k: int = 4,
+    iters: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`kmeans_silhouette`: the shared k-means
+    CTE chain, then a(i) from the assigned dist row, b(i) as the min
+    over the other clusters' dist rows, identical quantize + DECIMAL
+    mean."""
+    parts = _kmeans_cte_parts(k, iters, table, id_col, vec_col, dim, round_to)
+    final = f"""
+, sil AS (
+  SELECT a.id, a.cluster,
+         sqrt(own.d) AS da,
+         sqrt((SELECT MIN(o.d) FROM dist{iters} o
+               WHERE o.id = a.id AND o.cluster <> a.cluster)) AS db
+  FROM a{iters} a JOIN dist{iters} own
+    ON own.id = a.id AND own.cluster = a.cluster),
+sq AS (
+  SELECT cluster,
+         CAST(ROUND(CASE WHEN GREATEST(da, db) > 0
+                    THEN (db - da) / GREATEST(da, db)
+                    ELSE 0.0 END, 12) AS DECIMAL(38,12)) AS s
+  FROM sil)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+FROM sq GROUP BY cluster"""
+    return "WITH " + ",".join(parts) + final

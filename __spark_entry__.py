@@ -3340,6 +3340,132 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """Sketch-vs-truth calibration for MinHash: for every LSH candidate
+    pair, the signature-agreement estimate (matching positions / H —
+    the unbiased Jaccard estimator the sketch promises) NEXT TO the
+    exact shingle Jaccard, plus the absolute error. The acceptance
+    posture of HyperBallTest applied to the dedup sketch: the driver
+    row proves the estimator is computed correctly; the companion
+    pytest asserts the error bound on seeded fixtures. One join of the
+    already-built signature table against itself restricted to
+    candidate pairs — |pairs| x H work, never all-pairs."""
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", NUM_HASHES, BAND_ROWS, SHINGLE, HASH_SEED
+    )
+    sigs = minhash_signatures(
+        d, "doc_id", "text", NUM_HASHES, SHINGLE, HASH_SEED
+    )
+    est = (
+        pairs.join(
+            sigs.select(F.col("id").alias("id_a"), "i",
+                        F.col("minhash").alias("ha")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), "i",
+                        F.col("minhash").alias("hb")),
+            ["id_b", "i"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.when(F.col("ha") == F.col("hb"), 1).otherwise(0)
+            ).alias("agree")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("agree") / F.lit(NUM_HASHES), 6).alias("est_jaccard"),
+        )
+    )
+    exact = ngram_jaccard(d, pairs, "doc_id", "text", SHINGLE)
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+def _minhash_estimate_sql() -> str:
+    return f"""WITH {_PAIRS_CTE},
+agree AS (
+  SELECT p.id_a, p.id_b,
+         ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+               / {NUM_HASHES}, 6) AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.id = p.id_a
+  JOIN sigs sb ON sb.id = p.id_b AND sb.i = sa.i
+  GROUP BY p.id_a, p.id_b),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT s1.id AS id_a, s2.id AS id_b, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.id < s2.id
+  JOIN pairs p ON p.id_a = s1.id AND p.id_b = s2.id
+  GROUP BY s1.id, s2.id),
+exact AS (
+  SELECT x.id_a, x.id_b,
+         ROUND(x.common / (na.n + nb.n - x.common), 6) AS jaccard
+  FROM inter x
+  JOIN sizes na ON na.id = x.id_a
+  JOIN sizes nb ON nb.id = x.id_b)
+SELECT a.id_a, a.id_b, a.est_jaccard, e.jaccard,
+       ROUND(abs(a.est_jaccard - e.jaccard), 6) AS abs_err
+FROM agree a JOIN exact e ON a.id_a = e.id_a AND a.id_b = e.id_b"""
+
+
+def q_tool_latency(spark, sf_dir):
+    """Per-tool reply latency on the transcript payload: the
+    microsecond gap from a tool-bearing turn to the NEXT turn in the
+    conversation, attributed to the tool — 'how long after tool X
+    fires does the conversation move' (integer-exact sums, one
+    division per row; the tool-level drill-down of
+    transcript_turn_latency)."""
+    from pyspark.sql import Window
+
+    tr = _transcripts_view(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        tr.select(
+            "tool",
+            F.timestamp_diff(
+                "MICROSECOND", F.col("ts"), F.lead("ts").over(w)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("tool").isNotNull() & F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.sum("gap_us") / F.count(F.lit(1)), 9).alias("avg_gap_us"),
+    )
+
+
+def _tool_latency_sql() -> str:
+    return (
+        "WITH "
+        + td.TRANSCRIPT_TR_CTE
+        + """,
+gaps AS (
+  SELECT tool,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) - epoch_us(ts) AS gap_us
+  FROM tr)
+SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 9) AS avg_gap_us
+FROM gaps WHERE tool IS NOT NULL AND gap_us IS NOT NULL
+GROUP BY tool"""
+    )
+
+
 def q_kmeans_silhouette(spark, sf_dir):
     """Per-cluster simplified silhouette of the emb_kmeans clustering
     (functions/clustering.py:kmeans_silhouette) — the clustering-
@@ -3963,6 +4089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triad_census": q_triad_census,
         "graph_assortativity_dir": q_assortativity_dir,
         "emb_kmeans_silhouette": q_kmeans_silhouette,
+        "docs_minhash_estimate": q_minhash_estimate,
+        "transcript_tool_latency": q_tool_latency,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5142,6 +5270,8 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "emb_kmeans_silhouette": _clustering.kmeans_silhouette_sql(
             k=4, iters=3
         ),
+        "docs_minhash_estimate": _minhash_estimate_sql(),
+        "transcript_tool_latency": _tool_latency_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -638,3 +638,33 @@ def test_centroid_classify_separable(spark):
         for r in centroid_classify(emb).collect()
     }
     assert out == {(0, 0): 8, (1, 1): 8}
+
+
+def test_minhash_estimator_calibration(spark):
+    """The signature-agreement estimate tracks exact Jaccard: equal
+    docs agree on every hash (est exactly 1), and the 0.75-Jaccard
+    near-dup pair estimates within the H=16 sampling band."""
+    from webgraph_spark.functions.dedup import (
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    d = _docs(spark)
+    pairs = spark.createDataFrame([(0, 3), (0, 1)], "id_a long, id_b long")
+    sigs = minhash_signatures(d, "doc_id", "text", 16, 3, 42)
+    est = {}
+    rows = sigs.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, {})[r.i] = r.minhash
+    for a, b in [(0, 3), (0, 1)]:
+        agree = sum(
+            1 for i in range(16) if by_id[a][i] == by_id[b][i]
+        )
+        est[(a, b)] = agree / 16.0
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard(d, pairs, "doc_id", "text").collect()
+    }
+    assert exact[(0, 3)] == 1.0 and est[(0, 3)] == 1.0
+    assert abs(est[(0, 1)] - exact[(0, 1)]) < 0.35  # ~3 sigma at H=16

@@ -3340,6 +3340,90 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_dup_turns(spark, sf_dir):
+    """Turn-level boilerplate profile on the transcript payload: the
+    top-10 most repeated turn texts across ALL conversations (count,
+    number of distinct conversations carrying them) — the scripted-
+    content detector a transcript-training pipeline runs before
+    per-document dedup (repeated single turns survive document-level
+    MinHash). Rank by (count desc, text asc) — a total order. One
+    groupBy(text); the top-10 head is a tiny tail sort."""
+    tr = _transcripts_view(spark, sf_dir)
+    agg = tr.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("text").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "text",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_convs").cast("long").alias("n_convs"),
+        )
+    )
+
+
+def _dup_turns_sql() -> str:
+    return (
+        "WITH "
+        + td.TRANSCRIPT_TR_CTE
+        + """,
+agg AS (
+  SELECT text, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT conv_id) AS n_convs
+  FROM tr GROUP BY text)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, text ASC)
+            AS BIGINT) AS rank,
+       text, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_convs AS BIGINT) AS n_convs
+FROM agg ORDER BY n_occurrences DESC, text ASC LIMIT 10"""
+    )
+
+
+def q_events_seasonality(spark, sf_dir):
+    """Hour-of-week activity profile of the event stream (0 = Monday
+    00:00 UTC ... 167 = Sunday 23:00): exact counts plus each slot's
+    permille share of total traffic (one integer-scaled division per
+    row) — the seasonality fingerprint capacity planning and
+    anomaly-baseline jobs consume. Weekday/hour are integer functions
+    of epoch microseconds, identical in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Monday=0 via (dayofweek + 5) % 7 (Spark dayofweek: Sunday=1)
+    how = (
+        ((F.dayofweek("ts") + 5) % 7) * 24 + F.hour("ts")
+    ).alias("hour_of_week")
+    agg = ev.groupBy(how).agg(F.count("*").alias("n"))
+    tot = agg.agg(F.sum("n").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("hour_of_week").cast("int").alias("hour_of_week"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(
+                F.col("n") * F.lit(1000.0) / F.col("t"), 6
+            ).alias("permille"),
+        )
+    )
+
+
+def _events_seasonality_sql() -> str:
+    return """WITH agg AS (
+  SELECT (CAST(isodow(ts) AS INT) - 1) * 24
+         + CAST(hour(ts) AS INT) AS hour_of_week,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM agg)
+SELECT CAST(hour_of_week AS INT) AS hour_of_week,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND(n * 1000.0 / t, 6) AS permille
+FROM agg CROSS JOIN tot"""
+
+
 def q_minhash_estimate(spark, sf_dir):
     """Sketch-vs-truth calibration for MinHash: for every LSH candidate
     pair, the signature-agreement estimate (matching positions / H —
@@ -4091,6 +4175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_silhouette": q_kmeans_silhouette,
         "docs_minhash_estimate": q_minhash_estimate,
         "transcript_tool_latency": q_tool_latency,
+        "transcript_dup_turns": q_dup_turns,
+        "events_seasonality": q_events_seasonality,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5272,6 +5358,8 @@ JOIN sizes nb ON nb.id = x.id_b""",
         ),
         "docs_minhash_estimate": _minhash_estimate_sql(),
         "transcript_tool_latency": _tool_latency_sql(),
+        "transcript_dup_turns": _dup_turns_sql(),
+        "events_seasonality": _events_seasonality_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -3340,6 +3340,107 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_core_pagerank_share(spark, sf_dir):
+    """Core-periphery mass profile: PageRank mass aggregated by
+    coreness shell — the composition that answers 'does authority
+    live in the dense core?' (core-periphery structure, Borgatti-
+    Everett). Joins the 5-iteration PageRank vector against the full
+    h-index core decomposition; per shell: node count and DECIMAL-
+    exact sum of the round-9 ranks (quantized ranks are identical
+    doubles on both engines, so the order-free decimal sum is too).
+    Gates the COMPOSITION of two independently-oracled iterative
+    operators in one plan."""
+    from webgraph_spark.algos.kcore import coreness
+
+    e = _edges(spark, sf_dir)
+    pr = pagerank(e, fixed_iterations=5, num_partitions=16).ranks.select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+    cor = coreness(e).select("node", F.col("c").alias("coreness"))
+    j = pr.join(cor, "node")
+    return j.groupBy("coreness").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.round(
+            F.sum(F.col("rank").cast("decimal(38,12)")).cast("double"), 9
+        ).alias("rank_mass"),
+    ).select(
+        F.col("coreness").cast("long").alias("coreness"),
+        "n_nodes",
+        "rank_mass",
+    )
+
+
+def _core_pagerank_share_sql() -> str:
+    import re
+
+    from webgraph_spark.algos.kcore import coreness_rounds_sql
+
+    # the coreness chain and the pagerank body both use c{t} CTE
+    # names; namespace the coreness ones (kc{t}) for the composition
+    core = re.sub(r"\bc(\d+)\b", r"kc\1", coreness_rounds_sql(10))
+    parts = (
+        [td.EDGES_CTE, td.SYM_CTE]
+        + [core]
+        + [td.NODES_CTE]
+        + td._pagerank_body(5, 0.85)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+SELECT CAST(c.coreness AS BIGINT) AS coreness,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(CAST(SUM(CAST(ROUND(r.rank, 9) AS DECIMAL(38,12)))
+                  AS DOUBLE), 9) AS rank_mass
+FROM r5 r JOIN (SELECT node, coreness FROM core_final) c
+  ON r.node = c.node
+GROUP BY c.coreness"""
+    )
+
+
+def q_source_report(spark, sf_dir):
+    """Per-source curation dashboard over the documents table: doc and
+    char counts, DECIMAL-exact mean quality (round-6 qualities are
+    identical doubles on both engines), and the within-source exact-
+    duplicate rate (1 - distinct fingerprints / docs) — the
+    provenance-level triage view (which feed is low-quality or
+    self-repetitive) run before any per-document filtering."""
+    from webgraph_spark.functions.text import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = text_stats(docs, "doc_id", "text")
+    j = docs.select("doc_id", "source").join(st, "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(38,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+        F.round(
+            (
+                F.count("*") - F.countDistinct("fingerprint")
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+def _source_report_sql() -> str:
+    return f"""WITH stats AS ({_text_stats_sql()})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(st.n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(CAST(st.quality AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_quality,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT st.fingerprint) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate
+FROM documents d JOIN stats st ON d.doc_id = st.doc_id
+GROUP BY d.source"""
+
+
 def q_dup_turns(spark, sf_dir):
     """Turn-level boilerplate profile on the transcript payload: the
     top-10 most repeated turn texts across ALL conversations (count,
@@ -4177,6 +4278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_latency": q_tool_latency,
         "transcript_dup_turns": q_dup_turns,
         "events_seasonality": q_events_seasonality,
+        "graph_core_pagerank_share": q_core_pagerank_share,
+        "docs_source_report": q_source_report,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5360,6 +5463,8 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "transcript_tool_latency": _tool_latency_sql(),
         "transcript_dup_turns": _dup_turns_sql(),
         "events_seasonality": _events_seasonality_sql(),
+        "graph_core_pagerank_share": _core_pagerank_share_sql(),
+        "docs_source_report": _source_report_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -3340,6 +3340,50 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_events_type_markov(spark, sf_dir):
+    """Stationary importance of event types: the per-user event-type
+    transition multigraph (consecutive events in the stable (ts,
+    event_id) order, self-transitions kept) fed to weight-proportional
+    PageRank (8 fixed rounds) — 'where does user traffic settle', the
+    events-stream twin of transcript_tool_markov riding the same
+    pagerank_weighted kernel and wpagerank_sql oracle."""
+    from pyspark.sql import Window
+
+    from webgraph_spark.algos.pagerank import pagerank_weighted
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("label"))
+    )
+    res = pagerank_weighted(
+        trans, weight_col="label", fixed_iterations=8, num_partitions=8
+    )
+    return res.ranks.select(
+        F.col("node").alias("event_type"), F.round("rank", 9).alias("rank")
+    )
+
+
+def _events_type_markov_sql() -> str:
+    ledges = """
+ledges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS label FROM (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) t WHERE dst IS NOT NULL GROUP BY src, dst
+)"""
+    inner = td.wpagerank_sql(iters=8, alpha=0.85, ledges_cte=ledges)
+    return f"SELECT node AS event_type, rank FROM (\n{inner}\n) q"
+
+
 def q_core_pagerank_share(spark, sf_dir):
     """Core-periphery mass profile: PageRank mass aggregated by
     coreness shell — the composition that answers 'does authority
@@ -4280,6 +4324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": q_events_seasonality,
         "graph_core_pagerank_share": q_core_pagerank_share,
         "docs_source_report": q_source_report,
+        "events_type_markov": q_events_type_markov,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5465,6 +5510,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "events_seasonality": _events_seasonality_sql(),
         "graph_core_pagerank_share": _core_pagerank_share_sql(),
         "docs_source_report": _source_report_sql(),
+        "events_type_markov": _events_type_markov_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -3340,6 +3340,66 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: verified near-dup pairs
+    (>= 0.8 shingle Jaccard, the docs_dedup_clusters rule) rolled up
+    by unordered source pair — which feeds duplicate each other, the
+    provenance-level view a curation pipeline uses to deprioritize a
+    mirrored source wholesale instead of fighting it document by
+    document. Rides the bucketed LSH chain; the rollup adds one
+    broadcast join to the doc->source map and one tiny groupBy."""
+    from webgraph_spark.functions.dedup import ngram_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", NUM_HASHES, BAND_ROWS, SHINGLE, HASH_SEED
+    )
+    ver = ngram_jaccard(d, pairs, "doc_id", "text", SHINGLE).where(
+        F.col("jaccard") >= DEDUP_THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        ver.join(
+            src.select(F.col("doc_id").alias("id_a"),
+                       F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"),
+                       F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count("*").cast("long").alias("n_dup_pairs"))
+
+
+def _source_overlap_sql() -> str:
+    return f"""WITH {_PAIRS_CTE},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT s1.id AS id_a, s2.id AS id_b, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.id < s2.id
+  JOIN pairs p ON p.id_a = s1.id AND p.id_b = s2.id
+  GROUP BY s1.id, s2.id),
+ver AS (
+  SELECT x.id_a, x.id_b
+  FROM inter x
+  JOIN sizes na ON na.id = x.id_a
+  JOIN sizes nb ON nb.id = x.id_b
+  WHERE ROUND(x.common / (na.n + nb.n - x.common), 6) >= {DEDUP_THRESHOLD})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM ver v
+JOIN documents da ON da.doc_id = v.id_a
+JOIN documents db ON db.doc_id = v.id_b
+GROUP BY 1, 2"""
+
+
 def q_events_type_markov(spark, sf_dir):
     """Stationary importance of event types: the per-user event-type
     transition multigraph (consecutive events in the stable (ts,
@@ -4325,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_core_pagerank_share": q_core_pagerank_share,
         "docs_source_report": q_source_report,
         "events_type_markov": q_events_type_markov,
+        "docs_source_overlap": q_source_overlap,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5511,6 +5572,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "graph_core_pagerank_share": _core_pagerank_share_sql(),
         "docs_source_report": _source_report_sql(),
         "events_type_markov": _events_type_markov_sql(),
+        "docs_source_overlap": _source_overlap_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

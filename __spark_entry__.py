@@ -3340,6 +3340,74 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_cc_size_dist(spark, sf_dir):
+    """Component-size distribution (size s -> number of components)
+    of the degree-bounded subgraph (outdegree in [1, 8), the
+    DegreeRangeImmutableSubgraph operator): removing the hubs
+    fragments the giant component, so the histogram exposes the
+    'dust' structure the full graph's single-component answer hides —
+    the classic tail summary beside graph_bowtie. Converged hash-min
+    CC over the subgraph + two tiny groupBys."""
+    from webgraph_spark.operators.transforms import degree_range_subgraph
+
+    sub, _ = degree_range_subgraph(_edges(spark, sf_dir), 1, 8, reindex=False)
+    res = connected_components(
+        sub.select("src", "dst"), max_iter=30, num_partitions=16
+    )
+    if not res.converged:
+        raise RuntimeError("cc_size_dist: CC truncated; raise max_iter")
+    sizes = res.labels.groupBy("component").agg(
+        F.count("*").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_components")
+    ).select(F.col("size").cast("long").alias("size"), "n_components")
+
+
+def _cc_size_dist_sql(rounds: int = 30) -> str:
+    parts = [
+        td.EDGES_CTE,
+        td.NODES_CTE,
+        """
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)""",
+        """
+keep AS MATERIALIZED (
+  SELECT n.node FROM nodes n LEFT JOIN outdeg o ON n.node = o.src
+  WHERE COALESCE(o.d, 0) >= 1 AND COALESCE(o.d, 0) < 8)""",
+        """
+sub AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  JOIN keep a ON e.src = a.node JOIN keep b ON e.dst = b.node)""",
+        """
+snodes AS MATERIALIZED (
+  SELECT src AS node FROM sub UNION SELECT dst FROM sub)""",
+        """
+ssym AS MATERIALIZED (
+  SELECT src, dst FROM sub WHERE src <> dst
+  UNION SELECT dst, src FROM sub WHERE src <> dst)""",
+        """
+sl0 AS MATERIALIZED (SELECT node, node AS component FROM snodes)""",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"sl{k - 1}"
+        parts.append(f"""
+sm{k} AS MATERIALIZED (SELECT s.dst AS node, MIN(l.component) AS mn
+  FROM ssym s JOIN {prev} l ON s.src = l.node GROUP BY s.dst)""")
+        parts.append(f"""
+sl{k} AS MATERIALIZED (SELECT l.node,
+  LEAST(l.component, COALESCE(m.mn, l.component)) AS component
+  FROM {prev} l LEFT JOIN sm{k} m ON l.node = m.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM (SELECT component, COUNT(*) AS size FROM sl{rounds}
+      GROUP BY component)
+GROUP BY size"""
+    )
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix: verified near-dup pairs
     (>= 0.8 shingle Jaccard, the docs_dedup_clusters rule) rolled up
@@ -4386,6 +4454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_report": q_source_report,
         "events_type_markov": q_events_type_markov,
         "docs_source_overlap": q_source_overlap,
+        "graph_cc_size_dist": q_cc_size_dist,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5573,6 +5642,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "docs_source_report": _source_report_sql(),
         "events_type_markov": _events_type_markov_sql(),
         "docs_source_overlap": _source_overlap_sql(),
+        "graph_cc_size_dist": _cc_size_dist_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -3340,6 +3340,105 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_strength_dist(spark, sf_dir):
+    """Out-STRENGTH distribution over the labelled edge table
+    (strength = sum of arc multiplicities per source; Barrat et al.
+    2004's weighted-degree): strength s -> node count — the weighted
+    companion of the degree-distribution Stats sink. Two groupBys,
+    both map-side combinable."""
+    ledges = td.tpch_edges_labelled(spark, sf_dir)
+    st = ledges.groupBy("src").agg(F.sum("label").alias("strength"))
+    return st.groupBy("strength").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    ).select(F.col("strength").cast("long").alias("strength"), "n_nodes")
+
+
+def _strength_dist_sql() -> str:
+    return f"""WITH {td.LABELLED_EDGES_CTE}
+SELECT CAST(strength AS BIGINT) AS strength,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM (SELECT src, SUM(label) AS strength FROM ledges GROUP BY src)
+GROUP BY strength"""
+
+
+def q_label_tightness(spark, sf_dir):
+    """Per-label embedding compactness: mean cosine of each vector to
+    its OWN label centroid — the intra-class counterpart of
+    emb_centroid_confusion's between-class recoverability (together
+    they are the scatter decomposition a curation pipeline reads
+    before trusting labels). Same rounded-centroid discipline as
+    centroid_classify; per-label mean via quantize-12 + DECIMAL sum
+    (order-free), one division."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("lbl"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    cent = pts.groupBy("lbl", "pos").agg(
+        F.round(F.avg("x"), 9).alias("m")
+    )
+    cnorm = cent.groupBy("lbl").agg(
+        F.round(F.sum(F.col("m") * F.col("m")), 9).alias("cn2")
+    )
+    vnorm = pts.groupBy("id", "lbl").agg(
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("vn2")
+    )
+    dots = (
+        pts.join(F.broadcast(cent), ["lbl", "pos"])
+        .groupBy("id", "lbl")
+        .agg(F.round(F.sum(F.col("x") * F.col("m")), 9).alias("dot"))
+    )
+    per_vec = (
+        dots.join(F.broadcast(cnorm), "lbl")
+        .join(vnorm, ["id", "lbl"])
+        .select(
+            "lbl",
+            F.round(
+                F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2")), 6
+            ).alias("cos"),
+        )
+    )
+    return per_vec.groupBy("lbl").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.round(F.col("cos"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_cos_to_centroid"),
+    ).select(F.col("lbl").cast("long").alias("label"), "n_vectors",
+             "mean_cos_to_centroid")
+
+
+def _label_tightness_sql() -> str:
+    return """WITH pts AS MATERIALIZED (
+  SELECT vec_id AS id, label AS lbl, d.i AS pos,
+         CAST(embedding[d.i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) d),
+cent AS MATERIALIZED (
+  SELECT lbl, pos, ROUND(AVG(x), 9) AS m FROM pts GROUP BY lbl, pos),
+cnorm AS (SELECT lbl, ROUND(SUM(m * m), 9) AS cn2 FROM cent GROUP BY lbl),
+vnorm AS (SELECT id, lbl, ROUND(SUM(x * x), 9) AS vn2
+          FROM pts GROUP BY id, lbl),
+dots AS (
+  SELECT p.id, p.lbl, ROUND(SUM(p.x * c.m), 9) AS dot
+  FROM pts p JOIN cent c ON p.lbl = c.lbl AND p.pos = c.pos
+  GROUP BY p.id, p.lbl),
+per_vec AS (
+  SELECT d.lbl,
+         ROUND(d.dot / (sqrt(v.vn2) * sqrt(c.cn2)), 6) AS cos
+  FROM dots d JOIN cnorm c ON d.lbl = c.lbl
+  JOIN vnorm v ON d.id = v.id AND d.lbl = v.lbl)
+SELECT CAST(lbl AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(ROUND(cos, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_cos_to_centroid
+FROM per_vec GROUP BY lbl"""
+
+
 def q_cc_size_dist(spark, sf_dir):
     """Component-size distribution (size s -> number of components)
     of the degree-bounded subgraph (outdegree in [1, 8), the
@@ -4455,6 +4554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_markov": q_events_type_markov,
         "docs_source_overlap": q_source_overlap,
         "graph_cc_size_dist": q_cc_size_dist,
+        "graph_strength_dist": q_strength_dist,
+        "emb_label_tightness": q_label_tightness,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5643,6 +5744,8 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "events_type_markov": _events_type_markov_sql(),
         "docs_source_overlap": _source_overlap_sql(),
         "graph_cc_size_dist": _cc_size_dist_sql(),
+        "graph_strength_dist": _strength_dist_sql(),
+        "emb_label_tightness": _label_tightness_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -3340,6 +3340,76 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_length_hist(spark, sf_dir):
+    """Log2-bucketed document-length histogram (bucket =
+    floor(log2(n_tokens + 1)), computed with INTEGER bit-length
+    arithmetic — no libm): doc counts and exact token totals per
+    octave — the standard corpus length profile (truncation/padding
+    budget planning). One projection + one groupBy."""
+    from webgraph_spark.functions.text import whitespace_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = whitespace_token_count(F.col("text"))
+    # floor(log2(x)) via bit_length - 1 (x >= 1): bucket of n_tok+1
+    bucket = (
+        F.length(F.conv((n_tok + 1).cast("string"), 10, 2)) - 1
+    ).alias("bucket")
+    return docs.select(bucket, n_tok.alias("nt")).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+    ).select(F.col("bucket").cast("int").alias("bucket"), "n_docs",
+             "total_tokens")
+
+
+def _length_hist_sql() -> str:
+    n_tok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END"
+    return f"""WITH t AS (SELECT {n_tok} AS nt FROM documents)
+SELECT CAST(length(bin(nt + 1)) - 1 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1"""
+
+
+def q_core_sizes(spark, sf_dir):
+    """k-core size curve: number of nodes with coreness >= k for every
+    k (the cumulative shell profile read off every core-decomposition
+    paper's figure 1) — histogram of the coreness table + one suffix
+    sum over the tiny distinct-k axis (the rich-club plan shape)."""
+    from pyspark.sql import Window
+
+    from webgraph_spark.algos.kcore import coreness
+
+    cor = coreness(_edges(spark, sf_dir))
+    hist = cor.groupBy(F.col("c").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        F.col("k").cast("long").alias("k"),
+        F.sum("n").over(w).cast("long").alias("core_size"),
+    )
+
+
+def _core_sizes_sql() -> str:
+    return (
+        f"WITH {td.EDGES_CTE},{td.SYM_CTE},"
+        + _coreness_body_sql()
+        + """
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(SUM(n) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS core_size
+FROM (SELECT coreness AS k, COUNT(*) AS n FROM core_final GROUP BY 1)"""
+    )
+
+
+def _coreness_body_sql() -> str:
+    from webgraph_spark.algos.kcore import coreness_rounds_sql
+
+    return coreness_rounds_sql(10)
+
+
 def q_strength_dist(spark, sf_dir):
     """Out-STRENGTH distribution over the labelled edge table
     (strength = sum of arc multiplicities per source; Barrat et al.
@@ -4556,6 +4626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc_size_dist": q_cc_size_dist,
         "graph_strength_dist": q_strength_dist,
         "emb_label_tightness": q_label_tightness,
+        "docs_length_hist": q_length_hist,
+        "graph_core_sizes": q_core_sizes,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5746,6 +5818,8 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "graph_cc_size_dist": _cc_size_dist_sql(),
         "graph_strength_dist": _strength_dist_sql(),
         "emb_label_tightness": _label_tightness_sql(),
+        "docs_length_hist": _length_hist_sql(),
+        "graph_core_sizes": _core_sizes_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

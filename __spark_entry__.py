@@ -3340,6 +3340,97 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_len_latency_corr(spark, sf_dir):
+    """Does conversation length predict reply speed? Pearson
+    correlation between a conversation's turn count and its mean
+    inter-turn gap (conversations with >= 2 turns). EVERYTHING before
+    the final correlation is integer-exact: the mean gap is a
+    floor-division integer (µs) and all five regression moments are
+    exact int64/DECIMAL(38,0)/HUGEINT sums (y^2 ~ 1e24 overflows
+    int64, so squares multiply as decimals), leaving two sqrt + one
+    divide on identical operands. One window + two groupBys."""
+    from pyspark.sql import Window
+
+    tr = _transcripts_view(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    per = (
+        tr.select(
+            "conv_id",
+            F.timestamp_diff(
+                "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+            ).alias("g"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            (F.count(F.lit(1))).alias("n_turns"),
+            F.sum("g").alias("tot"),
+        )
+        .where(F.col("n_turns") >= 2)
+        .select(
+            F.col("n_turns").cast("long").alias("x"),
+            # floor-division integer mean gap (µs) — exact both engines
+            (
+                (F.col("tot") - F.col("tot") % (F.col("n_turns") - 1))
+                / (F.col("n_turns") - 1)
+            ).cast("long").alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = per.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sx2"),
+        F.sum(dec("y") * dec("y")).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_convs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)),
+            6,
+        ).alias("len_latency_corr"),
+    )
+
+
+def _len_latency_corr_sql() -> str:
+    return (
+        "WITH "
+        + td.TRANSCRIPT_TR_CTE
+        + """,
+per AS (
+  SELECT CAST(n_turns AS BIGINT) AS x,
+         CAST(tot // (n_turns - 1) AS BIGINT) AS y
+  FROM (
+    SELECT conv_id, COUNT(*) AS n_turns, SUM(g) AS tot FROM (
+      SELECT conv_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx) AS g
+      FROM tr) gg
+    GROUP BY conv_id) t
+  WHERE n_turns >= 2),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sx2,
+         SUM(CAST(y AS HUGEINT) * y) AS sy2
+  FROM per)
+SELECT CAST(n AS BIGINT) AS n_convs,
+  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        6) AS len_latency_corr
+FROM m"""
+    )
+
+
 def q_length_hist(spark, sf_dir):
     """Log2-bucketed document-length histogram (bucket =
     floor(log2(n_tokens + 1)), computed with INTEGER bit-length
@@ -4628,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_tightness": q_label_tightness,
         "docs_length_hist": q_length_hist,
         "graph_core_sizes": q_core_sizes,
+        "transcript_len_latency_corr": q_len_latency_corr,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5820,6 +5912,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "emb_label_tightness": _label_tightness_sql(),
         "docs_length_hist": _length_hist_sql(),
         "graph_core_sizes": _core_sizes_sql(),
+        "transcript_len_latency_corr": _len_latency_corr_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -3340,6 +3340,112 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_hourly_autocorr(spark, sf_dir):
+    """Diurnal-seasonality strength: Pearson autocorrelation of the
+    hourly event-count series at lag 24h (count at hour h vs h+24,
+    over hours where both exist). Counts are exact ints from one
+    date_trunc groupBy; the lag join is an integer epoch-hour
+    self-join; all five moments exact int64 — one sqrt-divide at the
+    end. The scalar that says HOW periodic the traffic is (the
+    seasonality profile shows WHERE)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = ev.groupBy(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+        ).alias("h")
+    ).agg(F.count("*").alias("n"))
+    j = hours.alias("a").join(
+        hours.alias("b"), F.col("a.h") + 24 == F.col("b.h")
+    ).select(F.col("a.n").alias("x"), F.col("b.n").alias("y"))
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_hour_pairs"),
+        F.round(
+            (n * F.col("sxy").cast("double") - sx * sy)
+            / (
+                F.sqrt(n * F.col("sx2").cast("double") - sx * sx)
+                * F.sqrt(n * F.col("sy2").cast("double") - sy * sy)
+            ),
+            6,
+        ).alias("autocorr_24h"),
+    )
+
+
+def _hourly_autocorr_sql() -> str:
+    return """WITH hours AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
+  FROM events GROUP BY 1),
+j AS (
+  SELECT a.n AS x, b.n AS y
+  FROM hours a JOIN hours b ON a.h + 24 = b.h),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM j)
+SELECT CAST(n AS BIGINT) AS n_hour_pairs,
+  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        6) AS autocorr_24h
+FROM m"""
+
+
+HEAPS_CHECKPOINTS = [100, 200, 300, 400, 500]
+
+
+def q_heaps_points(spark, sf_dir):
+    """Heaps-law vocabulary-growth points: (corpus prefix size,
+    cumulative tokens, distinct vocabulary) at fixed doc-count
+    checkpoints in doc_id order — the sublinear V(n) ~ K n^beta curve
+    that distinguishes natural vocabulary growth from template text
+    (whose vocabulary saturates). Exact distinct counts per prefix;
+    len(checkpoints) small grouped-distinct passes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    outs = []
+    for c in HEAPS_CHECKPOINTS:
+        pre = toks.where(F.col("doc_id") < c)
+        outs.append(
+            pre.agg(
+                F.count("*").alias("total_tokens"),
+                F.countDistinct("tok").alias("vocab"),
+            ).select(
+                F.lit(c).cast("int").alias("n_docs"),
+                F.col("total_tokens").cast("long").alias("total_tokens"),
+                F.col("vocab").cast("long").alias("vocab"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _heaps_points_sql() -> str:
+    sels = []
+    for c in HEAPS_CHECKPOINTS:
+        sels.append(f"""
+SELECT CAST({c} AS INT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t
+WHERE doc_id < {c}""")
+    return " UNION ALL ".join(sels)
+
+
 def q_len_latency_corr(spark, sf_dir):
     """Does conversation length predict reply speed? Pearson
     correlation between a conversation's turn count and its mean
@@ -4720,6 +4826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_hist": q_length_hist,
         "graph_core_sizes": q_core_sizes,
         "transcript_len_latency_corr": q_len_latency_corr,
+        "events_hourly_autocorr": q_hourly_autocorr,
+        "docs_heaps_points": q_heaps_points,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -5913,6 +6021,8 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "docs_length_hist": _length_hist_sql(),
         "graph_core_sizes": _core_sizes_sql(),
         "transcript_len_latency_corr": _len_latency_corr_sql(),
+        "events_hourly_autocorr": _hourly_autocorr_sql(),
+        "docs_heaps_points": _heaps_points_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

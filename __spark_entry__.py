@@ -3340,6 +3340,83 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_sq8_error(spark, sf_dir):
+    """SQ8 reconstruction-error report: corpus MSE and max absolute
+    per-component error of the 8-bit scalar quantizer — the
+    quantization QA that belongs next to emb_sq8_recall5 (recall says
+    retrieval survives; this says HOW MUCH geometry was spent).
+    Per-row squared-error sums are the deterministic left-to-right
+    array fold, quantized to 12 decimals and DECIMAL-summed
+    (order-free); the max is order-free by nature. One scan, zero
+    joins (stats are driver literals, the sq8 contract)."""
+    from webgraph_spark.functions.similarity import (
+        sq8_codes,
+        sq8_dequantize,
+        sq8_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mins, scales = sq8_stats(emb)
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    dq = sq8_dequantize(sq8_codes(x, mins, scales), mins, scales)
+    err2 = F.aggregate(
+        F.zip_with(x, dq, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    maxabs = F.array_max(
+        F.zip_with(x, dq, lambda a, b: F.round(F.abs(a - b), 9))
+    )
+    base = emb.select(
+        F.round(err2, 12).cast("decimal(38,12)").alias("e2"),
+        maxabs.alias("ma"),
+        F.size("embedding").alias("d"),
+    )
+    return base.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(
+            F.sum("e2").cast("double") / F.sum("d"), 9
+        ).alias("mse"),
+        F.max("ma").alias("max_abs_err"),
+    )
+
+
+def _sq8_error_sql() -> str:
+    return """WITH lf AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+mm AS MATERIALIZED (
+  SELECT d, MIN(x) AS mn, (MAX(x) - MIN(x)) / 255.0 AS sc
+  FROM lf GROUP BY d
+),
+dq AS MATERIALIZED (
+  SELECT vec_id, lf.d, x,
+         (CASE WHEN sc > 0 THEN LEAST(255.0, GREATEST(0.0,
+              FLOOR((x - mn) / sc + 0.5))) ELSE 0.0 END) * sc + mn AS v
+  FROM lf JOIN mm USING (d)
+),
+vecs AS MATERIALIZED (
+  SELECT vec_id, list(x ORDER BY d) AS xs, list(v ORDER BY d) AS vs,
+         COUNT(*) AS dim
+  FROM dq GROUP BY vec_id
+),
+rows_ AS (
+  SELECT CAST(ROUND(list_reduce(
+           list_transform(range(1, len(xs) + 1),
+                          i -> (xs[i] - vs[i]) * (xs[i] - vs[i])),
+           (a, b) -> a + b), 12) AS DECIMAL(38,12)) AS e2,
+         list_max(list_transform(range(1, len(xs) + 1),
+                                 i -> ROUND(abs(xs[i] - vs[i]), 9))) AS ma,
+         dim
+  FROM vecs)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(e2) AS DOUBLE) / SUM(dim), 9) AS mse,
+       MAX(ma) AS max_abs_err
+FROM rows_"""
+
+
 def q_hourly_autocorr(spark, sf_dir):
     """Diurnal-seasonality strength: Pearson autocorrelation of the
     hourly event-count series at lag 24h (count at hour h vs h+24,
@@ -4828,6 +4905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_len_latency_corr": q_len_latency_corr,
         "events_hourly_autocorr": q_hourly_autocorr,
         "docs_heaps_points": q_heaps_points,
+        "emb_sq8_error": q_sq8_error,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -6023,6 +6101,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "transcript_len_latency_corr": _len_latency_corr_sql(),
         "events_hourly_autocorr": _hourly_autocorr_sql(),
         "docs_heaps_points": _heaps_points_sql(),
+        "emb_sq8_error": _sq8_error_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -88,3 +88,40 @@ def test_ef_beats_raw_on_cycle(spark):
     row = ef_bits_per_link(pack_ef(g, num_blocks=2)).collect()[0]
     assert row["n_arcs"] == 256
     assert 2.0 <= row["bits_per_link"] <= 2 + np.log2(256) + 2
+
+
+# ----------------------------- property tests (hypothesis, numpy-level)
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=200),
+    st.integers(1, 2**20),
+)
+@settings(max_examples=80, deadline=None)
+def test_ef_list_roundtrip_property(vals, slack):
+    import numpy as np
+
+    from webgraph_spark.operators.ef import (
+        ef_decode_list,
+        ef_encode_list,
+        skip_to,
+    )
+
+    v = np.array(sorted(set(vals)), dtype=np.int64)
+    u = int(v[-1]) + slack
+    l, lowers, uppers = ef_encode_list(v, u)
+    out = ef_decode_list(
+        len(v),
+        l,
+        np.frombuffer(lowers, dtype=np.uint8),
+        np.frombuffer(uppers, dtype=np.uint8),
+    )
+    assert np.array_equal(out, v)
+    # skipTo returns the smallest successor >= bound, -1 past the end
+    for bound in {0, int(v[0]), int(v[-1]), int(v[-1]) + 1,
+                  int(v[len(v) // 2])}:
+        got = skip_to(v, bound)
+        geq = v[v >= bound]
+        assert got == (int(geq[0]) if len(geq) else -1)

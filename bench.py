@@ -216,6 +216,10 @@ def main():
         "graph_trustrank",
         "graph_fiedler",
         "graph_oddball",
+        "events_burstiness",
+        "docs_zipf_slope",
+        "graph_ck_curve",
+        "graph_assortativity_dir",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

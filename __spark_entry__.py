@@ -3340,6 +3340,73 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_rw_sample(spark, sf_dir):
+    """Random-walk-induced subgraph sample (Leskovec-Faloutsos KDD'06
+    — RW sampling preserves degree/clustering shape better than node
+    sampling): 2 deterministic md5 walks of length 6 from the 20
+    smallest customer sources; the sample is the visited node set and
+    its induced arc count plus coverage fraction — the scale-down
+    constructor for benchmark subgraphs, replayable bit-for-bit on
+    any engine/parallelism. Walk state is frontier-sized; induction
+    is two semi-joins."""
+    from webgraph_spark.algos.walks import random_walks
+
+    e = _edges(spark, sf_dir)
+    srcs = (
+        e.where(F.col("src") < td.OFF_ORDER)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(20)
+    )
+    walks = random_walks(e, srcs, length=6, n_walks=2)
+    visited = walks.select("node").distinct()
+    n_vis = visited.count()
+    ind = (
+        e.join(visited.select(F.col("node").alias("src")), "src")
+        .join(visited.select(F.col("node").alias("dst")), "dst")
+    )
+    n_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
+    return ind.agg(F.count("*").alias("c")).select(
+        F.lit(n_vis).cast("long").alias("n_sampled_nodes"),
+        F.col("c").cast("long").alias("n_induced_arcs"),
+        F.round(F.lit(n_vis) / F.lit(float(n_nodes)), 6).alias(
+            "node_fraction"
+        ),
+    )
+
+
+def _rw_sample_sql() -> str:
+    from webgraph_spark.algos.walks import random_walks_sql
+
+    inner = (
+        f"""WITH {td.EDGES_CTE},
+wsrc AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
+         ORDER BY node LIMIT 20),"""
+        + random_walks_sql(length=6, n_walks=2)
+    )
+    return f"""WITH aw AS MATERIALIZED (
+{inner}
+),
+visited AS MATERIALIZED (SELECT DISTINCT node FROM aw),
+{td.EDGES_CTE},
+{td.NODES_CTE},
+ind AS (
+  SELECT COUNT(*) AS c FROM edges e
+  JOIN visited a ON e.src = a.node
+  JOIN visited b ON e.dst = b.node)
+SELECT CAST((SELECT COUNT(*) FROM visited) AS BIGINT) AS n_sampled_nodes,
+       CAST((SELECT c FROM ind) AS BIGINT) AS n_induced_arcs,
+       ROUND((SELECT COUNT(*) FROM visited)
+             / CAST((SELECT COUNT(*) FROM nodes) AS DOUBLE), 6)
+         AS node_fraction"""
+
+
 def q_sq8_error(spark, sf_dir):
     """SQ8 reconstruction-error report: corpus MSE and max absolute
     per-component error of the 8-bit scalar quantizer — the
@@ -4906,6 +4973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_autocorr": q_hourly_autocorr,
         "docs_heaps_points": q_heaps_points,
         "emb_sq8_error": q_sq8_error,
+        "graph_rw_sample": q_rw_sample,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -6102,6 +6170,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "events_hourly_autocorr": _hourly_autocorr_sql(),
         "docs_heaps_points": _heaps_points_sql(),
         "emb_sq8_error": _sq8_error_sql(),
+        "graph_rw_sample": _rw_sample_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -3340,6 +3340,64 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_conversion_lag_quantiles(spark, sf_dir):
+    """Quantiles of the view -> click -> purchase completion lag (per
+    completing user, microseconds from the first view): the
+    time-to-convert distribution product analytics reads next to the
+    funnel's completion counts. Per-user lags are the events_funnel3
+    chain (strictly-after min-aggregations, integer-exact); the
+    quantiles ride the 256-bin histogram sketch
+    (functions/sketches.py:histogram_quantiles) with its deterministic
+    integer-rank interpolation."""
+    from webgraph_spark.functions.sketches import histogram_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(F.min(us).alias("t1"))
+        .select("u", "t1", F.col("t1").alias("tk"))
+    )
+    for step in ("click", "purchase"):
+        nxt = (
+            ev.where(F.col("event_type") == step)
+            .select(F.col("user_id").alias("u"), us.alias("t"))
+            .join(prev, "u")
+            .where(F.col("t") > F.col("tk"))
+            .groupBy("u")
+            .agg(F.min("t1").alias("t1"), F.min("t").alias("tk"))
+        )
+        prev = nxt
+    lags = prev.select((F.col("tk") - F.col("t1")).alias("lag_us"))
+    return histogram_quantiles(
+        lags, "lag_us", [0.1, 0.25, 0.5, 0.75, 0.9], bins=256
+    )
+
+
+def _conversion_lag_quantiles_sql() -> str:
+    from webgraph_spark.functions import sketches as _sk
+
+    lag_rel = """(
+  WITH p1 AS (
+    SELECT user_id AS u, MIN(epoch_us(ts)) AS t1, MIN(epoch_us(ts)) AS tk
+    FROM events WHERE event_type = 'view' GROUP BY user_id),
+  p2 AS (
+    SELECT e.user_id AS u, MIN(p.t1) AS t1, MIN(epoch_us(e.ts)) AS tk
+    FROM events e JOIN p1 p ON e.user_id = p.u
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > p.tk
+    GROUP BY e.user_id),
+  p3 AS (
+    SELECT e.user_id AS u, MIN(p.t1) AS t1, MIN(epoch_us(e.ts)) AS tk
+    FROM events e JOIN p2 p ON e.user_id = p.u
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > p.tk
+    GROUP BY e.user_id)
+  SELECT tk - t1 AS lag_us FROM p3) lags"""
+    return _sk.histogram_quantiles_sql(
+        lag_rel, "lag_us", [0.1, 0.25, 0.5, 0.75, 0.9], bins=256
+    )
+
+
 def q_rw_sample(spark, sf_dir):
     """Random-walk-induced subgraph sample (Leskovec-Faloutsos KDD'06
     — RW sampling preserves degree/clustering shape better than node
@@ -4974,6 +5032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_heaps_points": q_heaps_points,
         "emb_sq8_error": q_sq8_error,
         "graph_rw_sample": q_rw_sample,
+        "events_conversion_lag_quantiles": q_conversion_lag_quantiles,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -6171,6 +6230,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "docs_heaps_points": _heaps_points_sql(),
         "emb_sq8_error": _sq8_error_sql(),
         "graph_rw_sample": _rw_sample_sql(),
+        "events_conversion_lag_quantiles": _conversion_lag_quantiles_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

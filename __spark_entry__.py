@@ -3340,6 +3340,121 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_weighted_clustering(spark, sf_dir):
+    """Barrat weighted clustering coefficient (Barrat-Barthelemy-
+    Pastor-Satorras-Vespignani PNAS 2004): per node,
+    c_w(i) = [sum over triangles at i of (w_ij + w_ih)] /
+    (2 * s_i * (k_i - 1)) with integer arc-multiplicity weights —
+    whether a node's triangles carry its heavy edges (c_w > c) or its
+    weak ones. The numerator, strength s_i, and degree k_i are EXACT
+    integers (weights are arc multiplicities; symmetrized weight =
+    fwd + rev); one double division per node. Plan: the same
+    degree-oriented wedge join as triangles_per_node, carrying the
+    three pair weights and unioned back to all three corners."""
+    led = td.tpch_edges_labelled(spark, sf_dir)
+    x = F.least("src", "dst")
+    y = F.greatest("src", "dst")
+    und = (
+        led.where(F.col("src") != F.col("dst"))
+        .select(x.alias("x"), y.alias("y"), F.col("label").alias("w"))
+        .groupBy("x", "y")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    cns = und.select(
+        F.col("x").alias("node"), F.col("w")
+    ).unionAll(und.select(F.col("y").alias("node"), "w"))
+    ks = cns.groupBy("node").agg(
+        F.count("*").alias("k"), F.sum("w").alias("s")
+    )
+    deg = ks.select("node", "k")
+    e = (
+        und.join(deg.select(F.col("node").alias("x"), F.col("k").alias("kx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("k").alias("ky")), "y")
+    )
+    lo_first = (F.col("kx") < F.col("ky")) | (
+        (F.col("kx") == F.col("ky")) & (F.col("x") < F.col("y"))
+    )
+    ot = e.select(
+        F.when(lo_first, F.col("x")).otherwise(F.col("y")).alias("a"),
+        F.when(lo_first, F.col("y")).otherwise(F.col("x")).alias("b"),
+        "w",
+    )
+    tri = (
+        ot.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                  F.col("w").alias("w1"))
+        .join(
+            ot.select(F.col("a").alias("v"), F.col("b").alias("t"),
+                      F.col("w").alias("w2")),
+            "v",
+        )
+        .join(
+            ot.select(F.col("a").alias("u"), F.col("b").alias("t"),
+                      F.col("w").alias("w3")),
+            ["u", "t"],
+        )
+    )
+    corners = (
+        tri.select(F.col("u").alias("node"),
+                   (F.col("w1") + F.col("w3")).alias("c"))
+        .unionAll(tri.select(F.col("v").alias("node"),
+                             (F.col("w1") + F.col("w2")).alias("c")))
+        .unionAll(tri.select(F.col("t").alias("node"),
+                             (F.col("w2") + F.col("w3")).alias("c")))
+        .groupBy("node")
+        .agg(F.sum("c").alias("num"))
+    )
+    out = ks.join(corners, "node", "left").select(
+        "node",
+        F.col("k").cast("long").alias("k"),
+        F.col("s").cast("long").alias("strength"),
+        F.round(
+            F.when(
+                F.col("k") >= 2,
+                F.coalesce("num", F.lit(0)).cast("double")
+                / (F.lit(2) * F.col("s") * (F.col("k") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("wclustering"),
+    )
+    und.unpersist()
+    return out
+
+
+def _weighted_clustering_sql() -> str:
+    return f"""WITH {td.LABELLED_EDGES_CTE},
+wund AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y, SUM(label) AS w
+  FROM ledges WHERE src <> dst GROUP BY 1, 2),
+wcns AS (
+  SELECT x AS node, w FROM wund UNION ALL SELECT y, w FROM wund),
+wks AS MATERIALIZED (
+  SELECT node, COUNT(*) AS k, SUM(w) AS s FROM wcns GROUP BY node),
+wot AS MATERIALIZED (
+  SELECT CASE WHEN a.k < b.k OR (a.k = b.k AND u.x < u.y)
+              THEN u.x ELSE u.y END AS oa,
+         CASE WHEN a.k < b.k OR (a.k = b.k AND u.x < u.y)
+              THEN u.y ELSE u.x END AS ob,
+         u.w
+  FROM wund u JOIN wks a ON u.x = a.node JOIN wks b ON u.y = b.node),
+wtri AS (
+  SELECT e1.oa AS u, e1.ob AS v, e2.ob AS t,
+         e1.w AS w1, e2.w AS w2, e3.w AS w3
+  FROM wot e1 JOIN wot e2 ON e1.ob = e2.oa
+  JOIN wot e3 ON e3.oa = e1.oa AND e3.ob = e2.ob),
+wcorn AS (
+  SELECT node, SUM(c) AS num FROM (
+    SELECT u AS node, w1 + w3 AS c FROM wtri
+    UNION ALL SELECT v, w1 + w2 FROM wtri
+    UNION ALL SELECT t, w2 + w3 FROM wtri) z
+  GROUP BY node)
+SELECT k.node, CAST(k.k AS BIGINT) AS k, CAST(k.s AS BIGINT) AS strength,
+  ROUND(CASE WHEN k.k >= 2
+        THEN CAST(COALESCE(c.num, 0) AS DOUBLE) / (2 * k.s * (k.k - 1))
+        ELSE 0.0 END, 6) AS wclustering
+FROM wks k LEFT JOIN wcorn c ON k.node = c.node"""
+
+
 def q_conversion_lag_quantiles(spark, sf_dir):
     """Quantiles of the view -> click -> purchase completion lag (per
     completing user, microseconds from the first view): the
@@ -5033,6 +5148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sq8_error": q_sq8_error,
         "graph_rw_sample": q_rw_sample,
         "events_conversion_lag_quantiles": q_conversion_lag_quantiles,
+        "graph_weighted_clustering": q_weighted_clustering,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -6231,6 +6347,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "emb_sq8_error": _sq8_error_sql(),
         "graph_rw_sample": _rw_sample_sql(),
         "events_conversion_lag_quantiles": _conversion_lag_quantiles_sql(),
+        "graph_weighted_clustering": _weighted_clustering_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

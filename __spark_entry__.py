@@ -3340,6 +3340,26 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_onion_layers(spark, sf_dir):
+    """Onion decomposition (algos/kcore.py:onion_layers): the k-core
+    peel refined by removal pass — (node, layer, coreness); the layer
+    spectrum separates tree-like from loopy cores. The coreness
+    column cross-checks graph_coreness's independent h-index oracle."""
+    from webgraph_spark.algos.kcore import onion_layers
+
+    return onion_layers(_edges(spark, sf_dir), max_rounds=60)
+
+
+def _onion_sql() -> str:
+    from webgraph_spark.algos.kcore import onion_rounds_sql
+
+    return (
+        f"WITH {td.EDGES_CTE},{td.SYM_CTE},"
+        + onion_rounds_sql(60)
+        + "\nSELECT node, layer, coreness FROM onion_final"
+    )
+
+
 def q_weighted_clustering(spark, sf_dir):
     """Barrat weighted clustering coefficient (Barrat-Barthelemy-
     Pastor-Satorras-Vespignani PNAS 2004): per node,
@@ -5149,6 +5169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_rw_sample": q_rw_sample,
         "events_conversion_lag_quantiles": q_conversion_lag_quantiles,
         "graph_weighted_clustering": q_weighted_clustering,
+        "graph_onion_layers": q_onion_layers,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -6348,6 +6369,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "graph_rw_sample": _rw_sample_sql(),
         "events_conversion_lag_quantiles": _conversion_lag_quantiles_sql(),
         "graph_weighted_clustering": _weighted_clustering_sql(),
+        "graph_onion_layers": _onion_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

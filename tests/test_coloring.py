@@ -140,3 +140,20 @@ def test_isolated_and_loop_nodes_color_zero(spark):
     assert got[1] == 0  # loop-only node is isolated: color 0
     assert sorted(got) == [1, 2, 3]
     assert got[2] != got[3]
+
+
+def test_onion_layers_match_coreness(spark):
+    """Onion peel k-at-removal equals the h-index coreness, layers
+    partition the node set, and layer indices are contiguous."""
+    from webgraph_spark.algos.kcore import coreness, onion_layers
+    from webgraph_spark.datagen.graphs import erdos_renyi
+
+    e = erdos_renyi(spark, n=300, p=0.03, seed=5)
+    on = onion_layers(e, max_rounds=60)
+    rows = on.collect()
+    cor = {r["node"]: r["c"] for r in coreness(e).collect()}
+    assert len(rows) == len(cor)
+    layers = sorted({r["layer"] for r in rows})
+    assert layers == list(range(1, len(layers) + 1))
+    for r in rows:
+        assert r["coreness"] == cor[r["node"]], r

@@ -182,3 +182,110 @@ c{r} AS MATERIALIZED (
         f"core_final AS (SELECT node, CAST(c AS BIGINT) AS coreness FROM c{rounds})"
     )
     return ",".join(parts)
+
+
+def onion_layers(
+    edges: DataFrame,
+    max_rounds: int = 60,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Onion decomposition (Hebert-Dufresne, Grochow, Allard; Sci.
+    Rep. 2016): the k-core peel refined by WHICH PASS removed each
+    node — per round, k rises to the current minimum degree and every
+    node with degree <= k leaves as one layer. The layer spectrum
+    within each core distinguishes tree-like from loopy cores that
+    plain coreness conflates. A node's k at removal is exactly its
+    coreness, so the output cross-checks against :func:`coreness`.
+
+    Synchronous and deterministic (no tie-breaks: the whole <= k
+    batch leaves together), hence unrollable in SQL; raises if the
+    peel needs more than ``max_rounds`` layers (truncated layering is
+    never returned).
+
+    Scale shape: per round one degree aggregate, one scalar min, two
+    semi-joins on the shrinking edge set — the kcore() loop with a
+    moving threshold. Rounds = number of layers (typically
+    O(max coreness + log n)).
+
+    Returns (node, layer, coreness), layer starting at 1.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cur = _materialize(
+        simplify(edges).repartition(num_partitions, "src")
+    )
+    out_frames = []
+    k = 0
+    layer = 0
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        row = deg.agg(F.min("deg").alias("mn")).collect()[0]
+        if row["mn"] is None:
+            break
+        k = max(k, int(row["mn"]))
+        layer += 1
+        rm = deg.where(F.col("deg") <= k).select(
+            F.col("src").alias("node"),
+            F.lit(layer).cast("long").alias("layer"),
+            F.lit(k).cast("long").alias("coreness"),
+        )
+        out_frames.append(_materialize(rm))
+        keep = deg.where(F.col("deg") > k).select("src")
+        nxt = _materialize(
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .repartition(num_partitions, "src")
+        )
+        release_local_checkpoint(cur)
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"onion_layers: graph not exhausted within {max_rounds} layers"
+        )
+    if not out_frames:
+        return spark.createDataFrame(
+            [], "node long, layer long, coreness long"
+        )
+    out = out_frames[0]
+    for f in out_frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+def onion_rounds_sql(rounds: int = 60) -> str:
+    """DuckDB twin CTE chain of :func:`onion_layers` over ``sym``
+    (caller provides edges/sym): per round a degree aggregate, the
+    monotone threshold k_r = GREATEST(k_{r-1}, min degree), the
+    <= k_r removal batch, and the surviving edge set. Rounds past
+    exhaustion are no-ops. Final relation ``onion_final(node, layer,
+    coreness)``."""
+    parts = ["""
+oe0 AS MATERIALIZED (SELECT src, dst FROM sym),
+ok0 AS MATERIALIZED (SELECT 0 AS k)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+od{r} AS MATERIALIZED (
+  SELECT src AS node, COUNT(*) AS deg FROM oe{p} GROUP BY src)""")
+        parts.append(f"""
+ok{r} AS MATERIALIZED (SELECT GREATEST((SELECT k FROM ok{p}),
+                 COALESCE((SELECT MIN(deg) FROM od{r}),
+                          (SELECT k FROM ok{p}))) AS k)""")
+        parts.append(f"""
+orm{r} AS MATERIALIZED (
+  SELECT node, CAST({r} AS BIGINT) AS layer,
+         CAST((SELECT k FROM ok{r}) AS BIGINT) AS coreness
+  FROM od{r} WHERE deg <= (SELECT k FROM ok{r}))""")
+        parts.append(f"""
+oe{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM oe{p} e
+  WHERE e.src NOT IN (SELECT node FROM orm{r})
+    AND e.dst NOT IN (SELECT node FROM orm{r}))""")
+    union = " UNION ALL ".join(
+        f"SELECT node, layer, coreness FROM orm{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ",".join(parts) + f""",
+onion_final AS ({union})"""

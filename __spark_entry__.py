@@ -3340,6 +3340,72 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_algebraic_connectivity(spark, sf_dir):
+    """Algebraic connectivity estimate (Fiedler 1973): the Rayleigh
+    quotient of the deflated power-iteration Fiedler vector on the
+    Laplacian, lambda2 ~ [1/2 sum over sym arcs (x_u - x_v)^2] /
+    sum x_u^2 — an upper bound on lambda2 that tightens as the
+    iteration converges; the single number that says how hard the
+    graph is to cut. Determinism: x is graph_fiedler's ROUND-6 output
+    (already oracle-identical), per-arc and per-node terms are
+    quantized to 12 decimals and DECIMAL-summed (order-free), leaving
+    one division. One co-partitioned arc join + two aggregates on top
+    of the oracled fiedler run."""
+    from webgraph_spark.algos.spectral import fiedler_bisection
+    from webgraph_spark.operators.transforms import simplify
+
+    e = _edges(spark, sf_dir)
+    x = fiedler_bisection(e, iters=12, num_partitions=16)
+    sym = simplify(e.select("src", "dst"))
+    j = (
+        sym.join(x.select(F.col("node").alias("src"),
+                          F.col("score").alias("xu")), "src")
+        .join(x.select(F.col("node").alias("dst"),
+                       F.col("score").alias("xv")), "dst")
+    )
+    dec = lambda c: F.round(c, 12).cast("decimal(38,12)")
+    num = j.agg(
+        F.sum(dec((F.col("xu") - F.col("xv")) * (F.col("xu") - F.col("xv"))))
+        .alias("s")
+    )
+    den = x.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("score") * F.col("score"))).alias("d"),
+    )
+    return num.crossJoin(den).select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.round(
+            F.col("s").cast("double")
+            / (F.lit(2.0) * F.col("d").cast("double")),
+            9,
+        ).alias("lambda2_rayleigh"),
+    )
+
+
+def _algebraic_connectivity_sql() -> str:
+    inner = td.fiedler_sql(iters=12, round_to=6)
+    return f"""WITH fx AS MATERIALIZED (
+{inner}
+),
+{td.EDGES_CTE},
+acsym AS (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM edges WHERE src <> dst),
+num AS (
+  SELECT SUM(CAST(ROUND((a.score - b.score) * (a.score - b.score), 12)
+             AS DECIMAL(38,12))) AS s
+  FROM acsym e JOIN fx a ON e.src = a.node JOIN fx b ON e.dst = b.node),
+den AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(score * score, 12) AS DECIMAL(38,12))) AS d
+  FROM fx)
+SELECT CAST(den.n AS BIGINT) AS n_nodes,
+       ROUND(CAST(num.s AS DOUBLE) / (2.0 * CAST(den.d AS DOUBLE)), 9)
+         AS lambda2_rayleigh
+FROM num CROSS JOIN den"""
+
+
 def q_onion_layers(spark, sf_dir):
     """Onion decomposition (algos/kcore.py:onion_layers): the k-core
     peel refined by removal pass — (node, layer, coreness); the layer
@@ -5170,6 +5236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conversion_lag_quantiles": q_conversion_lag_quantiles,
         "graph_weighted_clustering": q_weighted_clustering,
         "graph_onion_layers": q_onion_layers,
+        "graph_algebraic_connectivity": q_algebraic_connectivity,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -6370,6 +6437,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "events_conversion_lag_quantiles": _conversion_lag_quantiles_sql(),
         "graph_weighted_clustering": _weighted_clustering_sql(),
         "graph_onion_layers": _onion_sql(),
+        "graph_algebraic_connectivity": _algebraic_connectivity_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

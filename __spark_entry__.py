@@ -3340,6 +3340,55 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+def q_two_hop_hist(spark, sf_dir):
+    """Exact 2-hop out-reach distribution: for every node, the number
+    of distinct nodes reachable in <= 2 directed steps (excluding the
+    node itself), histogrammed — the first neighbourhood-function
+    point past the degree distribution, and the per-node exact twin
+    of what HyperBall estimates at t=2. One self-join on the distinct
+    arc set + a distinct count (work bounded by the wedge count, the
+    triangle-plan budget) + two tiny groupBys."""
+    arcs = (
+        _edges(spark, sf_dir)
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    two = arcs.select(F.col("src").alias("u"), F.col("dst").alias("m")).join(
+        arcs.select(F.col("src").alias("m"), F.col("dst").alias("w")), "m"
+    ).select("u", F.col("w").alias("v"))
+    reach = (
+        arcs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(two)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .groupBy("u")
+        .agg(F.count("*").alias("r2"))
+    )
+    out = reach.groupBy("r2").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    ).select(F.col("r2").cast("long").alias("reach2"), "n_nodes")
+    arcs.unpersist()
+    return out
+
+
+def _two_hop_hist_sql() -> str:
+    return f"""WITH {td.EDGES_CTE},
+tarcs2 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+reach AS (
+  SELECT u, COUNT(*) AS r2 FROM (
+    SELECT src AS u, dst AS v FROM tarcs2
+    UNION
+    SELECT a.src AS u, b.dst AS v
+    FROM tarcs2 a JOIN tarcs2 b ON a.dst = b.src
+    WHERE a.src <> b.dst) t
+  GROUP BY u)
+SELECT CAST(r2 AS BIGINT) AS reach2, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM reach GROUP BY r2"""
+
+
 def q_algebraic_connectivity(spark, sf_dir):
     """Algebraic connectivity estimate (Fiedler 1973): the Rayleigh
     quotient of the deflated power-iteration Fiedler vector on the
@@ -5237,6 +5286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted_clustering": q_weighted_clustering,
         "graph_onion_layers": q_onion_layers,
         "graph_algebraic_connectivity": q_algebraic_connectivity,
+        "graph_two_hop_hist": q_two_hop_hist,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -6438,6 +6488,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "graph_weighted_clustering": _weighted_clustering_sql(),
         "graph_onion_layers": _onion_sql(),
         "graph_algebraic_connectivity": _algebraic_connectivity_sql(),
+        "graph_two_hop_hist": _two_hop_hist_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

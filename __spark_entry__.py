@@ -3340,6 +3340,81 @@ SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
 FROM m"""
 
 
+SIMHASH_BAND_BITS = 8
+SIMHASH_MAX_HAM = 1
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs (Manku-Jain-Das Sarma WWW'07,
+    the web-crawl dedup complement to MinHash-LSH): documents whose
+    16-bit SimHash agrees on one of two 8-bit bands (pigeonhole: any
+    pair within Hamming distance 1 MUST share a band) and whose full
+    Hamming distance is <= 1 — at 16 bits this keeps only
+    characteristically-near signatures (the paper's 64-bit/ham-3
+    operating point scaled to the portable 16-bit variant). Banding
+    keys the join — never all-pairs; the Hamming check is one
+    XOR+popcount. Returns (id_a, id_b, hamming)."""
+    from webgraph_spark.functions.dedup import simhash16
+
+    sh = simhash16(_docs(spark, sf_dir), "doc_id", "text")
+    bands = sh.select(
+        F.col("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(16 // SIMHASH_BAND_BITS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    )
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= SIMHASH_MAX_HAM)
+
+
+def _simhash_pairs_sql() -> str:
+    nb = 16 // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""WITH shs AS MATERIALIZED ({_simhash_sql()}),
+sbands AS MATERIALIZED (
+  SELECT id, simhash, b.b AS band, (simhash >> (b.b * {SIMHASH_BAND_BITS})) & {mask} AS key
+  FROM shs CROSS JOIN (SELECT unnest(range(0, {nb})) AS b) b),
+scand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM sbands a JOIN sbands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM scand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAM}"""
+
+
 def q_two_hop_hist(spark, sf_dir):
     """Exact 2-hop out-reach distribution: for every node, the number
     of distinct nodes reachable in <= 2 directed steps (excluding the
@@ -5287,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_onion_layers": q_onion_layers,
         "graph_algebraic_connectivity": q_algebraic_connectivity,
         "graph_two_hop_hist": q_two_hop_hist,
+        "docs_simhash_pairs": q_simhash_pairs,
         "graph_wpagerank5": q_wpagerank5,
         "events_heavy_hitters": q_heavy_hitters,
         "graph_cocitation2": q_cocitation2,
@@ -6489,6 +6565,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "graph_onion_layers": _onion_sql(),
         "graph_algebraic_connectivity": _algebraic_connectivity_sql(),
         "graph_two_hop_hist": _two_hop_hist_sql(),
+        "docs_simhash_pairs": _simhash_pairs_sql(),
         "graph_wpagerank5": td.wpagerank_sql(iters=5, alpha=0.85, round_to=9),
         "events_heavy_hitters": _sketches.count_min_topk_sql(
             "events", "user_id", d=4, w=32, k=10, seed=HASH_SEED

@@ -4875,6 +4875,18 @@ def q_triad_census(spark, sf_dir):
     return triad_census(_edges(spark, sf_dir))
 
 
+def q_directed_triangle_profile(spark, sf_dir):
+    """Fagiolo directed-clustering triangle roles per node
+    (algos/motifs.py:directed_triangle_profile): cycle / middleman /
+    in / out triangle counts from one degree-ordered support-triangle
+    enumeration — the per-node refinement of the triad census.
+    Reference analog: the clustering-coefficient statistics layer of
+    webgraph's Stats (Stats.java) extended to directed roles."""
+    from webgraph_spark.algos.motifs import directed_triangle_profile
+
+    return directed_triangle_profile(_edges(spark, sf_dir))
+
+
 def q_curation_funnel(spark, sf_dir):
     """End-to-end training-data curation funnel — the pipeline-level
     composition of the pillar's stages with per-stage survivor counts
@@ -5337,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_degree_ks": q_events_degree_ks,
         "docs_curation_funnel": q_curation_funnel,
         "graph_triad_census": q_triad_census,
+        "graph_dir_triangle_profile": q_directed_triangle_profile,
         "graph_assortativity_dir": q_assortativity_dir,
         "emb_kmeans_silhouette": q_kmeans_silhouette,
         "docs_minhash_estimate": q_minhash_estimate,
@@ -6538,6 +6551,9 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "events_degree_ks": _events_degree_ks_sql(),
         "docs_curation_funnel": _curation_funnel_sql(),
         "graph_triad_census": _motifs.triad_census_sql(td.EDGES_CTE),
+        "graph_dir_triangle_profile": _motifs.directed_triangle_profile_sql(
+            td.EDGES_CTE
+        ),
         "graph_assortativity_dir": _assortativity_dir_sql(),
         "emb_kmeans_silhouette": _clustering.kmeans_silhouette_sql(
             k=4, iters=3

@@ -86,3 +86,33 @@ def test_reciprocity(spark):
     # loop dropped: 5 arcs, 4 mutual (0<->1, 2<->3)
     assert row["arcs"] == 5 and row["mutual_arcs"] == 4
     assert abs(row["reciprocity"] - 0.8) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_directed_triangle_profile_vs_numpy(spark, seed):
+    # Fagiolo roles over ORDERED neighbour pairs == einsum contractions
+    from webgraph_spark.algos.motifs import directed_triangle_profile
+
+    n, p = 30, 0.15
+    e = erdos_renyi(spark, n, p, seed=seed)
+    a = erdos_renyi_numpy(n, p, seed=seed).astype(np.int64)
+    np.fill_diagonal(a, 0)
+    cyc = np.einsum("ij,jk,ki->i", a, a, a)
+    mid = np.einsum("ji,ik,jk->i", a, a, a)
+    tin = np.einsum("ji,ki,jk->i", a, a, a)
+    tout = np.einsum("ij,ik,jk->i", a, a, a)
+    got = {
+        r["node"]: (r["t_cyc"], r["t_mid"], r["t_in"], r["t_out"])
+        for r in directed_triangle_profile(e).collect()
+    }
+    touched = set(np.flatnonzero(a.sum(0) + a.sum(1)).tolist())
+    assert set(got) == touched
+    for i in touched:
+        assert got[i] == (int(cyc[i]), int(mid[i]), int(tin[i]), int(tout[i]))
+    # identity: every closed directed triple lands in exactly one role
+    # at each corner -> totals each equal trace(A^3) = sum of cycles
+    tot = np.array([cyc.sum(), mid.sum(), tin.sum(), tout.sum()])
+    g = np.array(
+        [sum(v[k] for v in got.values()) for k in range(4)], dtype=np.int64
+    )
+    assert (g == tot).all()

@@ -502,3 +502,215 @@ SELECT name AS triad_class,
                  WHEN '003' THEN (SELECT v FROM t003)
                  ELSE cnt END AS BIGINT) AS n_triads
 FROM base"""
+
+
+def directed_triangle_profile(edges: DataFrame) -> DataFrame:
+    """Per-node directed triangle profile — the four triangle roles of
+    Fagiolo's directed clustering decomposition (Phys. Rev. E 2007),
+    counted operationally over ORDERED neighbour pairs (j, k):
+
+    - t_cyc(i):  i->j, j->k, k->i           (i on a 3-cycle)
+    - t_mid(i):  j->i, i->k, j->k           (i is the middleman)
+    - t_in(i):   j->i, k->i, j->k           (two arcs into i)
+    - t_out(i):  i->j, i->k, j->k           (two arcs out of i)
+
+    Every directed closed triple is counted in exactly one role at
+    each of its three corners, so sum(t_*) = 3 * #directed closed
+    triples. Enumeration is the same degree-ordered support-triangle
+    join as :func:`triad_census` (each support triangle once), with
+    the role counts read off the 6-bit arc mask — no extra joins.
+
+    Returns (node, t_cyc, t_mid, t_in, t_out) for every node of the
+    loop-free distinct arc set (zeros included).
+    """
+    arcs = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    x = F.least("src", "dst")
+    y = F.greatest("src", "dst")
+    und = (
+        arcs.select(
+            x.alias("x"),
+            y.alias("y"),
+            F.when(F.col("src") < F.col("dst"), 1).otherwise(0).alias("fw"),
+            F.when(F.col("src") > F.col("dst"), 1).otherwise(0).alias("rv"),
+        )
+        .groupBy("x", "y")
+        .agg(F.max("fw").alias("f"), F.max("rv").alias("r"))
+        .persist()
+    )
+    cns = und.select(F.col("x").alias("v")).unionAll(
+        und.select(F.col("y").alias("v"))
+    )
+    deg = cns.groupBy("v").agg(F.count("*").alias("d"))
+    e = (
+        und.join(deg.select(F.col("v").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("v").alias("y"), F.col("d").alias("dy")), "y")
+    )
+    lo_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    ot = e.select(
+        F.when(lo_first, F.col("x")).otherwise(F.col("y")).alias("a"),
+        F.when(lo_first, F.col("y")).otherwise(F.col("x")).alias("b"),
+        "x", "y", "f", "r",
+    )
+    tri = (
+        ot.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                  F.col("x").alias("x1"), F.col("y").alias("y1"),
+                  F.col("f").alias("f1"), F.col("r").alias("r1"))
+        .join(ot.select(F.col("a").alias("v"), F.col("b").alias("w"),
+                        F.col("x").alias("x2"), F.col("y").alias("y2"),
+                        F.col("f").alias("f2"), F.col("r").alias("r2")), "v")
+        .join(ot.select(F.col("a").alias("u"), F.col("b").alias("w"),
+                        F.col("x").alias("x3"), F.col("y").alias("y3"),
+                        F.col("f").alias("f3"), F.col("r").alias("r3")),
+              ["u", "w"])
+    )
+    p = F.least("u", "v", "w")
+    rr = F.greatest("u", "v", "w")
+    q = F.col("u") + F.col("v") + F.col("w") - p - rr
+
+    def contrib(xi, yi, fi, ri):
+        return (
+            F.when((F.col(xi) == p) & (F.col(yi) == q),
+                   F.col(fi) * 1 + F.col(ri) * 2)
+            .when((F.col(xi) == p) & (F.col(yi) == rr),
+                  F.col(fi) * 4 + F.col(ri) * 8)
+            .otherwise(F.col(fi) * 16 + F.col(ri) * 32)
+        )
+
+    mask = (
+        contrib("x1", "y1", "f1", "r1")
+        + contrib("x2", "y2", "f2", "r2")
+        + contrib("x3", "y3", "f3", "r3")
+    )
+    tm = tri.select(p.alias("p"), q.alias("q"), rr.alias("r"),
+                    mask.alias("m"))
+    b = [ (F.shiftright("m", i).bitwiseAND(F.lit(1))) for i in range(6) ]
+    # bits: 1 p->q, 2 q->p, 4 p->r, 8 r->p, 16 q->r, 32 r->q
+    corners = (
+        tm.select(
+            F.col("p").alias("node"),
+            (b[0] * b[4] * b[3] + b[2] * b[5] * b[1]).alias("cyc"),
+            (b[1] * b[2] * b[4] + b[3] * b[0] * b[5]).alias("mid"),
+            (b[1] * b[3] * (b[4] + b[5])).alias("tin"),
+            (b[0] * b[2] * (b[4] + b[5])).alias("tout"),
+        )
+        .unionAll(tm.select(
+            F.col("q").alias("node"),
+            (b[1] * b[2] * b[5] + b[4] * b[3] * b[0]).alias("cyc"),
+            (b[0] * b[4] * b[2] + b[5] * b[1] * b[3]).alias("mid"),
+            (b[0] * b[5] * (b[2] + b[3])).alias("tin"),
+            (b[1] * b[4] * (b[2] + b[3])).alias("tout"),
+        ))
+        .unionAll(tm.select(
+            F.col("r").alias("node"),
+            (b[3] * b[0] * b[4] + b[5] * b[1] * b[2]).alias("cyc"),
+            (b[2] * b[5] * b[0] + b[4] * b[3] * b[1]).alias("mid"),
+            (b[2] * b[4] * (b[0] + b[1])).alias("tin"),
+            (b[3] * b[5] * (b[0] + b[1])).alias("tout"),
+        ))
+        .groupBy("node")
+        .agg(F.sum("cyc").alias("t_cyc"), F.sum("mid").alias("t_mid"),
+             F.sum("tin").alias("t_in"), F.sum("tout").alias("t_out"))
+    )
+    nodes = cns.select("v").distinct().withColumnRenamed("v", "node")
+    out = nodes.join(corners, "node", "left").select(
+        "node",
+        F.coalesce("t_cyc", F.lit(0)).cast("long").alias("t_cyc"),
+        F.coalesce("t_mid", F.lit(0)).cast("long").alias("t_mid"),
+        F.coalesce("t_in", F.lit(0)).cast("long").alias("t_in"),
+        F.coalesce("t_out", F.lit(0)).cast("long").alias("t_out"),
+    )
+    und.unpersist()
+    return out
+
+
+def directed_triangle_profile_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`directed_triangle_profile` (identical
+    support-triangle enumeration and per-corner mask arithmetic)."""
+    bits = [f"((t.m >> {i}) & 1)" for i in range(6)]
+    b0, b1, b2, b3, b4, b5 = bits
+    return f"""WITH {edges_cte},
+parcs AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+pund AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+         MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+  FROM parcs GROUP BY 1, 2),
+pcns AS (SELECT x AS v FROM pund UNION ALL SELECT y FROM pund),
+pdeg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM pcns GROUP BY v),
+pot AS MATERIALIZED (
+  SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+              THEN u.x ELSE u.y END AS a,
+         CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+              THEN u.y ELSE u.x END AS b,
+         u.x, u.y, u.f, u.r
+  FROM pund u JOIN pdeg dx ON u.x = dx.v JOIN pdeg dy ON u.y = dy.v),
+ptri AS MATERIALIZED (
+  SELECT LEAST(e1.a, e1.b, e2.b) AS p,
+         e1.a + e1.b + e2.b - LEAST(e1.a, e1.b, e2.b)
+           - GREATEST(e1.a, e1.b, e2.b) AS q,
+         GREATEST(e1.a, e1.b, e2.b) AS r,
+         (CASE WHEN e1.x = LEAST(e1.a, e1.b, e2.b)
+                AND e1.y = e1.a + e1.b + e2.b - LEAST(e1.a, e1.b, e2.b)
+                    - GREATEST(e1.a, e1.b, e2.b)
+               THEN e1.f * 1 + e1.r * 2
+               WHEN e1.x = LEAST(e1.a, e1.b, e2.b)
+                AND e1.y = GREATEST(e1.a, e1.b, e2.b)
+               THEN e1.f * 4 + e1.r * 8
+               ELSE e1.f * 16 + e1.r * 32 END)
+       + (CASE WHEN e2.x = LEAST(e1.a, e1.b, e2.b)
+                AND e2.y = e1.a + e1.b + e2.b - LEAST(e1.a, e1.b, e2.b)
+                    - GREATEST(e1.a, e1.b, e2.b)
+               THEN e2.f * 1 + e2.r * 2
+               WHEN e2.x = LEAST(e1.a, e1.b, e2.b)
+                AND e2.y = GREATEST(e1.a, e1.b, e2.b)
+               THEN e2.f * 4 + e2.r * 8
+               ELSE e2.f * 16 + e2.r * 32 END)
+       + (CASE WHEN e3.x = LEAST(e1.a, e1.b, e2.b)
+                AND e3.y = e1.a + e1.b + e2.b - LEAST(e1.a, e1.b, e2.b)
+                    - GREATEST(e1.a, e1.b, e2.b)
+               THEN e3.f * 1 + e3.r * 2
+               WHEN e3.x = LEAST(e1.a, e1.b, e2.b)
+                AND e3.y = GREATEST(e1.a, e1.b, e2.b)
+               THEN e3.f * 4 + e3.r * 8
+               ELSE e3.f * 16 + e3.r * 32 END) AS m
+  FROM pot e1 JOIN pot e2 ON e1.b = e2.a
+  JOIN pot e3 ON e3.a = e1.a AND e3.b = e2.b),
+pcorn AS (
+  SELECT node, SUM(cyc) AS t_cyc, SUM(mid) AS t_mid,
+         SUM(tin) AS t_in, SUM(tout) AS t_out
+  FROM (
+    SELECT t.p AS node,
+           {b0}*{b4}*{b3} + {b2}*{b5}*{b1} AS cyc,
+           {b1}*{b2}*{b4} + {b3}*{b0}*{b5} AS mid,
+           {b1}*{b3}*({b4} + {b5}) AS tin,
+           {b0}*{b2}*({b4} + {b5}) AS tout
+    FROM ptri t
+    UNION ALL
+    SELECT t.q,
+           {b1}*{b2}*{b5} + {b4}*{b3}*{b0},
+           {b0}*{b4}*{b2} + {b5}*{b1}*{b3},
+           {b0}*{b5}*({b2} + {b3}),
+           {b1}*{b4}*({b2} + {b3})
+    FROM ptri t
+    UNION ALL
+    SELECT t.r,
+           {b3}*{b0}*{b4} + {b5}*{b1}*{b2},
+           {b2}*{b5}*{b0} + {b4}*{b3}*{b1},
+           {b2}*{b4}*({b0} + {b1}),
+           {b3}*{b5}*({b0} + {b1})
+    FROM ptri t) z
+  GROUP BY node)
+SELECT n.v AS node,
+       CAST(COALESCE(c.t_cyc, 0) AS BIGINT) AS t_cyc,
+       CAST(COALESCE(c.t_mid, 0) AS BIGINT) AS t_mid,
+       CAST(COALESCE(c.t_in, 0) AS BIGINT) AS t_in,
+       CAST(COALESCE(c.t_out, 0) AS BIGINT) AS t_out
+FROM (SELECT DISTINCT v FROM pcns) n
+LEFT JOIN pcorn c ON n.v = c.node"""

@@ -4887,6 +4887,17 @@ def q_directed_triangle_profile(spark, sf_dir):
     return directed_triangle_profile(_edges(spark, sf_dir))
 
 
+def q_directed_clustering(spark, sf_dir):
+    """Fagiolo directed clustering coefficients per node
+    (algos/motifs.py:directed_clustering): the four triangle roles
+    normalized by their degree-attainable maxima — the directed
+    refinement of graph_clustering_coeff, one degree agg on top of the
+    profile's triangle join."""
+    from webgraph_spark.algos.motifs import directed_clustering
+
+    return directed_clustering(_edges(spark, sf_dir))
+
+
 def q_curation_funnel(spark, sf_dir):
     """End-to-end training-data curation funnel — the pipeline-level
     composition of the pillar's stages with per-stage survivor counts
@@ -5350,6 +5361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curation_funnel": q_curation_funnel,
         "graph_triad_census": q_triad_census,
         "graph_dir_triangle_profile": q_directed_triangle_profile,
+        "graph_dir_clustering": q_directed_clustering,
         "graph_assortativity_dir": q_assortativity_dir,
         "emb_kmeans_silhouette": q_kmeans_silhouette,
         "docs_minhash_estimate": q_minhash_estimate,
@@ -6552,6 +6564,9 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "docs_curation_funnel": _curation_funnel_sql(),
         "graph_triad_census": _motifs.triad_census_sql(td.EDGES_CTE),
         "graph_dir_triangle_profile": _motifs.directed_triangle_profile_sql(
+            td.EDGES_CTE
+        ),
+        "graph_dir_clustering": _motifs.directed_clustering_sql(
             td.EDGES_CTE
         ),
         "graph_assortativity_dir": _assortativity_dir_sql(),

@@ -116,3 +116,35 @@ def test_directed_triangle_profile_vs_numpy(spark, seed):
         [sum(v[k] for v in got.values()) for k in range(4)], dtype=np.int64
     )
     assert (g == tot).all()
+
+
+def test_directed_clustering_vs_numpy(spark):
+    from webgraph_spark.algos.motifs import directed_clustering
+
+    n, p, seed = 30, 0.15, 7
+    e = erdos_renyi(spark, n, p, seed=seed)
+    a = erdos_renyi_numpy(n, p, seed=seed).astype(np.int64)
+    np.fill_diagonal(a, 0)
+    cyc = np.einsum("ij,jk,ki->i", a, a, a)
+    mid = np.einsum("ji,ik,jk->i", a, a, a)
+    tin = np.einsum("ji,ki,jk->i", a, a, a)
+    tout = np.einsum("ij,ik,jk->i", a, a, a)
+    dout, din = a.sum(1), a.sum(0)
+    dbi = (a * a.T).sum(1)
+    got = {
+        r["node"]: (r["c_cyc"], r["c_mid"], r["c_in"], r["c_out"])
+        for r in directed_clustering(e).collect()
+    }
+    for i in got:
+        dcm = din[i] * dout[i] - dbi[i]
+        want = (
+            cyc[i] / dcm if dcm > 0 else None,
+            mid[i] / dcm if dcm > 0 else None,
+            tin[i] / (din[i] * (din[i] - 1)) if din[i] > 1 else None,
+            tout[i] / (dout[i] * (dout[i] - 1)) if dout[i] > 1 else None,
+        )
+        for g, w in zip(got[i], want):
+            if w is None:
+                assert g is None
+            else:
+                assert g is not None and abs(g - w) < 1e-12

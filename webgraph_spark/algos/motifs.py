@@ -632,10 +632,16 @@ def directed_triangle_profile(edges: DataFrame) -> DataFrame:
 def directed_triangle_profile_sql(edges_cte: str) -> str:
     """DuckDB twin of :func:`directed_triangle_profile` (identical
     support-triangle enumeration and per-corner mask arithmetic)."""
+    ctes, final = _dir_profile_parts()
+    return f"WITH {edges_cte},\n{ctes}\n{final}"
+
+
+def _dir_profile_parts() -> tuple[str, str]:
+    """(CTE block assuming ``edges`` is defined, final SELECT) of the
+    profile twin — shared with :func:`directed_clustering_sql`."""
     bits = [f"((t.m >> {i}) & 1)" for i in range(6)]
     b0, b1, b2, b3, b4, b5 = bits
-    return f"""WITH {edges_cte},
-parcs AS MATERIALIZED (
+    ctes = f"""parcs AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
 pund AS MATERIALIZED (
   SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y,
@@ -706,11 +712,103 @@ pcorn AS (
            {b2}*{b4}*({b0} + {b1}),
            {b3}*{b5}*({b0} + {b1})
     FROM ptri t) z
-  GROUP BY node)
-SELECT n.v AS node,
+  GROUP BY node)"""
+    final = """SELECT n.v AS node,
        CAST(COALESCE(c.t_cyc, 0) AS BIGINT) AS t_cyc,
        CAST(COALESCE(c.t_mid, 0) AS BIGINT) AS t_mid,
        CAST(COALESCE(c.t_in, 0) AS BIGINT) AS t_in,
        CAST(COALESCE(c.t_out, 0) AS BIGINT) AS t_out
 FROM (SELECT DISTINCT v FROM pcns) n
 LEFT JOIN pcorn c ON n.v = c.node"""
+    return ctes, final
+
+
+def directed_clustering(edges: DataFrame) -> DataFrame:
+    """Fagiolo per-node directed clustering coefficients: each triangle
+    role of :func:`directed_triangle_profile` normalized by its maximum
+    attainable count given the node's degrees (Phys. Rev. E 76, 026107):
+
+    - c_cyc = t_cyc / (d_in*d_out - d_bi)
+    - c_mid = t_mid / (d_in*d_out - d_bi)
+    - c_in  = t_in  / (d_in*(d_in-1))
+    - c_out = t_out / (d_out*(d_out-1))
+
+    where d_bi is the number of reciprocated neighbours. NULL where the
+    denominator is zero. One degree aggregation + the profile's
+    support-triangle join — no extra triangle work."""
+    arcs = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    dout = arcs.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d_out")
+    )
+    din = arcs.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("d_in")
+    )
+    rev = arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    dbi = (
+        arcs.join(rev, ["src", "dst"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("d_bi"))
+    )
+    prof = directed_triangle_profile(arcs)
+    deg = (
+        prof.join(dout, "node", "left")
+        .join(din, "node", "left")
+        .join(dbi, "node", "left")
+        .fillna(0, subset=["d_out", "d_in", "d_bi"])
+    )
+    den_cm = F.col("d_in") * F.col("d_out") - F.col("d_bi")
+    den_in = F.col("d_in") * (F.col("d_in") - 1)
+    den_out = F.col("d_out") * (F.col("d_out") - 1)
+
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    out = deg.select(
+        "node",
+        ratio(F.col("t_cyc"), den_cm).alias("c_cyc"),
+        ratio(F.col("t_mid"), den_cm).alias("c_mid"),
+        ratio(F.col("t_in"), den_in).alias("c_in"),
+        ratio(F.col("t_out"), den_out).alias("c_out"),
+    )
+    arcs.unpersist()
+    return out
+
+
+def directed_clustering_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`directed_clustering` — reuses the profile
+    CTE block (same ``parcs`` arc set) and normalizes by the same
+    degree terms."""
+    ctes, final = _dir_profile_parts()
+    return f"""WITH {edges_cte},
+{ctes},
+cprof AS MATERIALIZED (
+{final}),
+cdout AS (SELECT src AS node, COUNT(*) AS d_out FROM parcs GROUP BY 1),
+cdin AS (SELECT dst AS node, COUNT(*) AS d_in FROM parcs GROUP BY 1),
+cdbi AS (SELECT a.src AS node, COUNT(*) AS d_bi
+         FROM parcs a JOIN parcs b ON a.src = b.dst AND a.dst = b.src
+         GROUP BY 1)
+SELECT p.node,
+  CASE WHEN COALESCE(i.d_in,0)*COALESCE(o.d_out,0)-COALESCE(m.d_bi,0) > 0
+       THEN CAST(p.t_cyc AS DOUBLE)
+            / (COALESCE(i.d_in,0)*COALESCE(o.d_out,0)-COALESCE(m.d_bi,0))
+       END AS c_cyc,
+  CASE WHEN COALESCE(i.d_in,0)*COALESCE(o.d_out,0)-COALESCE(m.d_bi,0) > 0
+       THEN CAST(p.t_mid AS DOUBLE)
+            / (COALESCE(i.d_in,0)*COALESCE(o.d_out,0)-COALESCE(m.d_bi,0))
+       END AS c_mid,
+  CASE WHEN COALESCE(i.d_in,0)*(COALESCE(i.d_in,0)-1) > 0
+       THEN CAST(p.t_in AS DOUBLE)
+            / (COALESCE(i.d_in,0)*(COALESCE(i.d_in,0)-1)) END AS c_in,
+  CASE WHEN COALESCE(o.d_out,0)*(COALESCE(o.d_out,0)-1) > 0
+       THEN CAST(p.t_out AS DOUBLE)
+            / (COALESCE(o.d_out,0)*(COALESCE(o.d_out,0)-1)) END AS c_out
+FROM cprof p
+LEFT JOIN cdout o ON p.node = o.node
+LEFT JOIN cdin i ON p.node = i.node
+LEFT JOIN cdbi m ON p.node = m.node"""

@@ -1,0 +1,114 @@
+"""CLI surface (webgraph_spark/cli.py): each subcommand is a thin
+dispatch to library functions already tested elsewhere — here we check
+the argparse wiring, I/O plumbing, and JSON emission end-to-end on a
+tiny graph, the way the reference's main() classes are driven."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from webgraph_spark.cli import main
+
+# directed 4-cycle + chord + pendant: 0->1->2->3->0, 0->2, 3->4
+ARCS = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (3, 4)]
+
+
+@pytest.fixture(scope="module")
+def edges_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "edges")
+    spark.createDataFrame(ARCS, "src long, dst long").write.parquet(p)
+    return p
+
+
+def _json_lines(capsys):
+    return [json.loads(l) for l in capsys.readouterr().out.splitlines() if l]
+
+
+def test_stats_and_check(spark, edges_path, capsys):
+    assert main(["stats", "-i", edges_path]) == 0
+    row = _json_lines(capsys)[0]
+    assert row["nodes"] == 5 and row["arcs"] == 6
+    assert main(["check", "-i", edges_path]) == 0
+    assert _json_lines(capsys)[0]["symmetric"] is False
+
+
+def test_transform_transpose_roundtrip(spark, edges_path, tmp_path, capsys):
+    out = str(tmp_path / "t")
+    back = str(tmp_path / "tt")
+    assert main(["transform", "transpose", "-i", edges_path, "-o", out]) == 0
+    assert main(["transform", "transpose", "-i", out, "-o", back]) == 0
+    got = sorted(
+        (r.src, r.dst) for r in spark.read.parquet(back).collect()
+    )
+    assert got == sorted(ARCS)
+
+
+def test_pack_unpack_csr(spark, edges_path, tmp_path, capsys):
+    blocks = str(tmp_path / "csr")
+    assert main(["pack", "--format", "csr", "-i", edges_path, "-o", blocks]) == 0
+    assert _json_lines(capsys)[0]["format"] == "csr"
+    out = str(tmp_path / "back")
+    assert main(["unpack", "--format", "csr", "-i", blocks, "-o", out]) == 0
+    got = sorted((r.src, r.dst) for r in spark.read.parquet(out).collect())
+    assert got == sorted(ARCS)
+
+
+def test_pagerank_and_cc(spark, edges_path, tmp_path, capsys):
+    ranks = str(tmp_path / "pr")
+    assert main(["pagerank", "-i", edges_path, "-o", ranks]) == 0
+    info = _json_lines(capsys)[-1]
+    assert info["converged"] is True
+    pr = {r.node: r.rank for r in spark.read.parquet(ranks).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9 and len(pr) == 5
+
+    assert main(["cc", "-i", edges_path]) == 0
+    lines = _json_lines(capsys)
+    labels = {l["node"]: l["component"] for l in lines[:-1]}
+    assert set(labels.values()) == {0}  # one weak component, min-id 0
+
+
+def test_triangles_bfs_nf(spark, edges_path, capsys):
+    assert main(["triangles", "-i", edges_path]) == 0
+    # undirected support triangles: {0,1,2}, {0,2,3}
+    assert _json_lines(capsys)[0]["triangles"] == 2
+    assert main(["bfs", "-i", edges_path, "--root", "0"]) == 0
+    lines = _json_lines(capsys)
+    dists = {l["node"]: l["dist"] for l in lines[:-1]}
+    assert dists[0] == 0 and dists[2] == 1 and dists[4] == 3
+    assert main(["nf", "-i", edges_path, "--max-t", "6"]) == 0
+    nf = _json_lines(capsys)[0]["nf"]
+    assert nf[0] == 5 and nf[-1] >= nf[0]
+
+
+def test_sumsweep_and_topk(spark, edges_path, capsys):
+    assert main(["sumsweep", "-i", edges_path, "--undirected"]) == 0
+    res = _json_lines(capsys)[0]
+    assert res["diameter"] == 3 and res["certified"] is True
+    assert main(["top-k", "-i", edges_path, "--k", "2"]) == 0
+    assert len(_json_lines(capsys)) == 2
+
+
+def test_arclist_and_dot_and_er(spark, edges_path, tmp_path, capsys):
+    txt = str(tmp_path / "arcs.tsv")
+    assert main(["arclist", "export", "-i", edges_path, "-o", txt]) == 0
+    imported = str(tmp_path / "imported")
+    assert main(["arclist", "import", "-i", txt, "-o", imported]) == 0
+    got = sorted(
+        (r.src, r.dst) for r in spark.read.parquet(imported).collect()
+    )
+    assert got == sorted(ARCS)
+
+    dot = str(tmp_path / "g.dot")
+    assert main(["to-dot", "-i", edges_path, "-o", dot]) == 0
+    body = open(dot).read()
+    assert "digraph" in body and "0 -> 1" in body
+
+    er = str(tmp_path / "er")
+    assert main(["erdosrenyi", "--n", "30", "--p", "0.1", "--seed", "3",
+                 "-o", er]) == 0
+    n1 = spark.read.parquet(er).count()
+    assert main(["erdosrenyi", "--n", "30", "--p", "0.1", "--seed", "3",
+                 "-o", er]) == 0
+    assert spark.read.parquet(er).count() == n1  # deterministic

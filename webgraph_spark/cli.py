@@ -1,0 +1,530 @@
+"""Command-line tool surface mirroring the reference's main classes.
+
+The reference is driven through per-class ``main()`` entry points
+(``java it.unimi.dsi.webgraph.BVGraph -o ...``, ``...webgraph.Transform
+transpose src dst``, ``...algo.HyperBall``, Stats, Check,
+ArcListASCIIGraph, tool/ExtractComponent, WebGraph2Dot, examples/
+ErdosRenyiGraph — every file with a ``public static void main``). This
+module is the Spark-first equivalent: one subcommand per tool, edge
+tables as parquet ``(src, dst [, label...])`` directories instead of
+``.graph`` basenames, results as parquet or a JSON line on stdout.
+
+    python -m webgraph_spark stats -i edges/ [--degrees out/]
+    python -m webgraph_spark transform transpose -i edges/ -o out/
+    python -m webgraph_spark pack --format bv -i edges/ -o blocks/
+    python -m webgraph_spark pagerank -i edges/ -o ranks/ --tol 1e-6
+    python -m webgraph_spark hyperball -i edges/ --log2m 6
+
+Every subcommand is a thin argparse dispatch into the library — no
+logic lives here, so the CLI and the Python API cannot drift.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(
+        "webgraph_spark_cli",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _edges(spark, path):
+    return spark.read.parquet(path)
+
+
+def _emit_df(df, args, order=None):
+    """Write ``--output`` parquet, else print the first ``--show`` rows."""
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+    else:
+        if order:
+            df = df.orderBy(*order)
+        for row in df.limit(args.show).collect():
+            print(json.dumps(row.asDict(), default=str))
+
+
+def _emit_json(obj):
+    print(json.dumps(obj, default=str))
+
+
+# ---------------------------------------------------------------- tools
+
+
+def cmd_stats(args):
+    """Stats sink: one-row property summary (+ degree distributions)."""
+    from .operators.degrees import degree_distribution, graph_stats
+
+    spark = _spark(args)
+    e = _edges(spark, args.input)
+    row = graph_stats(e).collect()[0].asDict()
+    _emit_json(row)
+    if args.degrees:
+        for d in ("out", "in"):
+            degree_distribution(e, direction=d).write.mode(
+                "overwrite"
+            ).parquet(f"{args.degrees}/{d}")
+
+
+def cmd_check(args):
+    """Check.symmetry analog."""
+    from .operators.transforms import is_symmetric
+
+    spark = _spark(args)
+    _emit_json({"symmetric": is_symmetric(_edges(spark, args.input))})
+
+
+_TRANSFORMS = (
+    "transpose symmetrize simplify no-loops gray lex degree-order "
+    "random-perm map union compose line-graph induced degree-range"
+).split()
+
+
+def cmd_transform(args):
+    """Transform.java main: graph-to-graph operators."""
+    from .operators import transforms as T
+
+    spark = _spark(args)
+    e = _edges(spark, args.input)
+    op = args.op
+    perm = None
+    if op == "transpose":
+        out = T.transpose(e)
+    elif op == "symmetrize":
+        out = T.symmetrize(e)
+    elif op == "simplify":
+        out = T.simplify(e)
+    elif op == "no-loops":
+        out = T.no_loops(e)
+    elif op == "gray":
+        out, perm = T.gray_code_permutation(e)
+    elif op == "lex":
+        out, perm = T.lexicographical_permutation(e)
+    elif op == "degree-order":
+        out, perm = T.degree_ordered_permutation(e)
+    elif op == "random-perm":
+        out, perm = T.random_permutation(e, seed=args.seed)
+    elif op == "map":
+        if not args.other:
+            raise SystemExit("transform map requires --other mapping parquet")
+        out = T.map_nodes(e, spark.read.parquet(args.other))
+    elif op == "union":
+        out = T.union_graphs(e, _edges(spark, args.other))
+    elif op == "compose":
+        out = T.compose(e, _edges(spark, args.other))
+    elif op == "line-graph":
+        out = T.line_graph(e)
+    elif op == "induced":
+        out, perm = T.induced_subgraph(e, spark.read.parquet(args.other))
+    elif op == "degree-range":
+        out, perm = T.degree_range_subgraph(e, args.min_deg, args.max_deg)
+    else:  # pragma: no cover - argparse choices guard this
+        raise SystemExit(f"unknown transform {op}")
+    _emit_df(out, args, order=["src", "dst"])
+    if perm is not None and args.perm_out:
+        perm.write.mode("overwrite").parquet(args.perm_out)
+
+
+def cmd_pack(args):
+    """BVGraph.store / EFGraph.store / CSR pack."""
+    spark = _spark(args)
+    e = _edges(spark, args.input)
+    if args.format == "csr":
+        from .operators.csr import pack_csr
+
+        blocks = pack_csr(e, num_blocks=args.blocks)
+    elif args.format == "ef":
+        from .operators.ef import pack_ef
+
+        blocks = pack_ef(e, num_blocks=args.blocks)
+    else:
+        from .operators.bvfull import pack_bv_full
+
+        blocks = pack_bv_full(e, num_blocks=args.blocks)
+    blocks.write.mode("overwrite").parquet(args.output)
+    _emit_json({"format": args.format, "blocks": blocks.count()})
+
+
+def cmd_unpack(args):
+    """BVGraph.load / EFGraph.load / CSR scan back to an edge table."""
+    spark = _spark(args)
+    blocks = spark.read.parquet(args.input)
+    if args.format == "csr":
+        from .operators.csr import unpack_csr
+
+        out = unpack_csr(blocks)
+    elif args.format == "ef":
+        from .operators.ef import unpack_ef
+
+        out = unpack_ef(blocks)
+    else:
+        from .operators.bvfull import unpack_bv_full
+
+        out = unpack_bv_full(blocks)
+    _emit_df(out, args, order=["src", "dst"])
+
+
+def cmd_arclist(args):
+    """ArcListASCIIGraph / ShiftedByOne / ASCIIGraph / scattered arcs."""
+    from .sources import arclist as A
+
+    spark = _spark(args)
+    if args.direction == "import":
+        if args.format == "arclist":
+            out = A.read_arclist(spark, args.input, shift=args.shift)
+        elif args.format == "ascii":
+            out = A.read_asciigraph(spark, args.input)
+        else:
+            out, mapping = A.read_scattered_arcs(spark, args.input)
+            if args.perm_out:
+                mapping.write.mode("overwrite").parquet(args.perm_out)
+        _emit_df(out, args, order=["src", "dst"])
+    else:
+        e = _edges(spark, args.input)
+        if not args.output:
+            raise SystemExit("arclist export requires --output")
+        if args.format == "ascii":
+            A.write_asciigraph(e, args.output)
+        else:
+            A.write_arclist(e, args.output)
+
+
+def cmd_erdosrenyi(args):
+    """examples/ErdosRenyiGraph: seeded generator."""
+    from .datagen.graphs import erdos_renyi
+
+    spark = _spark(args)
+    _emit_df(
+        erdos_renyi(spark, args.n, args.p, seed=args.seed),
+        args,
+        order=["src", "dst"],
+    )
+
+
+def cmd_pagerank(args):
+    from .algos.pagerank import pagerank
+
+    spark = _spark(args)
+    res = pagerank(
+        _edges(spark, args.input).select("src", "dst"),
+        alpha=args.alpha,
+        tol=args.tol,
+        max_iter=args.max_iter,
+    )
+    _emit_df(res.ranks, args, order=["node"])
+    _emit_json(
+        {
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "delta": res.delta,
+        }
+    )
+
+
+def cmd_cc(args):
+    from .algos import components as C
+
+    spark = _spark(args)
+    e = _edges(spark, args.input).select("src", "dst")
+    fn = C.connected_components_stars if args.stars else C.connected_components
+    res = fn(e)
+    _emit_df(res.labels, args, order=["node"])
+    _emit_json({"iterations": res.iterations, "converged": res.converged})
+
+
+def cmd_scc(args):
+    from .algos.scc import scc_coloring
+
+    spark = _spark(args)
+    _emit_df(
+        scc_coloring(_edges(spark, args.input).select("src", "dst")),
+        args,
+        order=["node"],
+    )
+
+
+def cmd_lp(args):
+    from .algos.labelprop import label_propagation
+
+    spark = _spark(args)
+    res = label_propagation(
+        _edges(spark, args.input).select("src", "dst"), max_iter=args.max_iter
+    )
+    _emit_df(res.labels, args, order=["node"])
+    _emit_json({"iterations": res.iterations, "converged": res.converged})
+
+
+def cmd_triangles(args):
+    from .algos import triangles as T
+
+    spark = _spark(args)
+    e = _edges(spark, args.input).select("src", "dst")
+    if args.per_node:
+        _emit_df(T.triangles_per_node(e), args, order=["node"])
+    else:
+        _emit_json({"triangles": T.triangle_count(e)})
+
+
+def cmd_bfs(args):
+    from .algos.bfs import bfs
+
+    spark = _spark(args)
+    res = bfs(_edges(spark, args.input).select("src", "dst"), [args.root])
+    _emit_df(res.distances, args, order=["node"])
+    _emit_json({"rounds": res.rounds})
+
+
+def cmd_nf(args):
+    """NeighbourhoodFunction (exact)."""
+    from .algos.bfs import neighbourhood_function_exact
+
+    spark = _spark(args)
+    nf = neighbourhood_function_exact(
+        _edges(spark, args.input).select("src", "dst"), max_t=args.max_t
+    )
+    _emit_json({"nf": nf})
+
+
+def cmd_hyperball(args):
+    from .algos.hyperball import hyperball
+
+    spark = _spark(args)
+    res = hyperball(
+        _edges(spark, args.input).select("src", "dst"),
+        log2m=args.log2m,
+        max_t=args.max_t,
+        seed=args.seed,
+    )
+    if args.output:
+        res.centralities().write.mode("overwrite").parquet(args.output)
+    _emit_json(
+        {
+            "nf": res.nf,
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "log2m": res.log2m,
+        }
+    )
+
+
+def cmd_geometric(args):
+    """GeometricCentralities (exact, all or sampled sources)."""
+    from .algos.centrality import geometric_centralities
+
+    spark = _spark(args)
+    sources = (
+        [int(s) for s in args.sources.split(",")] if args.sources else None
+    )
+    _emit_df(
+        geometric_centralities(
+            _edges(spark, args.input).select("src", "dst"), sources=sources
+        ),
+        args,
+        order=["node"],
+    )
+
+
+def cmd_betweenness(args):
+    from .algos import betweenness as B
+
+    spark = _spark(args)
+    e = _edges(spark, args.input).select("src", "dst")
+    if args.samples:
+        out = B.betweenness_sampled(e, n_samples=args.samples, seed=args.seed)
+    else:
+        out = B.betweenness(e)
+    _emit_df(out, args, order=["node"])
+
+
+def cmd_topk(args):
+    """TopKGeometricCentrality (CutClos-pruned)."""
+    from .algos.topk import top_k_geometric
+
+    spark = _spark(args)
+    res = top_k_geometric(
+        _edges(spark, args.input).select("src", "dst"),
+        k=args.k,
+        centrality=args.centrality,
+    )
+    _emit_df(res.to_df(spark), args)
+
+
+def cmd_sumsweep(args):
+    from .algos import sumsweep as S
+
+    spark = _spark(args)
+    e = _edges(spark, args.input).select("src", "dst")
+    res = (
+        S.four_sweep_ifub(e) if args.undirected else S.sum_sweep_directed(e)
+    )
+    _emit_json(
+        {
+            "diameter": res.diameter,
+            "radius": res.radius,
+            "certified": res.certified,
+            "sweeps": res.sweeps,
+        }
+    )
+
+
+def cmd_distance_cdf(args):
+    """SampleDistanceCumulativeDistributionFunction."""
+    from .algos.centrality import distance_cdf
+
+    spark = _spark(args)
+    _emit_df(
+        distance_cdf(
+            _edges(spark, args.input).select("src", "dst"),
+            [int(s) for s in args.sources.split(",")],
+        ),
+        args,
+        order=["dist"],
+    )
+
+
+def cmd_extract_component(args):
+    """tool/ExtractComponent: keep the largest (or a given) component."""
+    from .algos import components as C
+    from .operators.transforms import induced_subgraph
+
+    spark = _spark(args)
+    e = _edges(spark, args.input).select("src", "dst")
+    if args.component is None:
+        out = C.largest_component(e)
+        if isinstance(out, tuple):
+            out = out[0]
+    else:
+        from pyspark.sql import functions as F
+
+        labels = C.connected_components(e).labels
+        keep = labels.where(
+            F.col("component") == args.component
+        ).select("node")
+        out, _ = induced_subgraph(e, keep, reindex=False)
+    _emit_df(out, args, order=["src", "dst"])
+
+
+def cmd_to_dot(args):
+    """WebGraph2Dot export."""
+    from .operators.export import write_dot
+
+    spark = _spark(args)
+    if not args.output:
+        raise SystemExit("to-dot requires --output")
+    write_dot(_edges(spark, args.input).select("src", "dst"), args.output)
+    _emit_json({"wrote": args.output})
+
+
+# ------------------------------------------------------------- argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m webgraph_spark",
+        description=__doc__.splitlines()[0],
+    )
+    p.add_argument("--master", default=None, help="Spark master URL")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add(name, fn, **kw):
+        doc = (fn.__doc__ or "").strip().splitlines()
+        sp = sub.add_parser(name, help=doc[0] if doc else None)
+        sp.set_defaults(fn=fn)
+        sp.add_argument("-i", "--input", required=kw.pop("needs_input", True))
+        sp.add_argument("-o", "--output", default=None)
+        sp.add_argument("--show", type=int, default=20)
+        return sp
+
+    add("stats", cmd_stats).add_argument("--degrees", default=None)
+    add("check", cmd_check)
+
+    sp = add("transform", cmd_transform)
+    sp.add_argument("op", choices=_TRANSFORMS)
+    sp.add_argument("--other", default=None, help="second graph / mapping / node set parquet")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--min-deg", type=int, default=0)
+    sp.add_argument("--max-deg", type=int, default=1 << 62)
+    sp.add_argument("--perm-out", default=None)
+
+    sp = add("pack", cmd_pack)
+    sp.add_argument("--format", choices=["csr", "ef", "bv"], default="csr")
+    sp.add_argument("--blocks", type=int, default=None)
+    sp = add("unpack", cmd_unpack)
+    sp.add_argument("--format", choices=["csr", "ef", "bv"], default="csr")
+
+    sp = add("arclist", cmd_arclist)
+    sp.add_argument("direction", choices=["import", "export"])
+    sp.add_argument(
+        "--format", choices=["arclist", "ascii", "scattered"], default="arclist"
+    )
+    sp.add_argument("--shift", type=int, default=0)
+    sp.add_argument("--perm-out", default=None)
+
+    sp = add("erdosrenyi", cmd_erdosrenyi, needs_input=False)
+    sp.add_argument("--n", type=int, required=True)
+    sp.add_argument("--p", type=float, required=True)
+    sp.add_argument("--seed", type=int, default=0)
+
+    sp = add("pagerank", cmd_pagerank)
+    sp.add_argument("--alpha", type=float, default=0.85)
+    sp.add_argument("--tol", type=float, default=1e-6)
+    sp.add_argument("--max-iter", type=int, default=100)
+
+    add("cc", cmd_cc).add_argument("--stars", action="store_true")
+    add("scc", cmd_scc)
+    add("lp", cmd_lp).add_argument("--max-iter", type=int, default=10)
+    add("triangles", cmd_triangles).add_argument(
+        "--per-node", action="store_true"
+    )
+    add("bfs", cmd_bfs).add_argument("--root", type=int, required=True)
+    add("nf", cmd_nf).add_argument("--max-t", type=int, default=50)
+
+    sp = add("hyperball", cmd_hyperball)
+    sp.add_argument("--log2m", type=int, default=5)
+    sp.add_argument("--max-t", type=int, default=64)
+    sp.add_argument("--seed", type=int, default=31)
+
+    add("geometric-centralities", cmd_geometric).add_argument(
+        "--sources", default=None
+    )
+
+    sp = add("betweenness", cmd_betweenness)
+    sp.add_argument("--samples", type=int, default=None)
+    sp.add_argument("--seed", type=int, default=0)
+
+    sp = add("top-k", cmd_topk)
+    sp.add_argument("--k", type=int, required=True)
+    sp.add_argument(
+        "--centrality", choices=["harmonic", "closeness", "lin"],
+        default="harmonic",
+    )
+
+    add("sumsweep", cmd_sumsweep).add_argument(
+        "--undirected", action="store_true"
+    )
+    add("distance-cdf", cmd_distance_cdf).add_argument(
+        "--sources", required=True
+    )
+    add("extract-component", cmd_extract_component).add_argument(
+        "--component", type=int, default=None
+    )
+    add("to-dot", cmd_to_dot)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

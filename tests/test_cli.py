@@ -112,3 +112,11 @@ def test_arclist_and_dot_and_er(spark, edges_path, tmp_path, capsys):
     assert main(["erdosrenyi", "--n", "30", "--p", "0.1", "--seed", "3",
                  "-o", er]) == 0
     assert spark.read.parquet(er).count() == n1  # deterministic
+
+
+def test_pack_bits_stats(spark, edges_path, tmp_path, capsys):
+    blocks = str(tmp_path / "efb")
+    assert main(["pack", "--format", "ef", "--bits", "-i", edges_path,
+                 "-o", blocks]) == 0
+    info = _json_lines(capsys)[0]
+    assert info["n_arcs"] == 6 and info["bits_per_link"] > 0

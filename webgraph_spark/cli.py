@@ -133,23 +133,31 @@ def cmd_transform(args):
 
 
 def cmd_pack(args):
-    """BVGraph.store / EFGraph.store / CSR pack."""
+    """BVGraph.store / EFGraph.store / CSR pack (--bits: compression
+    stats the way the reference's store main prints them)."""
     spark = _spark(args)
     e = _edges(spark, args.input)
     if args.format == "csr":
-        from .operators.csr import pack_csr
+        from .operators.csr import gamma_bits_per_link, pack_csr
 
-        blocks = pack_csr(e, num_blocks=args.blocks)
+        blocks, bits_fn = pack_csr(e, num_blocks=args.blocks), gamma_bits_per_link
     elif args.format == "ef":
-        from .operators.ef import pack_ef
+        from .operators.ef import ef_bits_per_link, pack_ef
 
-        blocks = pack_ef(e, num_blocks=args.blocks)
+        blocks, bits_fn = pack_ef(e, num_blocks=args.blocks), ef_bits_per_link
     else:
-        from .operators.bvfull import pack_bv_full
+        from .operators.bvfull import bv_full_model_bits, pack_bv_full
 
-        blocks = pack_bv_full(e, num_blocks=args.blocks)
+        blocks, bits_fn = (
+            pack_bv_full(e, num_blocks=args.blocks),
+            bv_full_model_bits,
+        )
     blocks.write.mode("overwrite").parquet(args.output)
-    _emit_json({"format": args.format, "blocks": blocks.count()})
+    info = {"format": args.format, "blocks": blocks.count()}
+    if args.bits:
+        stored = spark.read.parquet(args.output)
+        info.update(bits_fn(stored).collect()[0].asDict())
+    _emit_json(info)
 
 
 def cmd_unpack(args):
@@ -457,6 +465,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("pack", cmd_pack)
     sp.add_argument("--format", choices=["csr", "ef", "bv"], default="csr")
     sp.add_argument("--blocks", type=int, default=None)
+    sp.add_argument("--bits", action="store_true",
+                    help="report bits/link compression stats")
     sp = add("unpack", cmd_unpack)
     sp.add_argument("--format", choices=["csr", "ef", "bv"], default="csr")
 

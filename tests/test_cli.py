@@ -120,3 +120,18 @@ def test_pack_bits_stats(spark, edges_path, tmp_path, capsys):
                  "-o", blocks]) == 0
     info = _json_lines(capsys)[0]
     assert info["n_arcs"] == 6 and info["bits_per_link"] > 0
+
+
+def test_generate_ingest_pipeline(spark, tmp_path, capsys):
+    tr = str(tmp_path / "tr")
+    ed = str(tmp_path / "ed")
+    nd = str(tmp_path / "nd")
+    assert main(["generate-transcripts", "--n-convs", "50", "-o", tr]) == 0
+    assert _json_lines(capsys)[0]["turns"] > 0
+    assert main(["ingest", "-i", tr, "-o", ed, "--nodes-out", nd]) == 0
+    info = _json_lines(capsys)[-1]
+    assert info["nodes"] > 0 and info["arcs"] > 0
+    e = spark.read.parquet(ed)
+    assert set(e.columns) == {"src", "dst", "kind"}
+    assert main(["pagerank", "-i", ed]) == 0
+    assert _json_lines(capsys)[-1]["converged"] is True

@@ -204,6 +204,34 @@ def cmd_arclist(args):
             A.write_arclist(e, args.output)
 
 
+def cmd_generate_transcripts(args):
+    """Synthesize the deterministic transcript table (conv_id, turn_idx,
+    role, text, tool, ts) at small scale — the input_hint shape."""
+    from .datagen.transcripts import generate_transcripts
+
+    spark = _spark(args)
+    t = generate_transcripts(spark, n_convs=args.n_convs)
+    if not args.output:
+        raise SystemExit("generate-transcripts requires --output")
+    t.write.mode("overwrite").parquet(args.output)
+    _emit_json({"conversations": args.n_convs, "turns": t.count()})
+
+
+def cmd_ingest(args):
+    """Transcripts → node dictionary + link-graph edge table (the
+    BuildHostMap / ScatteredArcsASCIIGraph ingestion analog)."""
+    from .graph.edges import build_node_dictionary, extract_edges
+
+    spark = _spark(args)
+    t = spark.read.parquet(args.input)
+    nodes = build_node_dictionary(t)
+    edges = extract_edges(t, nodes)
+    if args.nodes_out:
+        nodes.write.mode("overwrite").parquet(args.nodes_out)
+    _emit_df(edges, args, order=["src", "dst"])
+    _emit_json({"nodes": nodes.count(), "arcs": edges.count()})
+
+
 def cmd_erdosrenyi(args):
     """examples/ErdosRenyiGraph: seeded generator."""
     from .datagen.graphs import erdos_renyi
@@ -477,6 +505,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--shift", type=int, default=0)
     sp.add_argument("--perm-out", default=None)
+
+    sp = add("generate-transcripts", cmd_generate_transcripts,
+             needs_input=False)
+    sp.add_argument("--n-convs", type=int, default=1000)
+
+    add("ingest", cmd_ingest).add_argument("--nodes-out", default=None)
 
     sp = add("erdosrenyi", cmd_erdosrenyi, needs_input=False)
     sp.add_argument("--n", type=int, required=True)

@@ -135,3 +135,97 @@ def test_generate_ingest_pipeline(spark, tmp_path, capsys):
     assert set(e.columns) == {"src", "dst", "kind"}
     assert main(["pagerank", "-i", ed]) == 0
     assert _json_lines(capsys)[-1]["converged"] is True
+
+
+def test_scc_lp_hyperball(spark, edges_path, capsys):
+    assert main(["scc", "-i", edges_path]) == 0
+    comp = {l["node"]: l["scc"] for l in _json_lines(capsys)}
+    # 0,1,2,3 form a cycle (one SCC); 4 is its own
+    assert comp[0] == comp[1] == comp[2] == comp[3] != comp[4]
+
+    assert main(["lp", "-i", edges_path]) == 0
+    lines = _json_lines(capsys)
+    assert len(lines[:-1]) == 5  # a label for every node
+
+    assert main(["hyperball", "-i", edges_path, "--log2m", "4",
+                 "--max-t", "8"]) == 0
+    res = _json_lines(capsys)[0]
+    assert res["converged"] is True and abs(res["nf"][0] - 5) < 1.0
+
+
+def test_centrality_commands(spark, edges_path, capsys):
+    assert main(["geometric-centralities", "-i", edges_path,
+                 "--sources", "0,3"]) == 0
+    assert len(_json_lines(capsys)) == 2
+    assert main(["betweenness", "-i", edges_path]) == 0
+    bc = {l["node"]: l["betweenness"] for l in _json_lines(capsys)}
+    assert len(bc) == 5 and bc[4] == 0.0  # sink pendant lies on no path
+    assert main(["distance-cdf", "-i", edges_path, "--sources", "0"]) == 0
+    assert len(_json_lines(capsys)) >= 1
+
+
+def test_transform_variants(spark, edges_path, tmp_path, capsys):
+    for op in ["symmetrize", "simplify", "no-loops", "line-graph"]:
+        assert main(["transform", op, "-i", edges_path]) == 0
+        assert len(_json_lines(capsys)) > 0
+    for op in ["gray", "lex", "degree-order", "random-perm"]:
+        perm = str(tmp_path / f"perm_{op}")
+        assert main(["transform", op, "-i", edges_path,
+                     "--perm-out", perm]) == 0
+        _json_lines(capsys)
+        assert spark.read.parquet(perm).count() == 5
+    assert main(["transform", "degree-range", "-i", edges_path,
+                 "--min-deg", "1", "--max-deg", "10"]) == 0
+    _json_lines(capsys)
+    # map: identity mapping keeps the arc set
+    ident = str(tmp_path / "ident")
+    spark.createDataFrame(
+        [(i, i) for i in range(5)], "node long, target long"
+    ).write.parquet(ident)
+    out = str(tmp_path / "mapped")
+    assert main(["transform", "map", "-i", edges_path, "--other", ident,
+                 "-o", out]) == 0
+    assert spark.read.parquet(out).count() == 6
+
+
+def test_union_compose_extract(spark, edges_path, tmp_path, capsys):
+    assert main(["transform", "union", "-i", edges_path,
+                 "--other", edges_path]) == 0
+    assert len(_json_lines(capsys)) == 6  # idempotent union
+    assert main(["transform", "compose", "-i", edges_path,
+                 "--other", edges_path]) == 0
+    assert len(_json_lines(capsys)) > 0
+    assert main(["extract-component", "-i", edges_path]) == 0
+    assert len(_json_lines(capsys)) > 0
+
+
+def test_unpack_ef_bv(spark, edges_path, tmp_path, capsys):
+    for fmt in ["ef", "bv"]:
+        blocks = str(tmp_path / f"p{fmt}")
+        out = str(tmp_path / f"u{fmt}")
+        assert main(["pack", "--format", fmt, "-i", edges_path,
+                     "-o", blocks]) == 0
+        _json_lines(capsys)
+        assert main(["unpack", "--format", fmt, "-i", blocks,
+                     "-o", out]) == 0
+        got = sorted(
+            (r.src, r.dst) for r in spark.read.parquet(out).collect()
+        )
+        assert got == sorted(ARCS)
+
+
+def test_stats_degrees_and_ascii(spark, edges_path, tmp_path, capsys):
+    deg = str(tmp_path / "deg")
+    assert main(["stats", "-i", edges_path, "--degrees", deg]) == 0
+    _json_lines(capsys)
+    assert spark.read.parquet(deg + "/out").count() > 0
+    ag = str(tmp_path / "g.ascii")
+    assert main(["arclist", "export", "--format", "ascii",
+                 "-i", edges_path, "-o", ag]) == 0
+    back = str(tmp_path / "ascii_back")
+    assert main(["arclist", "import", "--format", "ascii",
+                 "-i", ag, "-o", back]) == 0
+    got = sorted(
+        (r.src, r.dst) for r in spark.read.parquet(back).collect()
+    )
+    assert got == sorted(ARCS)

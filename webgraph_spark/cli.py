@@ -120,7 +120,7 @@ def cmd_transform(args):
     elif op == "compose":
         out = T.compose(e, _edges(spark, args.other))
     elif op == "line-graph":
-        out = T.line_graph(e)
+        out, perm = T.line_graph(e)  # perm = arc_id -> (src, dst) map
     elif op == "induced":
         out, perm = T.induced_subgraph(e, spark.read.parquet(args.other))
     elif op == "degree-range":
@@ -363,7 +363,7 @@ def cmd_geometric(args):
             _edges(spark, args.input).select("src", "dst"), sources=sources
         ),
         args,
-        order=["node"],
+        order=["source"],
     )
 
 

@@ -229,3 +229,11 @@ def test_stats_degrees_and_ascii(spark, edges_path, tmp_path, capsys):
         (r.src, r.dst) for r in spark.read.parquet(back).collect()
     )
     assert got == sorted(ARCS)
+
+
+def test_pagerank_checkpoint_lineage(spark, edges_path, tmp_path, capsys):
+    ck = str(tmp_path / "ck")
+    assert main(["pagerank", "-i", edges_path, "--checkpoint-dir", ck]) == 0
+    assert _json_lines(capsys)[-1]["converged"] is True
+    lineage = spark.read.parquet(ck + "/_lineage")
+    assert lineage.count() > 0  # per-iteration durable lineage rows

@@ -253,6 +253,7 @@ def cmd_pagerank(args):
         alpha=args.alpha,
         tol=args.tol,
         max_iter=args.max_iter,
+        checkpoint_dir=args.checkpoint_dir,
     )
     _emit_df(res.ranks, args, order=["node"])
     _emit_json(
@@ -269,8 +270,10 @@ def cmd_cc(args):
 
     spark = _spark(args)
     e = _edges(spark, args.input).select("src", "dst")
-    fn = C.connected_components_stars if args.stars else C.connected_components
-    res = fn(e)
+    if args.stars:
+        res = C.connected_components_stars(e)
+    else:
+        res = C.connected_components(e, checkpoint_dir=args.checkpoint_dir)
     _emit_df(res.labels, args, order=["node"])
     _emit_json({"iterations": res.iterations, "converged": res.converged})
 
@@ -291,7 +294,9 @@ def cmd_lp(args):
 
     spark = _spark(args)
     res = label_propagation(
-        _edges(spark, args.input).select("src", "dst"), max_iter=args.max_iter
+        _edges(spark, args.input).select("src", "dst"),
+        max_iter=args.max_iter,
+        checkpoint_dir=args.checkpoint_dir,
     )
     _emit_df(res.labels, args, order=["node"])
     _emit_json({"iterations": res.iterations, "converged": res.converged})
@@ -521,10 +526,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--alpha", type=float, default=0.85)
     sp.add_argument("--tol", type=float, default=1e-6)
     sp.add_argument("--max-iter", type=int, default=100)
+    sp.add_argument("--checkpoint-dir", default=None,
+                    help="durable per-iteration state + lineage; resumable")
 
-    add("cc", cmd_cc).add_argument("--stars", action="store_true")
+    sp = add("cc", cmd_cc)
+    sp.add_argument("--stars", action="store_true")
+    sp.add_argument("--checkpoint-dir", default=None)
     add("scc", cmd_scc)
-    add("lp", cmd_lp).add_argument("--max-iter", type=int, default=10)
+    sp = add("lp", cmd_lp)
+    sp.add_argument("--max-iter", type=int, default=10)
+    sp.add_argument("--checkpoint-dir", default=None)
     add("triangles", cmd_triangles).add_argument(
         "--per-node", action="store_true"
     )

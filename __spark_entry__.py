@@ -2263,6 +2263,44 @@ SELECT CAST(tri.t AS BIGINT) AS triangles, wed.wedges,
 FROM tri, wed"""
 
 
+def _transitivity_null_sql() -> str:
+    return f"""WITH ua AS (
+  SELECT DISTINCT user_id AS u, {_PROJ_ATTR_SQL} AS a FROM events),
+proj AS (
+  SELECT x.u AS src, y.u AS dst FROM ua x JOIN ua y
+  ON x.a = y.a AND x.u < y.u
+  GROUP BY x.u, y.u HAVING COUNT(*) >= 7),
+und AS (
+  SELECT src, dst FROM proj WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM proj WHERE src <> dst
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY src),
+orient AS (
+  SELECT u.src, u.dst FROM und u
+  JOIN deg ds ON ds.node = u.src
+  JOIN deg dd ON dd.node = u.dst
+  WHERE ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
+),
+tri AS (SELECT COUNT(*) AS t FROM orient e1
+  JOIN orient e2 ON e1.dst = e2.src
+  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+mom AS (SELECT CAST(SUM(d) AS BIGINT) AS s1,
+               CAST(SUM(d * d) AS BIGINT) AS s2,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges
+        FROM deg)
+SELECT CAST(tri.t AS BIGINT) AS triangles, mom.wedges,
+       ROUND(3.0 * tri.t / CAST(mom.wedges AS DOUBLE), 6) AS transitivity,
+       ROUND(CAST(mom.s2 - mom.s1 AS DOUBLE) * CAST(mom.s2 - mom.s1 AS DOUBLE)
+             / (CAST(mom.s1 AS DOUBLE) * CAST(mom.s1 AS DOUBLE)
+                * CAST(mom.s1 AS DOUBLE)), 6) AS c_null,
+       ROUND((3.0 * tri.t / CAST(mom.wedges AS DOUBLE))
+             / (CAST(mom.s2 - mom.s1 AS DOUBLE) * CAST(mom.s2 - mom.s1 AS DOUBLE)
+                / (CAST(mom.s1 AS DOUBLE) * CAST(mom.s1 AS DOUBLE)
+                   * CAST(mom.s1 AS DOUBLE))), 3) AS ratio
+FROM tri, mom"""
+
+
 def q_events_retention(spark, sf_dir):
     """Day-granular retention cohorts: users grouped by first-activity
     day (cohort), counted by distinct activity on each later day-offset
@@ -2976,6 +3014,95 @@ def q_reciprocity(spark, sf_dir):
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
     return reciprocity(e.unionByName(rev))
+
+
+def q_reciprocity_corrected(spark, sf_dir):
+    """Garlaschelli-Loffredo corrected reciprocity rho = (r - a)/(1 - a)
+    (PRL 93, 268701): classical r = mutual/arcs compared against the
+    arc density a = m/(n(n-1)) a random digraph with the same density
+    would show — rho > 0 means genuinely reciprocal structure, not just
+    density. Same partially-reversed graph as graph_reciprocity; exact
+    integer counts, two float divisions at the end."""
+    e_base = _edges(spark, sf_dir)
+    rev = e_base.where(F.col("dst") % 2 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    e = (
+        e_base.unionByName(rev)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    n_df = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .agg(F.count("*").alias("n"))
+    )
+    m_df = e.agg(F.count("*").alias("m"))
+    mut_df = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+    ).agg(F.count("*").alias("mut"))
+    a = F.col("m") / (F.col("n") * (F.col("n") - 1))
+    r = F.col("mut") / F.col("m")
+    return (
+        n_df.crossJoin(m_df)
+        .crossJoin(mut_df)
+        .select(
+            F.col("n").cast("long").alias("n_nodes"),
+            F.col("m").cast("long").alias("arcs"),
+            F.col("mut").cast("long").alias("mutual_arcs"),
+            F.round(r, 6).alias("r"),
+            F.round(a, 6).alias("a"),
+            F.round((r - a) / (F.lit(1.0) - a), 6).alias("rho"),
+        )
+    )
+
+
+def q_transitivity_null(spark, sf_dir):
+    """Small-world evidence: observed transitivity vs its
+    configuration-model expectation C_null = (s2 - s1)^2 / s1^3 (Newman
+    2003, s_k = sum of degree^k) on the same co-occurrence projection
+    as graph_transitivity. ratio >> 1 means triangles beyond what the
+    degree sequence alone produces. Exact integer moments; float
+    division at the end."""
+    from webgraph_spark.algos.triangles import triangle_count
+    from webgraph_spark.functions.mining import bipartite_project
+    from webgraph_spark.operators.transforms import simplify
+
+    e = bipartite_project(
+        _user_attr_pairs(spark, sf_dir), min_weight=7
+    ).select("src", "dst")
+    tri = triangle_count(e)
+    sym = simplify(e)
+    mom = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.sum("d").cast("long").alias("s1"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("long")
+            .alias("wedges"),
+        )
+    )
+    c_obs = F.lit(3.0) * F.lit(int(tri)) / F.col("wedges").cast("double")
+    c_null = (
+        (F.col("s2") - F.col("s1")).cast("double")
+        * (F.col("s2") - F.col("s1")).cast("double")
+        / (
+            F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+        )
+    )
+    return mom.select(
+        F.lit(int(tri)).cast("long").alias("triangles"),
+        "wedges",
+        F.round(c_obs, 6).alias("transitivity"),
+        F.round(c_null, 6).alias("c_null"),
+        F.round(c_obs / c_null, 3).alias("ratio"),
+    )
 
 
 def q_logreg_score(spark, sf_dir):
@@ -5393,6 +5520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cocitation2": q_cocitation2,
         "graph_quad_count": q_quad_count,
         "graph_reciprocity": q_reciprocity,
+        "graph_reciprocity_rho": q_reciprocity_corrected,
+        "graph_transitivity_null": q_transitivity_null,
         "docs_logreg_score": q_logreg_score,
         "docs_tfidf_pairs": q_tfidf_pairs,
         "graph_sage_features": q_sage_features,
@@ -6628,6 +6757,26 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS arcs,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS mutual_arcs,
        ROUND((SELECT COUNT(*) FROM m) * 1.0 /
              (SELECT COUNT(*) FROM e), 6) AS reciprocity""",
+        "graph_reciprocity_rho": f"""WITH {td.EDGES_CTE},
+base AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges WHERE dst % 2 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM base WHERE src <> dst),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+       (SELECT src AS v FROM e UNION SELECT dst FROM e) z),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+mu AS (SELECT CAST(COUNT(*) AS BIGINT) AS mut FROM e
+       WHERE EXISTS (SELECT 1 FROM e r
+                     WHERE r.src = e.dst AND r.dst = e.src))
+SELECT nn.n AS n_nodes, mm.m AS arcs, mu.mut AS mutual_arcs,
+       ROUND(mu.mut * 1.0 / mm.m, 6) AS r,
+       ROUND(mm.m * 1.0 / (nn.n * (nn.n - 1)), 6) AS a,
+       ROUND((mu.mut * 1.0 / mm.m - mm.m * 1.0 / (nn.n * (nn.n - 1)))
+             / (1.0 - mm.m * 1.0 / (nn.n * (nn.n - 1))), 6) AS rho
+FROM nn, mm, mu""",
+        "graph_transitivity_null": _transitivity_null_sql(),
         "docs_logreg_score": _mlscore.logreg_sql(
             "documents", lr=1.0, iters=8
         ),

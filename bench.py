@@ -220,6 +220,9 @@ def main():
         "docs_zipf_slope",
         "graph_ck_curve",
         "graph_assortativity_dir",
+        "graph_dir_triangle_profile",
+        "graph_reciprocity_rho",
+        "graph_transitivity_null",
     ]:
         fn = entry_mod.queries()[name]
         t0 = time.time()

@@ -148,3 +148,19 @@ def test_directed_clustering_vs_numpy(spark):
                 assert g is None
             else:
                 assert g is not None and abs(g - w) < 1e-12
+
+
+def test_directed_clustering_precomputed_profile(spark):
+    from webgraph_spark.algos.motifs import (
+        directed_clustering,
+        directed_triangle_profile,
+    )
+
+    e = erdos_renyi(spark, 25, 0.2, seed=5)
+    prof = directed_triangle_profile(e)
+    a = {r["node"]: r for r in directed_clustering(e).collect()}
+    b = {r["node"]: r for r in directed_clustering(e, profile=prof).collect()}
+    assert set(a) == set(b)
+    for n in a:
+        for c in ("c_cyc", "c_mid", "c_in", "c_out"):
+            assert a[n][c] == b[n][c]

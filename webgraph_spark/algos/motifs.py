@@ -723,7 +723,9 @@ LEFT JOIN pcorn c ON n.v = c.node"""
     return ctes, final
 
 
-def directed_clustering(edges: DataFrame) -> DataFrame:
+def directed_clustering(
+    edges: DataFrame, profile: DataFrame | None = None
+) -> DataFrame:
     """Fagiolo per-node directed clustering coefficients: each triangle
     role of :func:`directed_triangle_profile` normalized by its maximum
     attainable count given the node's degrees (Phys. Rev. E 76, 026107):
@@ -735,7 +737,10 @@ def directed_clustering(edges: DataFrame) -> DataFrame:
 
     where d_bi is the number of reciprocated neighbours. NULL where the
     denominator is zero. One degree aggregation + the profile's
-    support-triangle join — no extra triangle work."""
+    support-triangle join — no extra triangle work. Pass ``profile``
+    (a prior :func:`directed_triangle_profile` result) to skip
+    re-deriving it — the triangle join dominates the cost (at 30M arcs
+    it is ~60% of this function's wall, BENCH/BASELINE.md §25)."""
     arcs = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -754,7 +759,7 @@ def directed_clustering(edges: DataFrame) -> DataFrame:
         .groupBy(F.col("src").alias("node"))
         .agg(F.count("*").alias("d_bi"))
     )
-    prof = directed_triangle_profile(arcs)
+    prof = directed_triangle_profile(arcs) if profile is None else profile
     deg = (
         prof.join(dout, "node", "left")
         .join(din, "node", "left")

@@ -3105,6 +3105,65 @@ def q_transitivity_null(spark, sf_dir):
     )
 
 
+def q_pagerank_localization(spark, sf_dir):
+    """PageRank mass localization: inverse participation ratio
+    IPR = sum(p^2) (and its reciprocal, the effective number of nodes
+    holding the mass) plus the Gini coefficient of the rank vector —
+    the standard diagnostics for hub concentration of a centrality
+    measure. Computed over the same 5-iteration recurrence as
+    graph_pagerank5, on ranks rounded to 9dp then scaled to exact
+    int64 (v = round(rank*1e9)) so every sum is integer and
+    order-independent; the Gini rank index is one global row_number
+    (range-partitioned sort at scale, 1 row/node)."""
+    from pyspark.sql import Window
+
+    ranks = q_pagerank5(spark, sf_dir)
+    v = F.round(F.col("rank") * F.lit(1e9), 0).cast("long").alias("v")
+    o = ranks.select("node", v).withColumn(
+        "i", F.row_number().over(Window.orderBy("v", "node"))
+    )
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("i") * F.col("v")).alias("siv"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.round(s2 / (s1 * s1), 9).alias("ipr"),
+        F.round(s1 * s1 / s2, 3).alias("effective_nodes"),
+        F.round(
+            F.lit(2.0) * F.col("siv").cast("double") / (n * s1)
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+def _pagerank_localization_sql() -> str:
+    parts = [td.EDGES_CTE, td.NODES_CTE] + td._pagerank_body(5, 0.85)
+    return (
+        "WITH " + ",".join(parts)
+        + """,
+pr AS (SELECT node,
+              CAST(ROUND(ROUND(rank, 9) * 1e9, 0) AS BIGINT) AS v FROM r5),
+o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, node) AS i FROM pr),
+agg AS (SELECT COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2,
+               SUM(i * v) AS siv FROM o)
+SELECT CAST(n AS BIGINT) AS n_nodes,
+       ROUND(CAST(s2 AS DOUBLE) / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)),
+             9) AS ipr,
+       ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE),
+             3) AS effective_nodes,
+       ROUND(2.0 * CAST(siv AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg"""
+    )
+
+
 def q_logreg_score(spark, sf_dir):
     """Quality-classifier stage: full-batch logistic regression (8 GD
     steps, lr=1) trained INSIDE the engine on rounded JVM-expression
@@ -5522,6 +5581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": q_reciprocity,
         "graph_reciprocity_rho": q_reciprocity_corrected,
         "graph_transitivity_null": q_transitivity_null,
+        "graph_pagerank_localization": q_pagerank_localization,
         "docs_logreg_score": q_logreg_score,
         "docs_tfidf_pairs": q_tfidf_pairs,
         "graph_sage_features": q_sage_features,
@@ -6777,6 +6837,7 @@ SELECT nn.n AS n_nodes, mm.m AS arcs, mu.mut AS mutual_arcs,
              / (1.0 - mm.m * 1.0 / (nn.n * (nn.n - 1))), 6) AS rho
 FROM nn, mm, mu""",
         "graph_transitivity_null": _transitivity_null_sql(),
+        "graph_pagerank_localization": _pagerank_localization_sql(),
         "docs_logreg_score": _mlscore.logreg_sql(
             "documents", lr=1.0, iters=8
         ),

@@ -164,3 +164,44 @@ def test_directed_clustering_precomputed_profile(spark):
     for n in a:
         for c in ("c_cyc", "c_mid", "c_in", "c_out"):
             assert a[n][c] == b[n][c]
+
+
+def test_directed_profile_degenerate(spark):
+    from webgraph_spark.algos.motifs import (
+        directed_clustering,
+        directed_triangle_profile,
+    )
+
+    # empty graph
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert directed_triangle_profile(empty).count() == 0
+    assert directed_clustering(empty).count() == 0
+    # single arc + self loop (loop dropped): no triangles, zeros
+    e1 = spark.createDataFrame([(0, 1), (2, 2)], "src long, dst long")
+    rows = {r["node"]: r for r in directed_triangle_profile(e1).collect()}
+    assert set(rows) == {0, 1}
+    assert all(
+        rows[n][c] == 0
+        for n in rows
+        for c in ("t_cyc", "t_mid", "t_in", "t_out")
+    )
+    # complete reciprocal triangle: every corner has every role
+    arcs = [(a, b) for a in range(3) for b in range(3) if a != b]
+    e2 = spark.createDataFrame(arcs, "src long, dst long")
+    prof = {r["node"]: r for r in directed_triangle_profile(e2).collect()}
+    a = np.ones((3, 3), dtype=np.int64)
+    np.fill_diagonal(a, 0)
+    cyc = np.einsum("ij,jk,ki->i", a, a, a)
+    mid = np.einsum("ji,ik,jk->i", a, a, a)
+    tin = np.einsum("ji,ki,jk->i", a, a, a)
+    tout = np.einsum("ij,ik,jk->i", a, a, a)
+    for n in range(3):
+        assert (
+            prof[n]["t_cyc"], prof[n]["t_mid"], prof[n]["t_in"],
+            prof[n]["t_out"],
+        ) == (int(cyc[n]), int(mid[n]), int(tin[n]), int(tout[n]))
+    # clustering of the complete reciprocal triangle is 1.0 in all roles
+    dc = {r["node"]: r for r in directed_clustering(e2).collect()}
+    for n in range(3):
+        for c in ("c_cyc", "c_mid", "c_in", "c_out"):
+            assert abs(dc[n][c] - 1.0) < 1e-12

@@ -135,6 +135,8 @@ def cmd_transform(args):
 def cmd_pack(args):
     """BVGraph.store / EFGraph.store / CSR pack (--bits: compression
     stats the way the reference's store main prints them)."""
+    if not args.output:
+        raise SystemExit("pack requires --output")
     spark = _spark(args)
     e = _edges(spark, args.input)
     if args.format == "csr":

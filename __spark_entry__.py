@@ -3164,6 +3164,93 @@ FROM agg"""
     )
 
 
+def q_inout_degree_corr(spark, sf_dir):
+    """Node-level in/out degree correlation (do high-in nodes also emit
+    many arcs?) — Pearson over (d_in, d_out) pairs per node, exact
+    integer moment sums, one degree aggregation. Distinct from
+    graph_assortativity_dir, which correlates degrees across arc
+    ENDPOINTS; this correlates the two degrees of the SAME node."""
+    e = _edges(spark, sf_dir)
+    dout = e.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("dout")
+    )
+    din = e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("din"))
+    d = (
+        dout.join(din, "v", "full_outer")
+        .select(
+            F.coalesce("dout", F.lit(0)).alias("o"),
+            F.coalesce("din", F.lit(0)).alias("i"),
+        )
+    )
+    mom = d.agg(
+        F.count("*").alias("n"),
+        F.sum("o").alias("so"),
+        F.sum("i").alias("si"),
+        F.sum(F.col("o") * F.col("o")).alias("soo"),
+        F.sum(F.col("i") * F.col("i")).alias("sii"),
+        F.sum(F.col("o") * F.col("i")).alias("soi"),
+    )
+    cov = F.col("n") * F.col("soi") - F.col("so") * F.col("si")
+    vo = F.col("n") * F.col("soo") - F.col("so") * F.col("so")
+    vi = F.col("n") * F.col("sii") - F.col("si") * F.col("si")
+    return mom.select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.round(
+            cov.cast("double")
+            / F.sqrt(vo.cast("double") * vi.cast("double")),
+            6,
+        ).alias("corr_in_out"),
+    )
+
+
+def q_hub_dominance(spark, sf_dir):
+    """Hub dominance: the fraction of arcs incident to the top-1% of
+    nodes by total degree — the skew statistic that motivates salted
+    aggregation and AQE skew joins at 100 TB (BENCH/BASELINE.md's hub
+    caveats). k_top = ceil(n/100) nodes by (degree desc, node asc);
+    exact integer arc counts."""
+    from pyspark.sql import Window
+
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    ranked = deg.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("d"), "v"))
+    )
+    n_df = deg.agg(F.count("*").alias("n"))
+    k = F.ceil(F.col("n") / 100).cast("int")
+    top = (
+        ranked.crossJoin(n_df)
+        .where(F.col("rk") <= k)
+        .select("v")
+    )
+    m_df = e.agg(F.count("*").alias("m"))
+    hub_arcs = (
+        e.join(top.withColumnRenamed("v", "src"), "src", "left_semi")
+        .unionByName(
+            e.join(top.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        .distinct()
+        .agg(F.count("*").alias("ha"))
+    )
+    return (
+        n_df.crossJoin(m_df)
+        .crossJoin(hub_arcs)
+        .select(
+            F.col("n").cast("long").alias("n_nodes"),
+            F.ceil(F.col("n") / 100).cast("long").alias("k_top"),
+            F.col("m").cast("long").alias("arcs"),
+            F.col("ha").cast("long").alias("hub_arcs"),
+            F.round(F.col("ha") / F.col("m"), 6).alias("hub_share"),
+        )
+    )
+
+
 def q_logreg_score(spark, sf_dir):
     """Quality-classifier stage: full-batch logistic regression (8 GD
     steps, lr=1) trained INSIDE the engine on rounded JVM-expression
@@ -5582,6 +5669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity_rho": q_reciprocity_corrected,
         "graph_transitivity_null": q_transitivity_null,
         "graph_pagerank_localization": q_pagerank_localization,
+        "graph_inout_degree_corr": q_inout_degree_corr,
+        "graph_hub_dominance": q_hub_dominance,
         "docs_logreg_score": q_logreg_score,
         "docs_tfidf_pairs": q_tfidf_pairs,
         "graph_sage_features": q_sage_features,
@@ -6838,6 +6927,35 @@ SELECT nn.n AS n_nodes, mm.m AS arcs, mu.mut AS mutual_arcs,
 FROM nn, mm, mu""",
         "graph_transitivity_null": _transitivity_null_sql(),
         "graph_pagerank_localization": _pagerank_localization_sql(),
+        "graph_inout_degree_corr": f"""WITH {td.EDGES_CTE},
+dout AS (SELECT src AS v, COUNT(*) AS o FROM edges GROUP BY 1),
+din AS (SELECT dst AS v, COUNT(*) AS i FROM edges GROUP BY 1),
+d AS (SELECT COALESCE(o, 0) AS o, COALESCE(i, 0) AS i
+      FROM dout FULL OUTER JOIN din USING (v)),
+mom AS (SELECT COUNT(*) AS n, SUM(o) AS so, SUM(i) AS si,
+               SUM(o * o) AS soo, SUM(i * i) AS sii,
+               SUM(o * i) AS soi FROM d)
+SELECT CAST(n AS BIGINT) AS n_nodes,
+       ROUND(CAST(n * soi - so * si AS DOUBLE)
+             / SQRT(CAST(n * soo - so * so AS DOUBLE)
+                    * CAST(n * sii - si * si AS DOUBLE)), 6) AS corr_in_out
+FROM mom""",
+        "graph_hub_dominance": f"""WITH {td.EDGES_CTE},
+deg AS (SELECT v, COUNT(*) AS d FROM
+        (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) z
+        GROUP BY v),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY d DESC, v) AS rk FROM deg),
+top AS (SELECT v FROM ranked, nn WHERE rk <= CEIL(n / 100.0)),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS ha FROM edges e
+       WHERE e.src IN (SELECT v FROM top)
+          OR e.dst IN (SELECT v FROM top))
+SELECT nn.n AS n_nodes,
+       CAST(CEIL(nn.n / 100.0) AS BIGINT) AS k_top,
+       mm.m AS arcs, ha.ha AS hub_arcs,
+       ROUND(ha.ha * 1.0 / mm.m, 6) AS hub_share
+FROM nn, mm, ha""",
         "docs_logreg_score": _mlscore.logreg_sql(
             "documents", lr=1.0, iters=8
         ),

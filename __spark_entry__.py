@@ -3113,15 +3113,17 @@ def q_pagerank_localization(spark, sf_dir):
     measure. Computed over the same 5-iteration recurrence as
     graph_pagerank5, on ranks rounded to 9dp then scaled to exact
     int64 (v = round(rank*1e9)) so every sum is integer and
-    order-independent; the Gini rank index is one global row_number
-    (range-partitioned sort at scale, 1 row/node)."""
-    from pyspark.sql import Window
+    order-independent; the Gini rank index uses the distributed
+    range-partition + offset rank of util/ids.assign_dense_ids (a
+    global row_number window would funnel the table through ONE
+    task)."""
+    from webgraph_spark.util.ids import assign_dense_ids
 
     ranks = q_pagerank5(spark, sf_dir)
     v = F.round(F.col("rank") * F.lit(1e9), 0).cast("long").alias("v")
-    o = ranks.select("node", v).withColumn(
-        "i", F.row_number().over(Window.orderBy("v", "node"))
-    )
+    o = assign_dense_ids(
+        ranks.select("node", v), ["v", "node"], id_col="i0"
+    ).select("v", (F.col("i0") + 1).alias("i"))
     agg = o.agg(
         F.count("*").alias("n"),
         F.sum("v").alias("s1"),
@@ -3208,8 +3210,10 @@ def q_hub_dominance(spark, sf_dir):
     nodes by total degree — the skew statistic that motivates salted
     aggregation and AQE skew joins at 100 TB (BENCH/BASELINE.md's hub
     caveats). k_top = ceil(n/100) nodes by (degree desc, node asc);
-    exact integer arc counts."""
-    from pyspark.sql import Window
+    exact integer arc counts. Ranking uses the distributed dense-rank
+    of util/ids.assign_dense_ids on (-degree, node) — no
+    single-partition global window."""
+    from webgraph_spark.util.ids import assign_dense_ids
 
     e = _edges(spark, sf_dir)
     deg = (
@@ -3218,9 +3222,9 @@ def q_hub_dominance(spark, sf_dir):
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
-    ranked = deg.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.desc("d"), "v"))
-    )
+    ranked = assign_dense_ids(
+        deg.withColumn("negd", -F.col("d")), ["negd", "v"], id_col="rk0"
+    ).select("v", (F.col("rk0") + 1).alias("rk"))
     n_df = deg.agg(F.count("*").alias("n"))
     k = F.ceil(F.col("n") / 100).cast("int")
     top = (

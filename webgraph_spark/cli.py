@@ -325,14 +325,15 @@ def cmd_bfs(args):
 
 
 def cmd_nf(args):
-    """NeighbourhoodFunction (exact)."""
+    """NeighbourhoodFunction (exact) + interpolated effective diameter."""
     from .algos.bfs import neighbourhood_function_exact
+    from .algos.hyperball import effective_diameter
 
     spark = _spark(args)
     nf = neighbourhood_function_exact(
         _edges(spark, args.input).select("src", "dst"), max_t=args.max_t
     )
-    _emit_json({"nf": nf})
+    _emit_json({"nf": nf, "effective_diameter": effective_diameter(nf)})
 
 
 def cmd_hyperball(args):
@@ -347,9 +348,12 @@ def cmd_hyperball(args):
     )
     if args.output:
         res.centralities().write.mode("overwrite").parquet(args.output)
+    from .algos.hyperball import effective_diameter
+
     _emit_json(
         {
             "nf": res.nf,
+            "effective_diameter": effective_diameter(res.nf),
             "iterations": res.iterations,
             "converged": res.converged,
             "log2m": res.log2m,

@@ -3184,13 +3184,17 @@ def q_inout_degree_corr(spark, sf_dir):
             F.coalesce("din", F.lit(0)).alias("i"),
         )
     )
+    # moments in DECIMAL(38,0): n*soo - so^2 overflows int64 on large
+    # skewed graphs (hub d~3e6 at n~1e7 puts the cross terms past 2^63)
+    # while the DuckDB twin sums in HUGEINT — decimal keeps both exact.
+    dec = "decimal(38,0)"
     mom = d.agg(
-        F.count("*").alias("n"),
-        F.sum("o").alias("so"),
-        F.sum("i").alias("si"),
-        F.sum(F.col("o") * F.col("o")).alias("soo"),
-        F.sum(F.col("i") * F.col("i")).alias("sii"),
-        F.sum(F.col("o") * F.col("i")).alias("soi"),
+        F.count("*").cast(dec).alias("n"),
+        F.sum("o").cast(dec).alias("so"),
+        F.sum("i").cast(dec).alias("si"),
+        F.sum(F.col("o").cast(dec) * F.col("o")).alias("soo"),
+        F.sum(F.col("i").cast(dec) * F.col("i")).alias("sii"),
+        F.sum(F.col("o").cast(dec) * F.col("i")).alias("soi"),
     )
     cov = F.col("n") * F.col("soi") - F.col("so") * F.col("si")
     vo = F.col("n") * F.col("soo") - F.col("so") * F.col("so")

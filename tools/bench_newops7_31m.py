@@ -51,6 +51,7 @@ def main():
     # rho measures how far from density-expected the mutual arcs are)
     t0 = time.time()
     e = edges.where(F.col("src") != F.col("dst")).distinct()
+    m = e.count()  # denominators over the deduped loop-free arc set
     n_nodes = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))

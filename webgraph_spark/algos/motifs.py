@@ -258,7 +258,11 @@ def triad_census(edges: DataFrame) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.max("fw").alias("f"), F.max("rv").alias("r"))
-        .persist()
+        # eager localCheckpoint (the file's reciprocity pattern): the
+        # pair table feeds ~6 plan branches (cns, three ot legs, nodes);
+        # a persist unpersisted before any action would never
+        # materialize and each branch would recompute the distinct+agg
+        .localCheckpoint(eager=True)
     )
     n = (
         arcs.select(F.col("src").alias("v"))
@@ -539,7 +543,11 @@ def directed_triangle_profile(edges: DataFrame) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.max("fw").alias("f"), F.max("rv").alias("r"))
-        .persist()
+        # eager localCheckpoint (the file's reciprocity pattern): the
+        # pair table feeds ~6 plan branches (cns, three ot legs, nodes);
+        # a persist unpersisted before any action would never
+        # materialize and each branch would recompute the distinct+agg
+        .localCheckpoint(eager=True)
     )
     cns = und.select(F.col("x").alias("v")).unionAll(
         und.select(F.col("y").alias("v"))
@@ -618,15 +626,13 @@ def directed_triangle_profile(edges: DataFrame) -> DataFrame:
              F.sum("tin").alias("t_in"), F.sum("tout").alias("t_out"))
     )
     nodes = cns.select("v").distinct().withColumnRenamed("v", "node")
-    out = nodes.join(corners, "node", "left").select(
+    return nodes.join(corners, "node", "left").select(
         "node",
         F.coalesce("t_cyc", F.lit(0)).cast("long").alias("t_cyc"),
         F.coalesce("t_mid", F.lit(0)).cast("long").alias("t_mid"),
         F.coalesce("t_in", F.lit(0)).cast("long").alias("t_in"),
         F.coalesce("t_out", F.lit(0)).cast("long").alias("t_out"),
     )
-    und.unpersist()
-    return out
 
 
 def directed_triangle_profile_sql(edges_cte: str) -> str:
@@ -745,7 +751,7 @@ def directed_clustering(
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)  # feeds degrees, d_bi AND the profile
     )
     dout = arcs.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d_out")
@@ -780,7 +786,6 @@ def directed_clustering(
         ratio(F.col("t_in"), den_in).alias("c_in"),
         ratio(F.col("t_out"), den_out).alias("c_out"),
     )
-    arcs.unpersist()
     return out
 
 

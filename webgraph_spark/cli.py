@@ -81,6 +81,14 @@ def cmd_check(args):
     _emit_json({"symmetric": is_symmetric(_edges(spark, args.input))})
 
 
+def _require_other(args, op):
+    if not args.other:
+        raise SystemExit(
+            f"transform {op} requires --other (second graph / mapping / "
+            "node-set parquet)"
+        )
+
+
 _TRANSFORMS = (
     "transpose symmetrize simplify no-loops gray lex degree-order "
     "random-perm map union compose line-graph induced degree-range"
@@ -112,16 +120,18 @@ def cmd_transform(args):
     elif op == "random-perm":
         out, perm = T.random_permutation(e, seed=args.seed)
     elif op == "map":
-        if not args.other:
-            raise SystemExit("transform map requires --other mapping parquet")
+        _require_other(args, op)
         out = T.map_nodes(e, spark.read.parquet(args.other))
     elif op == "union":
+        _require_other(args, op)
         out = T.union_graphs(e, _edges(spark, args.other))
     elif op == "compose":
+        _require_other(args, op)
         out = T.compose(e, _edges(spark, args.other))
     elif op == "line-graph":
         out, perm = T.line_graph(e)  # perm = arc_id -> (src, dst) map
     elif op == "induced":
+        _require_other(args, op)
         out, perm = T.induced_subgraph(e, spark.read.parquet(args.other))
     elif op == "degree-range":
         out, perm = T.degree_range_subgraph(e, args.min_deg, args.max_deg)
@@ -155,9 +165,11 @@ def cmd_pack(args):
             bv_full_model_bits,
         )
     blocks.write.mode("overwrite").parquet(args.output)
-    info = {"format": args.format, "blocks": blocks.count()}
+    # count/bits from the WRITTEN files — blocks.count() would replay
+    # the whole pack lineage a second time
+    stored = spark.read.parquet(args.output)
+    info = {"format": args.format, "blocks": stored.count()}
     if args.bits:
-        stored = spark.read.parquet(args.output)
         info.update(bits_fn(stored).collect()[0].asDict())
     _emit_json(info)
 

@@ -2263,6 +2263,21 @@ SELECT CAST(tri.t AS BIGINT) AS triangles, wed.wedges,
 FROM tri, wed"""
 
 
+def _triangle_participation_sql() -> str:
+    ctes, final = _motifs._dir_profile_parts()
+    return f"""WITH {td.EDGES_CTE},
+{ctes},
+tprof AS MATERIALIZED (
+{final})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN t_cyc + t_mid + t_in + t_out > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tri_nodes,
+       ROUND(SUM(CASE WHEN t_cyc + t_mid + t_in + t_out > 0
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS participation
+FROM tprof"""
+
+
 def _transitivity_null_sql() -> str:
     return f"""WITH ua AS (
   SELECT DISTINCT user_id AS u, {_PROJ_ATTR_SQL} AS a FROM events),
@@ -5179,6 +5194,27 @@ def q_directed_clustering(spark, sf_dir):
     return directed_clustering(_edges(spark, sf_dir))
 
 
+def q_triangle_participation(spark, sf_dir):
+    """Triangle participation ratio: the fraction of nodes on at least
+    one (support) triangle — the standard cohesion companion to
+    transitivity (every support-triangle corner realizes at least one
+    directed role, so participation = any role count > 0). One
+    aggregate over the profile."""
+    from webgraph_spark.algos.motifs import directed_triangle_profile
+
+    prof = directed_triangle_profile(_edges(spark, sf_dir))
+    t = (
+        F.col("t_cyc") + F.col("t_mid") + F.col("t_in") + F.col("t_out")
+    )
+    return prof.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.when(t > 0, 1).otherwise(0)).cast("long").alias("tri_nodes"),
+        F.round(
+            F.sum(F.when(t > 0, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("participation"),
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     """End-to-end training-data curation funnel — the pipeline-level
     composition of the pillar's stages with per-stage survivor counts
@@ -5643,6 +5679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triad_census": q_triad_census,
         "graph_dir_triangle_profile": q_directed_triangle_profile,
         "graph_dir_clustering": q_directed_clustering,
+        "graph_triangle_participation": q_triangle_participation,
         "graph_assortativity_dir": q_assortativity_dir,
         "emb_kmeans_silhouette": q_kmeans_silhouette,
         "docs_minhash_estimate": q_minhash_estimate,
@@ -6855,6 +6892,7 @@ JOIN sizes nb ON nb.id = x.id_b""",
         "graph_dir_clustering": _motifs.directed_clustering_sql(
             td.EDGES_CTE
         ),
+        "graph_triangle_participation": _triangle_participation_sql(),
         "graph_assortativity_dir": _assortativity_dir_sql(),
         "emb_kmeans_silhouette": _clustering.kmeans_silhouette_sql(
             k=4, iters=3

@@ -237,3 +237,15 @@ def test_pagerank_checkpoint_lineage(spark, edges_path, tmp_path, capsys):
     assert _json_lines(capsys)[-1]["converged"] is True
     lineage = spark.read.parquet(ck + "/_lineage")
     assert lineage.count() > 0  # per-iteration durable lineage rows
+
+
+def test_successors_lookup(spark, edges_path, tmp_path, capsys):
+    for fmt in ["csr", "ef", "bv"]:
+        blocks = str(tmp_path / f"s{fmt}")
+        assert main(["pack", "--format", fmt, "-i", edges_path,
+                     "-o", blocks]) == 0
+        _json_lines(capsys)
+        assert main(["successors", "--format", fmt, "-i", blocks,
+                     "--node", "0"]) == 0
+        out = _json_lines(capsys)[0]
+        assert out["successors"] == [1, 2] and out["outdegree"] == 2

@@ -470,6 +470,23 @@ def cmd_extract_component(args):
     _emit_df(out, args, order=["src", "dst"])
 
 
+def cmd_successors(args):
+    """ImmutableGraph.successors(x): random-access successor-list
+    lookup on a packed block table (block-pruned, one-partition read)."""
+    spark = _spark(args)
+    blocks = spark.read.parquet(args.input)
+    if args.format == "csr":
+        from .operators.csr import successors as fn
+    elif args.format == "ef":
+        from .operators.ef import ef_successors as fn
+    else:
+        from .operators.bvfull import bv_full_successors as fn
+    succ = fn(blocks, args.node)
+    _emit_json(
+        {"node": args.node, "outdegree": len(succ), "successors": succ}
+    )
+
+
 def cmd_to_dot(args):
     """WebGraph2Dot export."""
     from .operators.export import write_dot
@@ -589,6 +606,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("extract-component", cmd_extract_component).add_argument(
         "--component", type=int, default=None
     )
+    sp = add("successors", cmd_successors)
+    sp.add_argument("--node", type=int, required=True)
+    sp.add_argument("--format", choices=["csr", "ef", "bv"], default="csr")
     add("to-dot", cmd_to_dot)
     return p
 

@@ -249,3 +249,12 @@ def test_successors_lookup(spark, edges_path, tmp_path, capsys):
                      "--node", "0"]) == 0
         out = _json_lines(capsys)[0]
         assert out["successors"] == [1, 2] and out["outdegree"] == 2
+
+
+def test_equals(spark, edges_path, tmp_path, capsys):
+    assert main(["equals", "-i", edges_path, "--other", edges_path]) == 0
+    assert _json_lines(capsys)[0]["equal"] is True
+    t = str(tmp_path / "tr")
+    assert main(["transform", "transpose", "-i", edges_path, "-o", t]) == 0
+    assert main(["equals", "-i", edges_path, "--other", t]) == 0
+    assert _json_lines(capsys)[0]["equal"] is False

@@ -470,6 +470,21 @@ def cmd_extract_component(args):
     _emit_df(out, args, order=["src", "dst"])
 
 
+def cmd_equals(args):
+    """Extensional graph equality (ImmutableGraph.equals: same arc
+    set) between two edge tables — the reference's test oracle."""
+    from .operators.transforms import graphs_equal
+
+    spark = _spark(args)
+    _emit_json(
+        {
+            "equal": graphs_equal(
+                _edges(spark, args.input), _edges(spark, args.other)
+            )
+        }
+    )
+
+
 def cmd_successors(args):
     """ImmutableGraph.successors(x): random-access successor-list
     lookup on a packed block table (block-pruned, one-partition read)."""
@@ -606,6 +621,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("extract-component", cmd_extract_component).add_argument(
         "--component", type=int, default=None
     )
+    add("equals", cmd_equals).add_argument("--other", required=True)
     sp = add("successors", cmd_successors)
     sp.add_argument("--node", type=int, required=True)
     sp.add_argument("--format", choices=["csr", "ef", "bv"], default="csr")

@@ -258,3 +258,14 @@ def test_equals(spark, edges_path, tmp_path, capsys):
     assert main(["transform", "transpose", "-i", edges_path, "-o", t]) == 0
     assert main(["equals", "-i", edges_path, "--other", t]) == 0
     assert _json_lines(capsys)[0]["equal"] is False
+
+
+def test_label_filters(spark, tmp_path, capsys):
+    p = str(tmp_path / "labelled")
+    spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 1), (2, 3, 9)], "src long, dst long, label long"
+    ).write.parquet(p)
+    assert main(["transform", "label-geq", "-i", p, "--threshold", "4"]) == 0
+    assert len(_json_lines(capsys)) == 2
+    assert main(["transform", "label-in", "-i", p, "--values", "1,9"]) == 0
+    assert len(_json_lines(capsys)) == 2

@@ -91,7 +91,8 @@ def _require_other(args, op):
 
 _TRANSFORMS = (
     "transpose symmetrize simplify no-loops gray lex degree-order "
-    "random-perm map union compose line-graph induced degree-range"
+    "random-perm map union compose line-graph induced degree-range "
+    "label-geq label-in"
 ).split()
 
 
@@ -135,6 +136,12 @@ def cmd_transform(args):
         out, perm = T.induced_subgraph(e, spark.read.parquet(args.other))
     elif op == "degree-range":
         out, perm = T.degree_range_subgraph(e, args.min_deg, args.max_deg)
+    elif op == "label-geq":
+        out = T.label_lower_bound(e, args.label_col, args.threshold)
+    elif op == "label-in":
+        if not args.values:
+            raise SystemExit("transform label-in requires --values")
+        out = T.label_in_set(e, args.label_col, args.values.split(","))
     else:  # pragma: no cover - argparse choices guard this
         raise SystemExit(f"unknown transform {op}")
     _emit_df(out, args, order=["src", "dst"])
@@ -544,6 +551,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-deg", type=int, default=0)
     sp.add_argument("--max-deg", type=int, default=1 << 62)
     sp.add_argument("--perm-out", default=None)
+    sp.add_argument("--label-col", default="label")
+    sp.add_argument("--threshold", type=float, default=0.0)
+    sp.add_argument("--values", default=None)
 
     sp = add("pack", cmd_pack)
     sp.add_argument("--format", choices=["csr", "ef", "bv"], default="csr")

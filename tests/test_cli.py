@@ -73,6 +73,10 @@ def test_triangles_bfs_nf(spark, edges_path, capsys):
     assert main(["triangles", "-i", edges_path]) == 0
     # undirected support triangles: {0,1,2}, {0,2,3}
     assert _json_lines(capsys)[0]["triangles"] == 2
+    assert main(["triangles", "--per-node", "-i", edges_path]) == 0
+    per = {l["node"]: l["triangles"] for l in _json_lines(capsys)}
+    # only triangle-participating nodes appear: {0,1,2,3}, not pendant 4
+    assert per[0] == 2 and per[2] == 2 and 4 not in per
     assert main(["bfs", "-i", edges_path, "--root", "0"]) == 0
     lines = _json_lines(capsys)
     dists = {l["node"]: l["dist"] for l in lines[:-1]}

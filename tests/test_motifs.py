@@ -205,3 +205,31 @@ def test_directed_profile_degenerate(spark):
     for n in range(3):
         for c in ("c_cyc", "c_mid", "c_in", "c_out"):
             assert abs(dc[n][c] - 1.0) < 1e-12
+
+
+@pytest.mark.parametrize("seed", [2, 9, 17])
+def test_directed_profile_invariants_random(spark, seed):
+    """Structural invariants on random digraphs: transitive triples hit
+    mid/in/out exactly once each (equal totals), cycle corners come in
+    threes, and participation nodes == nodes on >=1 support triangle."""
+    from webgraph_spark.algos.motifs import directed_triangle_profile
+
+    n, p = 40, 0.12
+    e = erdos_renyi(spark, n, p, seed=seed)
+    rows = directed_triangle_profile(e).collect()
+    tot = [0, 0, 0, 0]
+    participating = 0
+    for r in rows:
+        vals = (r["t_cyc"], r["t_mid"], r["t_in"], r["t_out"])
+        for k in range(4):
+            tot[k] += vals[k]
+        if sum(vals) > 0:
+            participating += 1
+    assert tot[1] == tot[2] == tot[3]
+    assert tot[0] % 3 == 0
+    # cross-check participation with an independent numpy support count
+    a = erdos_renyi_numpy(n, p, seed=seed).astype(np.int64)
+    np.fill_diagonal(a, 0)
+    u = ((a + a.T) > 0).astype(np.int64)
+    tri_nodes = int(((u @ u) * u).sum(axis=1).astype(bool).sum())
+    assert participating == tri_nodes

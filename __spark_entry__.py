@@ -3096,7 +3096,9 @@ def q_transitivity_null(spark, sf_dir):
         .agg(
             F.sum("d").cast("long").alias("s1"),
             F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
-            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            # sum the even integer d*(d-1) exactly (decimal, no double
+            # path), halve AFTER aggregation — exact past 2^53
+            (F.sum((F.col("d") * (F.col("d") - 1)).cast("decimal(38,0)")) / 2)
             .cast("long")
             .alias("wedges"),
         )
@@ -3126,8 +3128,10 @@ def q_pagerank_localization(spark, sf_dir):
     holding the mass) plus the Gini coefficient of the rank vector —
     the standard diagnostics for hub concentration of a centrality
     measure. Computed over the same 5-iteration recurrence as
-    graph_pagerank5, on ranks rounded to 9dp then scaled to exact
-    int64 (v = round(rank*1e9)) so every sum is integer and
+    graph_pagerank5, on ranks scaled to exact int64 with ONE half-up
+    round (v = round(rank*1e9, 0) — the identical single-round
+    expression in both twins, no double-rounding) so every sum is
+    integer and
     order-independent; the Gini rank index uses the distributed
     range-partition + offset rank of util/ids.assign_dense_ids (a
     global row_number window would funnel the table through ONE
@@ -3166,7 +3170,7 @@ def _pagerank_localization_sql() -> str:
         "WITH " + ",".join(parts)
         + """,
 pr AS (SELECT node,
-              CAST(ROUND(ROUND(rank, 9) * 1e9, 0) AS BIGINT) AS v FROM r5),
+              CAST(ROUND(rank * 1e9, 0) AS BIGINT) AS v FROM r5),
 o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, node) AS i FROM pr),
 agg AS (SELECT COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2,
                SUM(i * v) AS siv FROM o)
@@ -3231,10 +3235,17 @@ def q_hub_dominance(spark, sf_dir):
     caveats). k_top = ceil(n/100) nodes by (degree desc, node asc);
     exact integer arc counts. Ranking uses the distributed dense-rank
     of util/ids.assign_dense_ids on (-degree, node) — no
-    single-partition global window."""
+    single-partition global window. Both twins normalize the arc set
+    up front (DISTINCT, no self-loops) so the query stays correct on
+    multigraph/loopy inputs, and hub_share is an integer half-up
+    division scaled by 1e6 — no libm ROUND in either engine."""
     from webgraph_spark.util.ids import assign_dense_ids
 
-    e = _edges(spark, sf_dir)
+    e = (
+        _edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
     deg = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
@@ -3269,7 +3280,10 @@ def q_hub_dominance(spark, sf_dir):
             F.ceil(F.col("n") / 100).cast("long").alias("k_top"),
             F.col("m").cast("long").alias("arcs"),
             F.col("ha").cast("long").alias("hub_arcs"),
-            F.round(F.col("ha") / F.col("m"), 6).alias("hub_share"),
+            (
+                F.expr("(2 * ha * 1000000 + m) div (2 * m)").cast("double")
+                / F.lit(1e6)
+            ).alias("hub_share"),
         )
     )
 
@@ -6987,20 +7001,22 @@ SELECT CAST(n AS BIGINT) AS n_nodes,
                     * CAST(n * sii - si * si AS DOUBLE)), 6) AS corr_in_out
 FROM mom""",
         "graph_hub_dominance": f"""WITH {td.EDGES_CTE},
+e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
 deg AS (SELECT v, COUNT(*) AS d FROM
-        (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) z
+        (SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2) z
         GROUP BY v),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
 ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY d DESC, v) AS rk FROM deg),
 top AS (SELECT v FROM ranked, nn WHERE rk <= CEIL(n / 100.0)),
-mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
-ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS ha FROM edges e
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e2),
+ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS ha FROM e2 e
        WHERE e.src IN (SELECT v FROM top)
           OR e.dst IN (SELECT v FROM top))
 SELECT nn.n AS n_nodes,
        CAST(CEIL(nn.n / 100.0) AS BIGINT) AS k_top,
        mm.m AS arcs, ha.ha AS hub_arcs,
-       ROUND(ha.ha * 1.0 / mm.m, 6) AS hub_share
+       CAST((2 * ha.ha * 1000000 + mm.m) // (2 * mm.m) AS DOUBLE) / 1000000.0
+         AS hub_share
 FROM nn, mm, ha""",
         "docs_logreg_score": _mlscore.logreg_sql(
             "documents", lr=1.0, iters=8

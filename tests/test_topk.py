@@ -110,3 +110,32 @@ def test_topk_validates_args(spark):
         top_k_geometric(g, 3, "nope")
     with pytest.raises(ValueError):
         top_k_geometric(g, 3, "exponential", alpha=1.5)
+
+
+def test_topk_driver_state_is_scc_bounded(spark, monkeypatch):
+    """No full-node collect on the CutClos path: with the condensation
+    gate open, every driver collect is batch-sized or scc-sized — the
+    node→scc map must stay distributed (round-3 verdict item)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    # two 30-node directed cycles + one bridge arc: n=60, n_scc=2
+    c1 = [(i, (i + 1) % 30) for i in range(30)]
+    c2 = [(30 + i, 30 + (i + 1) % 30) for i in range(30)]
+    g = spark.createDataFrame(c1 + c2 + [(5, 35)], "src long, dst long").persist()
+    n = 60
+
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    res = top_k_geometric(g, 3, "harmonic", batch_size=8, scc_max=100)
+    monkeypatch.undo()
+    assert len(res.top_k) == 3
+    assert sizes, "collect spy saw nothing"
+    assert max(sizes) < n, f"driver collect of {max(sizes)} rows >= n={n}"
+    g.unpersist()

@@ -4,11 +4,19 @@ Runs each __spark_entry__.queries() entry and its oracle_sql() twin on
 the same sf dir, compares row count, column names, and an
 order-insensitive value multiset. Usage:
 
-    python tools/check_oracles.py [sf_dir] [query ...]
+    python tools/check_oracles.py [--hash-strict] [sf_dir] [query ...]
+
+``--hash-strict`` compares floats by their raw IEEE-754 double bits
+(struct.pack) instead of the default 9-significant-digit text
+normalization — the local replica of the driver's bitwise value hash,
+which catches last-ulp divergences (e.g. BigDecimal HALF_UP vs libm
+round paths) that 9-sig-fig text hides.
 """
 
 from __future__ import annotations
 
+import math
+import struct
 import sys
 import os
 import time
@@ -27,8 +35,15 @@ TABLES = [
 ]
 
 
+STRICT = False
+
+
 def norm_cell(v):
     if isinstance(v, float):
+        if STRICT:
+            if math.isnan(v):
+                return "<nan>"
+            return struct.pack("<d", float(v)).hex()
         return f"{v:.9g}"
     if pd.isna(v):
         return "<null>"
@@ -46,8 +61,11 @@ def frame_multiset(pdf: pd.DataFrame):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a != "--hash-strict"]
+    STRICT = "--hash-strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:

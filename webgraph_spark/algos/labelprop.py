@@ -192,9 +192,13 @@ def community_conductance(
     algos/localcluster.py, here evaluated for a given partition).
 
     All quantities are exact integers (vol = arc endpoints in C, cut =
-    arcs leaving C); the single float is the final division, rounded —
-    so the DuckDB twin matches bit-for-bit. Ties in the top-k-by-size
-    break by ascending label.
+    arcs leaving C); phi is computed as an integer half-up division
+    ``(2*cut*10^round_to + minvol) div (2*minvol)`` then divided by the
+    scale as ONE double op — so the DuckDB twin matches bit-for-bit
+    (no libm ROUND path in either engine; same pattern as the hitting-
+    set oracle). Bound: ``2*cut*10^round_to`` must fit int64, i.e.
+    cut < ~4.6e9 at round_to=9 — beyond that, drop round_to.
+    Ties in the top-k-by-size break by ascending label.
 
     Shuffle shape: the two label joins + one groupBy(label) every
     partition metric here uses; the top-k is a size-table sort. Scale
@@ -218,29 +222,31 @@ def community_conductance(
         sizes.orderBy(F.col("n_nodes").desc(), F.col("label").asc())
         .limit(k)
     )
-    return (
+    scale = 10 ** round_to
+    base = (
         top.join(per, "label", "left")
         .select(
             "label",
             "n_nodes",
-            F.coalesce("vol", F.lit(0)).alias("vol"),
-            F.coalesce("cut", F.lit(0)).alias("cut"),
-            F.when(
-                F.least(F.coalesce("vol", F.lit(0)),
-                        F.lit(m) - F.coalesce("vol", F.lit(0))) == 0,
-                F.lit(0.0),
-            )
-            .otherwise(
-                F.round(
-                    F.coalesce("cut", F.lit(0)).cast("double")
-                    / F.least(
-                        F.coalesce("vol", F.lit(0)),
-                        F.lit(m) - F.coalesce("vol", F.lit(0)),
-                    ).cast("double"),
-                    round_to,
-                )
-            )
-            .alias("phi"),
+            F.coalesce("vol", F.lit(0)).cast("long").alias("vol"),
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+        )
+        .withColumn("minvol", F.least(F.col("vol"), F.lit(m) - F.col("vol")))
+    )
+    return (
+        base.withColumn(
+            "phi_e",
+            F.when(F.col("minvol") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(f"(2 * cut * CAST({scale} AS BIGINT) + minvol) "
+                       f"div (2 * minvol)")
+            ),
+        )
+        .select(
+            "label",
+            "n_nodes",
+            "vol",
+            "cut",
+            (F.col("phi_e").cast("double") / F.lit(float(scale))).alias("phi"),
         )
         .orderBy(F.col("n_nodes").desc(), F.col("label").asc())
     )

@@ -22,6 +22,18 @@ Scale posture:
 - 4-cycle counting needs each unordered pair's common-neighbor count
   once: quads = sum_pairs C(cn, 2) / 2 (each rectangle is counted by
   both of its diagonals). All arithmetic is exact int64.
+
+Fault-tolerance caveat (same class as pagerank's documented local-
+checkpoint trade-off): the multi-branch plans here pin their shared
+pair/orientation tables with ``localCheckpoint(eager=True)`` — this
+runs a Spark job at plan-construction time and stores UNREPLICATED
+executor-local blocks, so losing an executor mid-query aborts the
+query (a retry recomputes from source; no wrong results). On a
+long-lived cluster run, prefer a reliable ``spark.sparkContext.
+setCheckpointDir`` + ``.checkpoint()`` variant of these pins; the
+local form is chosen because these are interactive one-shot
+analytics, not resumable iterations (those use plans/iterate.py's
+durable CheckpointManager).
 """
 
 from __future__ import annotations

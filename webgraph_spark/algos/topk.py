@@ -61,12 +61,17 @@ class TopKResult:
 
 
 def _condensation_bounds(edges: DataFrame, n: int, scc_max: int):
-    """(reachL, reachU) dicts keyed by scc id + per-node scc mapping, via
-    the reference's condensation DP (TopKGeometricCentrality.java:423-508):
+    """Per-node reach bounds ``(node, rl, ru)`` DataFrame via the
+    reference's condensation DP (TopKGeometricCentrality.java:423-508):
     uReach[c] = min(n, size[c] + sum over successor components) — an upper
     bound because shared descendants are counted once per path; lReach[c] =
     size[c] + max over successors — a lower bound because one successor's
     lower bound is fully reachable. Returns None past the ``scc_max`` gate.
+
+    Driver state is bounded by the gate: the DP dicts, the component
+    sizes, and the condensation arcs are all scc-sized (``n_scc <=
+    scc_max``); the node→scc map stays distributed — the scc-sized
+    bounds are broadcast-joined back onto it, never collected.
     """
     from .scc import scc_coloring
 
@@ -109,9 +114,18 @@ def _condensation_bounds(edges: DataFrame, n: int, scc_max: int):
         u = sizes[c] + sum(reach_u[d] for d in succ[c])
         reach_u[c] = min(n, u)
         reach_l[c] = sizes[c] + max((reach_l[d] for d in succ[c]), default=0)
-    node_comp = {r["node"]: r["scc"] for r in comp.collect()}
+    spark = edges.sparkSession
+    rdf = spark.createDataFrame(
+        [(int(c), int(reach_l[c]), int(reach_u[c])) for c in sizes],
+        "scc long, rl long, ru long",
+    )
+    bounds_df = (
+        comp.join(F.broadcast(rdf), "scc")
+        .select("node", "rl", "ru")
+        .localCheckpoint(eager=True)
+    )
     comp.unpersist()
-    return node_comp, reach_l, reach_u
+    return bounds_df
 
 
 def top_k_geometric(
@@ -198,18 +212,23 @@ def top_k_geometric(
         return out
 
     for b in range(n_batches):
-        batch_nodes = [
-            r["node"] for r in batched.where(F.col("batch") == b).collect()
-        ]
+        bsel = batched.where(F.col("batch") == b)
+        if bounds is not None:
+            # batch-sized collect carrying each source's reach bounds —
+            # the node→scc map never reaches the driver whole.
+            batch_rows = bsel.join(bounds, "node", "left").collect()
+        else:
+            batch_rows = bsel.collect()
+        batch_nodes = [r["node"] for r in batch_rows]
         # per-source scalar state (the reference's per-thread locals)
         state: dict[int, dict] = {}
-        for v in batch_nodes:
+        for r in batch_rows:
+            v = r["node"]
             if bounds is None:
                 ru, rl = n, 1
             else:
-                node_comp, reach_l, reach_u = bounds
-                ru = reach_u[node_comp[v]]
-                rl = reach_l[node_comp[v]]
+                ru = r["ru"] if r["ru"] is not None else n
+                rl = r["rl"] if r["rl"] is not None else 1
             state[v] = {"nnVis": 1, "sumDist": 0.0, "ru": ru, "rl": rl}
             visited_pairs += 1
         active = set(batch_nodes)

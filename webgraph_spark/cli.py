@@ -249,7 +249,16 @@ def cmd_ingest(args):
     edges = extract_edges(t, nodes)
     if args.nodes_out:
         nodes.write.mode("overwrite").parquet(args.nodes_out)
+        # count from the written parquet (cmd_pack's pattern) — never
+        # re-run the dictionary/join lineage just for a count
+        nodes = spark.read.parquet(args.nodes_out)
+    else:
+        nodes = nodes.persist()
     _emit_df(edges, args, order=["src", "dst"])
+    if args.output:
+        edges = spark.read.parquet(args.output)
+    else:
+        edges = edges.persist()
     _emit_json({"nodes": nodes.count(), "arcs": edges.count()})
 
 

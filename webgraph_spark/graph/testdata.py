@@ -621,7 +621,8 @@ vals AS (SELECT CASE WHEN rn = 1
                            ELSE -2 * (dst - src) - 1 END)
                      ELSE dst - prev - 1 END AS v
          FROM lists),
-bits AS (SELECT CAST(2 * FLOOR(LOG2(v + 1)) + 1 AS BIGINT) AS b FROM vals)
+bits AS (SELECT CAST(2 * (LENGTH(BIN(CAST(v + 1 AS BIGINT))) - 1) + 1
+                 AS BIGINT) AS b FROM vals)
 SELECT CAST(SUM(b) AS BIGINT) AS gamma_bits,
        CAST(COUNT(*) AS BIGINT) AS n_arcs,
        ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_link
@@ -700,7 +701,8 @@ vals AS (SELECT CASE WHEN rn = 1
                            ELSE -2 * (dst - src) - 1 END)
                      ELSE dst - prev - 1 END AS v
          FROM lists),
-bits AS (SELECT CAST(2 * FLOOR(LOG2(v + 1)) + 1 AS BIGINT) AS b FROM vals)
+bits AS (SELECT CAST(2 * (LENGTH(BIN(CAST(v + 1 AS BIGINT))) - 1) + 1
+                 AS BIGINT) AS b FROM vals)
 SELECT CAST(SUM(b) AS BIGINT) AS gamma_bits,
        CAST(COUNT(*) AS BIGINT) AS n_arcs,
        ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_link
@@ -1076,7 +1078,8 @@ vals AS (SELECT CASE WHEN rn = 1
                            ELSE -2 * (dst - src) - 1 END)
                      ELSE dst - prev - 1 END AS v
          FROM lists),
-bits AS (SELECT CAST(2 * FLOOR(LOG2(v + 1)) + 1 AS BIGINT) AS b FROM vals)
+bits AS (SELECT CAST(2 * (LENGTH(BIN(CAST(v + 1 AS BIGINT))) - 1) + 1
+                 AS BIGINT) AS b FROM vals)
 SELECT CAST(SUM(b) AS BIGINT) AS gamma_bits,
        CAST(COUNT(*) AS BIGINT) AS n_arcs,
        ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_link
@@ -2550,18 +2553,19 @@ cd_per AS (
   FROM cd_arcs GROUP BY lsrc),
 cd_top AS (
   SELECT label, COUNT(*) AS n_nodes FROM cd_lab GROUP BY label
-  ORDER BY n_nodes DESC, label ASC LIMIT {k})
-SELECT t.label, t.n_nodes,
-       COALESCE(p.vol, 0) AS vol,
-       COALESCE(p.cut, 0) AS cut,
-       CASE WHEN LEAST(COALESCE(p.vol, 0),
-                       (SELECT m FROM cd_m) - COALESCE(p.vol, 0)) = 0
-            THEN 0.0
-            ELSE ROUND(CAST(COALESCE(p.cut, 0) AS DOUBLE)
-                       / CAST(LEAST(COALESCE(p.vol, 0),
-                                    (SELECT m FROM cd_m) - COALESCE(p.vol, 0))
-                              AS DOUBLE), {round_to})
+  ORDER BY n_nodes DESC, label ASC LIMIT {k}),
+cd_j AS (
+  SELECT t.label, t.n_nodes,
+         CAST(COALESCE(p.vol, 0) AS BIGINT) AS vol,
+         CAST(COALESCE(p.cut, 0) AS BIGINT) AS cut,
+         CAST(LEAST(COALESCE(p.vol, 0),
+               (SELECT m FROM cd_m) - COALESCE(p.vol, 0)) AS BIGINT) AS minvol
+  FROM cd_top t LEFT JOIN cd_per p ON t.label = p.label)
+SELECT label, n_nodes, vol, cut,
+       CASE WHEN minvol = 0 THEN 0.0
+            ELSE CAST((2 * cut * {10 ** round_to} + minvol)
+                      // (2 * minvol) AS DOUBLE) / {10 ** round_to}.0
        END AS phi
-FROM cd_top t LEFT JOIN cd_per p ON t.label = p.label
-ORDER BY t.n_nodes DESC, t.label ASC"""
+FROM cd_j
+ORDER BY n_nodes DESC, label ASC"""
     )

@@ -25,6 +25,7 @@ from webgraph_spark.algos.labelprop import label_propagation
 from webgraph_spark.algos.pagerank import pagerank
 from webgraph_spark.algos.triangles import triangle_count
 from webgraph_spark.functions.dedup import (
+    DEFAULT_MAX_BUCKET,
     lsh_band_keys,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -119,7 +120,12 @@ def q_pagerank5(spark, sf_dir):
 
 
 def q_cc8(spark, sf_dir):
-    res = connected_components(_edges(spark, sf_dir), max_iter=8, num_partitions=16)
+    # algorithm pinned: the oracle replicates the 8-round hash-min
+    # PARTIAL state, which only the hashmin engine produces
+    res = connected_components(
+        _edges(spark, sf_dir), max_iter=8, num_partitions=16,
+        algorithm="hashmin",
+    )
     return res.labels.select("node", "component")
 
 
@@ -288,6 +294,54 @@ def q_bv_full_roundtrip(spark, sf_dir):
     return unpack_bv_full(pack_bv_full(e, num_blocks=8)).select("src", "dst")
 
 
+def q_bvdisk_roundtrip(spark, sf_dir):
+    """On-disk interop with the reference's NATIVE layout
+    (sources/bvdisk.py): write basename.graph/.offsets/.properties the
+    way BVGraph.store does (γ outdegrees, unary refs, γ blocks/
+    intervals, ζ₃ residuals, greedy window-7 reference selection —
+    BVGraph.java:2049-2327), then the DISTRIBUTED byte-range reader
+    decodes it back. store -> load -> same arcs. The writer is the
+    driver-side export path (gated fixture/export scale; the reader is
+    the 100-TB path). BVGraph node ids are DENSE 0..n-1 by contract —
+    the reference routes sparse id spaces through a dictionary
+    (ScatteredArcsASCIIGraph) first — so the pipeline densifies with
+    the distributed rank, stores/loads, and joins the original ids
+    back (the full ingest→store→load→export chain)."""
+    import tempfile
+
+    from webgraph_spark.sources.bvdisk import (
+        read_bvgraph,
+        write_bvgraph_from_edges,
+    )
+    from webgraph_spark.util.ids import assign_dense_ids
+
+    e = _edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ids = assign_dense_ids(nodes, ["node"], id_col="nid").persist()
+    dense = (
+        e.join(ids.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("nid", "dsrc")
+        .join(ids.withColumnRenamed("node", "dst"), "dst")
+        .withColumnRenamed("nid", "ddst")
+        .select(F.col("dsrc").alias("src"), F.col("ddst").alias("dst"))
+    )
+    base = tempfile.mkdtemp(prefix="bvdisk_") + "/g"
+    write_bvgraph_from_edges(dense, base)
+    back = read_bvgraph(spark, base, num_partitions=8)
+    out = (
+        back.join(ids.withColumnRenamed("nid", "src"), "src")
+        .withColumnRenamed("node", "osrc")
+        .join(ids.withColumnRenamed("nid", "dst"), "dst")
+        .withColumnRenamed("node", "odst")
+        .select(F.col("osrc").alias("src"), F.col("odst").alias("dst"))
+    )
+    return out
+
+
 def q_bv_full_bits(spark, sf_dir):
     """The interleaved-BV model figure DERIVED FROM the physical pack's
     decoded token streams (not pack-time counters), at the
@@ -318,6 +372,42 @@ def q_bv_zeta_bits(spark, sf_dir):
     e = _edges(spark, sf_dir)
     return bv_bits_per_link(pack_bv(e, num_blocks=8, code="zeta3")).select(
         F.col("gamma_bits").cast("long").alias("zeta_bits"),
+        F.col("n_arcs").cast("long").alias("n_arcs"),
+        F.round("bits_per_link", 6).alias("bits_per_link"),
+    )
+
+
+def q_bv_golomb_bits(spark, sf_dir):
+    """Interleaved-Golomb payload of a code='golomb1000000' physical
+    pack, derived by decoding the stored split streams
+    (RESIDUALS_GOLOMB, BVGraph.java:791-816). b=1e6 sits near the
+    firsts-stream scale AND is not a power of two, so both minimal-
+    binary branches are exercised; Golomb demands b ~ the gap mean —
+    the encoder fails fast when b is orders off. Oracle: closed-form
+    Golomb model, all-integer arithmetic. Closes the last partial §2.9
+    row together with bv_nibble_bits."""
+    from webgraph_spark.operators.bitstream import bv_bits_per_link, pack_bv
+
+    e = _edges(spark, sf_dir)
+    return bv_bits_per_link(
+        pack_bv(e, num_blocks=8, code="golomb1000000")
+    ).select(
+        F.col("gamma_bits").cast("long").alias("golomb_bits"),
+        F.col("n_arcs").cast("long").alias("n_arcs"),
+        F.round("bits_per_link", 6).alias("bits_per_link"),
+    )
+
+
+def q_bv_nibble_bits(spark, sf_dir):
+    """Variable-length-nibble payload of a code='nibble' physical pack
+    (RESIDUALS_NIBBLE; OutputBitStream.writeNibble semantics — 4-bit
+    stop+payload groups). The split layout's size EQUALS the
+    interleaved code's, so the measured stream is the model exactly."""
+    from webgraph_spark.operators.bitstream import bv_bits_per_link, pack_bv
+
+    e = _edges(spark, sf_dir)
+    return bv_bits_per_link(pack_bv(e, num_blocks=8, code="nibble")).select(
+        F.col("gamma_bits").cast("long").alias("nibble_bits"),
         F.col("n_arcs").cast("long").alias("n_arcs"),
         F.round("bits_per_link", 6).alias("bits_per_link"),
     )
@@ -773,7 +863,10 @@ def q_cc_converged(spark, sf_dir):
     """Hash-min to fixpoint within 30 rounds. Early stop fires only at
     the fixpoint, so the state equals the full 30-round unroll exactly
     whether or not convergence happened earlier."""
-    res = connected_components(_edges(spark, sf_dir), max_iter=30, num_partitions=16)
+    res = connected_components(
+        _edges(spark, sf_dir), max_iter=30, num_partitions=16,
+        algorithm="hashmin",
+    )
     return res.labels
 
 
@@ -2623,7 +2716,9 @@ def q_extract_component(spark, sf_dir):
     from webgraph_spark.algos.components import connected_components, largest_component
 
     e = _edges(spark, sf_dir)
-    labels = connected_components(e, max_iter=8, num_partitions=16).labels
+    labels = connected_components(
+        e, max_iter=8, num_partitions=16, algorithm="hashmin"
+    ).labels
     sub, _id_map = largest_component(e, labels)
     return sub
 
@@ -5547,7 +5642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bv_stream_roundtrip": q_bv_stream_roundtrip,
         "bv_labelled_roundtrip": q_bv_labelled_roundtrip,
         "bv_zeta_bits": q_bv_zeta_bits,
+        "bv_golomb_bits": q_bv_golomb_bits,
+        "bv_nibble_bits": q_bv_nibble_bits,
         "bv_full_roundtrip": q_bv_full_roundtrip,
+        "bvdisk_roundtrip": q_bvdisk_roundtrip,
         "bv_full_bits": q_bv_full_bits,
         "bv_stream_bits": q_bv_stream_bits,
         "ef_roundtrip": q_ef_roundtrip,
@@ -5776,9 +5874,13 @@ bands AS (
 )"""
 
 _PAIRS_CTE = f"""{_BANDS_CTE},
+bsz AS (SELECT band, band_key FROM bands GROUP BY band, band_key
+        HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+bands_c AS (SELECT b.* FROM bands b
+            JOIN bsz USING (band, band_key)),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b
+  FROM bands_c a JOIN bands_c b
     ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
 )"""
 
@@ -5815,9 +5917,12 @@ bands AS (
          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS band_key
   FROM sigs GROUP BY id, i // {BAND_ROWS}
 ),
+bsz AS (SELECT band, band_key FROM bands GROUP BY band, band_key
+        HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+bands_c AS (SELECT b.* FROM bands b JOIN bsz USING (band, band_key)),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b
+  FROM bands_c a JOIN bands_c b
     ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
 ),
 sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
@@ -6435,7 +6540,10 @@ def oracle_sql() -> dict[str, str]:
         "bv_stream_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "bv_labelled_roundtrip": f"WITH {td.LABELLED_EDGES_CTE} SELECT src, dst, label FROM ledges",
         "bv_zeta_bits": td.zeta3_bits_sql(),
+        "bv_golomb_bits": td.golomb_bits_sql(1000000),
+        "bv_nibble_bits": td.nibble_bits_sql(),
         "bv_full_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "bvdisk_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "bv_full_bits": td.bv_bits_sql(),
         "bv_stream_bits": td.gamma_bits_sql(),
         "ef_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",

@@ -358,7 +358,9 @@ def test_cc_warm_start_same_fixpoint_fewer_rounds(spark):
 
     delta = [(60, 61), (61, 62), (100, 101)]  # extend + a new component
     df2 = spark.createDataFrame(base + delta, "src long, dst long")
-    cold2 = connected_components(df2, max_iter=100)
+    # round-count comparison is hash-min vs warm hash-min (the default
+    # "auto" engine is now stars, whose cold round count is already log)
+    cold2 = connected_components(df2, max_iter=100, algorithm="hashmin")
     warm2 = connected_components(df2, max_iter=100, init_labels=cold.labels)
     assert warm2.converged
     exp = {r["node"]: r["component"] for r in cold2.labels.collect()}

@@ -1,0 +1,237 @@
+"""On-disk BVGraph interop: dsiutils code golden vectors, writer/reader
+round-trips across the compression-flag grid (the BVGraphTest.java:51-100
+posture), and the distributed read path.
+
+The golden bit patterns below are derived from the published code
+definitions (dsiutils Input/OutputBitStream), NOT from running the
+reference — they pin MSB-first bit order and the exact off-by-one
+conventions so a regression can't silently re-interpret the grammar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from webgraph_spark.sources.bvdisk import (
+    BitReader,
+    BitWriter,
+    bvgraph_stats,
+    read_bvgraph,
+    read_offsets,
+    read_properties,
+    write_bvgraph,
+    write_bvgraph_from_edges,
+)
+
+
+def bits_of(buf: bytes) -> str:
+    return "".join(f"{b:08b}" for b in buf)
+
+
+# ------------------------------------------------------------ codecs
+
+
+def test_gamma_golden():
+    w = BitWriter()
+    for x in [0, 1, 2, 3, 8]:
+        w.write_gamma(x)
+    # gamma: 0->1, 1->010, 2->011, 3->00100, 8->0001001
+    assert bits_of(w.to_bytes()).startswith("1" "010" "011" "00100" "0001001")
+    r = BitReader(w.to_bytes())
+    assert [r.read_gamma() for _ in range(5)] == [0, 1, 2, 3, 8]
+
+
+def test_unary_delta_golden():
+    w = BitWriter()
+    w.write_unary(0)
+    w.write_unary(3)
+    w.write_delta(0)   # 1
+    w.write_delta(4)   # gamma(2)=011 then 2 bits of 5-4=01 -> 01101
+    assert bits_of(w.to_bytes()).startswith("1" "0001" "1" "01101")
+    r = BitReader(w.to_bytes())
+    assert r.read_unary() == 0
+    assert r.read_unary() == 3
+    assert r.read_delta() == 0
+    assert r.read_delta() == 4
+
+
+def test_zeta3_golden():
+    # zeta_3(0): h=0, left=1, 1-1=0 < 1 -> unary(0) + 2 bits -> "1"+"00"
+    # zeta_3(7): h=1? msb(8)=3, h=1, left=8, 8-8=0<8 -> "01" + 5 bits 00000
+    w = BitWriter()
+    w.write_zeta(0, 3)
+    w.write_zeta(7, 3)
+    assert bits_of(w.to_bytes()).startswith("100" "0100000")
+    r = BitReader(w.to_bytes())
+    assert r.read_zeta(3) == 0
+    assert r.read_zeta(3) == 7
+
+
+def test_nibble_golden():
+    w = BitWriter()
+    w.write_nibble(0)   # 1000
+    w.write_nibble(5)   # 1101
+    w.write_nibble(9)   # 0001 1001 (groups: 001, 001 -> 9)
+    assert bits_of(w.to_bytes()).startswith("1000" "1101" "00011001")
+    r = BitReader(w.to_bytes())
+    assert [r.read_nibble() for _ in range(3)] == [0, 5, 9]
+
+
+def test_golomb_golden():
+    # b=3: log2b=1, threshold 2^2-3=1; x=4 -> q=1,r=1: unary(1)=01,
+    # r=1 >= 1 -> write 1+1=2 in 2 bits "10"  => "01"+"10"
+    w = BitWriter()
+    w.write_golomb(4, 3)
+    assert bits_of(w.to_bytes()).startswith("0110")
+    r = BitReader(w.to_bytes())
+    assert r.read_golomb(3) == 4
+
+
+@pytest.mark.parametrize("code,k", [
+    ("GAMMA", 0), ("DELTA", 0), ("ZETA", 3), ("ZETA", 1), ("ZETA", 5),
+    ("GOLOMB", 3), ("GOLOMB", 7), ("NIBBLE", 0), ("UNARY", 0),
+])
+def test_codec_roundtrip_random(code, k):
+    rng = np.random.default_rng(hash(code) % 2**31 + k)
+    vals = list(rng.integers(0, 40, 50)) + [0, 1, 2, 1023, 2**20 + 7]
+    if code == "UNARY":
+        vals = [int(v) % 64 for v in vals]
+    w = BitWriter()
+    for v in vals:
+        w.write_coded(int(v), code, k)
+    r = BitReader(w.to_bytes())
+    assert [r.read_coded(code, k) for _ in vals] == [int(v) for v in vals]
+
+
+# ------------------------------------------------------------ file layer
+
+
+def _er_lists(n, p, seed):
+    rng = np.random.default_rng(seed)
+    return [
+        sorted(set(int(v) for v in rng.choice(
+            n, size=rng.binomial(n, p), replace=False)) - {i})
+        for i in range(n)
+    ]
+
+
+def _driver_edges(succ):
+    return {(x, y) for x, s in enumerate(succ) for y in s}
+
+
+def _read_all_driver(basename):
+    """Single-slice decode through the same code path as the workers."""
+    from webgraph_spark.sources.bvdisk import decode_range
+
+    p = read_properties(basename)
+    offs = read_offsets(basename, p["nodes"], p["codings"]["offsets"])
+    if p["nodes"] == 0:
+        return set()
+    s, d = decode_range(basename + ".graph", offs, 0, 0, p["nodes"] - 1, p)
+    return set(zip(s.tolist(), d.tolist()))
+
+
+def test_store_load_roundtrip_basic(tmp_path):
+    succ = _er_lists(120, 0.05, seed=7)
+    base = str(tmp_path / "er")
+    stats = write_bvgraph(succ, base)
+    assert stats["arcs"] == sum(len(s) for s in succ)
+    p = read_properties(base)
+    assert p["nodes"] == 120 and p["windowsize"] == 7
+    assert _read_all_driver(base) == _driver_edges(succ)
+
+
+def test_roundtrip_intervals_and_copies(tmp_path):
+    # consecutive runs (interval path) + near-identical successive lists
+    # (copy-block path) + zero-outdegree nodes + a trailing isolated node
+    succ = []
+    for i in range(40):
+        base_run = list(range(50, 62))  # long consecutive run -> intervals
+        extra = [5 + (i % 3), 80 + 2 * (i % 5)]
+        succ.append(sorted(set(base_run + extra) - {i}))
+    succ += [[]] * 5
+    succ.append([0, 1])  # node 45
+    succ += [[]] * 2     # isolated tail up to n=48
+    base = str(tmp_path / "iv")
+    write_bvgraph(succ, base)
+    assert _read_all_driver(base) == _driver_edges(succ)
+    # references must actually engage on this corpus
+    st = bvgraph_stats(base)
+    assert st["arcs"] == sum(len(s) for s in succ)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(window_size=0),
+    dict(min_interval_length=0),
+    dict(window_size=2, max_ref_count=1),
+    dict(codings={"residuals": "GAMMA"}),
+    dict(codings={"residuals": "DELTA"}),
+    dict(codings={"residuals": "GOLOMB"}, zeta_k=4),
+    dict(codings={"residuals": "NIBBLE"}),
+    dict(codings={"outdegrees": "DELTA", "references": "GAMMA",
+                  "blocks": "DELTA", "block_count": "UNARY",
+                  "offsets": "DELTA"}),
+])
+def test_roundtrip_flag_grid(tmp_path, kw):
+    """BVGraphTest.java:51-100 sweeps codes/windows/intervals; same
+    posture over the writer/reader pair."""
+    succ = _er_lists(80, 0.06, seed=11)
+    succ[10] = list(range(20, 40))          # interval-heavy list
+    succ[11] = list(range(20, 40))          # exact copy of previous
+    base = str(tmp_path / "grid")
+    write_bvgraph(succ, base, **kw)
+    p = read_properties(base)
+    exp = {k: v.upper() for k, v in (kw.get("codings") or {}).items()}
+    for slot, v in exp.items():
+        assert p["codings"][slot] == v
+    assert _read_all_driver(base) == _driver_edges(succ)
+
+
+def test_offsets_monotone_and_stats(tmp_path):
+    succ = _er_lists(60, 0.08, seed=3)
+    base = str(tmp_path / "st")
+    write_bvgraph(succ, base)
+    p = read_properties(base)
+    offs = read_offsets(base, p["nodes"], "GAMMA")
+    assert len(offs) == p["nodes"] + 1
+    assert (np.diff(offs) >= 0).all()
+    st = bvgraph_stats(base)
+    assert st["graph_bits"] == int(offs[-1])
+    assert st["bits_per_link"] > 0
+
+
+def test_read_bvgraph_distributed(spark, tmp_path):
+    succ = _er_lists(300, 0.03, seed=19)
+    base = str(tmp_path / "dist")
+    write_bvgraph(succ, base)
+    df = read_bvgraph(spark, base, num_partitions=8)
+    got = {(r["src"], r["dst"]) for r in df.collect()}
+    assert got == _driver_edges(succ)
+
+
+def test_read_bvgraph_split_reference_chains(spark, tmp_path):
+    """Slice boundaries must resolve back-references across the cut:
+    long runs of similar lists force reference chains, then a many-
+    partition read puts cuts inside them."""
+    succ = []
+    for i in range(200):
+        s = sorted(set(range(100, 120)) | {140 + (i % 7)} - {i})
+        succ.append([v for v in s if v != i])
+    base = str(tmp_path / "chain")
+    write_bvgraph(succ, base)
+    df = read_bvgraph(spark, base, num_partitions=16)
+    got = {(r["src"], r["dst"]) for r in df.collect()}
+    assert got == _driver_edges(succ)
+
+
+def test_write_from_edges_and_cli_shapes(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (5, 3)], "src long, dst long"
+    )
+    base = str(tmp_path / "fe")
+    stats = write_bvgraph_from_edges(edges, base)
+    assert stats["nodes"] == 6 and stats["arcs"] == 5
+    back = read_bvgraph(spark, base, num_partitions=2)
+    got = {(r["src"], r["dst"]) for r in back.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2), (2, 0), (5, 3)}

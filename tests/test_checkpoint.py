@@ -124,7 +124,9 @@ def test_iteration_storage_stays_bounded(spark):
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
     before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    res = connected_components(path, max_iter=100)
+    # hashmin pinned: the test NEEDS a long O(diameter) loop to observe
+    # unbounded storage growth (the default stars engine is log-round)
+    res = connected_components(path, max_iter=100, algorithm="hashmin")
     assert res.converged
     assert res.iterations >= 25  # long loop: ~one round per diameter hop
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()

@@ -240,6 +240,13 @@ def test_lsh_max_bucket_guard(spark):
     assert (100, 101) in un and (100, 101) in cp
     assert any(a < 8 and b < 8 for a, b in un)
     assert not any(a < 8 and b < 8 for a, b in cp)
+    # no silent caps: the dropped-bucket metrics twin reports the hub
+    from webgraph_spark.functions.dedup import lsh_dropped_bucket_stats
+
+    st = lsh_dropped_bucket_stats(df, "id", "text", max_bucket=4).collect()[0]
+    assert st["dropped_buckets"] > 0 and st["dropped_members"] >= 8
+    st_def = lsh_dropped_bucket_stats(df, "id", "text").collect()[0]
+    assert st_def["dropped_buckets"] == 0  # default cap far above fixture
 
 
 def test_embedding_near_dups_planted(spark):

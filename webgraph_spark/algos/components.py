@@ -37,8 +37,23 @@ def connected_components(
     checkpoint_dir: str | None = None,
     run_id: str = "cc",
     init_labels: DataFrame | None = None,
+    algorithm: str = "auto",
 ) -> ComponentsResult:
-    """Hash-min CC over ``edges(src, dst)`` (directions ignored).
+    """Connected components over ``edges(src, dst)`` (directions ignored).
+
+    ``algorithm`` selects the fixpoint engine:
+
+    - ``"auto"`` (default): the O(log n)-round large-star/small-star
+      path (:func:`connected_components_stars`) — on a 100-TB graph a
+      high-diameter component costs hash-min one full shuffle round
+      PER HOP, so log-rounds is the only scale-safe default. Falls
+      back to hash-min when ``init_labels`` is given (the incremental
+      warm-start is a hash-min-specific contract).
+    - ``"stars"``: force the log-round path.
+    - ``"hashmin"``: force hash-min label propagation — the variant
+      whose PARTIAL ``max_iter``-round state is oracle-defined (the
+      k-round unroll the DuckDB twins replicate); converged labels are
+      identical between the two (component = min node id).
 
     ``init_labels`` (node, component) WARM-STARTS the iteration — the
     incremental-maintenance path for a continuously-ingested graph
@@ -52,6 +67,16 @@ def connected_components(
     small edge deltas converge in a fraction of the cold-start
     rounds). Deletions are NOT incremental — recompute cold.
     """
+    if algorithm not in ("auto", "hashmin", "stars"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "stars" or (algorithm == "auto" and init_labels is None):
+        return connected_components_stars(
+            edges,
+            max_iter=max_iter,
+            num_partitions=num_partitions,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+        )
     from ..plans.iterate import iterate
 
     spark = edges.sparkSession

@@ -181,6 +181,42 @@ def cmd_pack(args):
     _emit_json(info)
 
 
+def cmd_bvstore(args):
+    """BVGraph.store to the reference's NATIVE on-disk layout
+    (basename.graph/.offsets/.properties) — the interop export path;
+    driver-side sequential encoder (sources/bvdisk.py docstring)."""
+    from .sources.bvdisk import write_bvgraph_from_edges
+
+    if not args.basename:
+        raise SystemExit("bvstore requires --basename")
+    spark = _spark(args)
+    e = _edges(spark, args.input)
+    codings = {}
+    if args.residuals:
+        codings["residuals"] = args.residuals
+    stats = write_bvgraph_from_edges(
+        e,
+        args.basename,
+        window_size=args.window_size,
+        max_ref_count=args.max_ref_count,
+        min_interval_length=args.min_interval_length,
+        zeta_k=args.zeta_k,
+        codings=codings or None,
+    )
+    _emit_json(stats)
+
+
+def cmd_bvload(args):
+    """BVGraph.load from a reference-layout basename -> edge table
+    (distributed byte-range decode)."""
+    from .sources.bvdisk import bvgraph_stats, read_bvgraph
+
+    spark = _spark(args)
+    out = read_bvgraph(spark, args.basename)
+    _emit_df(out, args, order=["src", "dst"])
+    _emit_json(bvgraph_stats(args.basename))
+
+
 def cmd_unpack(args):
     """BVGraph.load / EFGraph.load / CSR scan back to an edge table."""
     spark = _spark(args)
@@ -300,10 +336,10 @@ def cmd_cc(args):
 
     spark = _spark(args)
     e = _edges(spark, args.input).select("src", "dst")
-    if args.stars:
-        res = C.connected_components_stars(e)
-    else:
-        res = C.connected_components(e, checkpoint_dir=args.checkpoint_dir)
+    algo = "stars" if args.stars else args.algorithm
+    res = C.connected_components(
+        e, checkpoint_dir=args.checkpoint_dir, algorithm=algo
+    )
     _emit_df(res.labels, args, order=["node"])
     _emit_json({"iterations": res.iterations, "converged": res.converged})
 
@@ -572,6 +608,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("unpack", cmd_unpack)
     sp.add_argument("--format", choices=["csr", "ef", "bv"], default="csr")
 
+    sp = add("bvstore", cmd_bvstore)
+    sp.add_argument("--basename", required=True)
+    sp.add_argument("--window-size", type=int, default=7)
+    sp.add_argument("--max-ref-count", type=int, default=3)
+    sp.add_argument("--min-interval-length", type=int, default=4)
+    sp.add_argument("--zeta-k", type=int, default=3)
+    sp.add_argument("--residuals", default=None,
+                    choices=["GAMMA", "DELTA", "ZETA", "GOLOMB", "NIBBLE"])
+    sp = add("bvload", cmd_bvload, needs_input=False)
+    sp.add_argument("--basename", required=True)
+
     sp = add("arclist", cmd_arclist)
     sp.add_argument("direction", choices=["import", "export"])
     sp.add_argument(
@@ -599,7 +646,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="durable per-iteration state + lineage; resumable")
 
     sp = add("cc", cmd_cc)
-    sp.add_argument("--stars", action="store_true")
+    sp.add_argument("--stars", action="store_true",
+                    help="alias for --algorithm stars")
+    sp.add_argument("--algorithm", default="auto",
+                    choices=["auto", "hashmin", "stars"])
     sp.add_argument("--checkpoint-dir", default=None)
     add("scc", cmd_scc)
     sp = add("lp", cmd_lp)

@@ -15,13 +15,23 @@ All hashing is the engine-portable md5/universal family
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashing import MERSENNE_P, hash_family, md5_long
 
+logger = logging.getLogger(__name__)
+
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BAND_ROWS = 4
 DEFAULT_SHINGLE = 3
+# Hub-bucket guard default: a band bucket of b members emits b(b-1)/2
+# candidate pairs, so one 10^5-member boilerplate bucket alone is
+# ~5*10^9 rows. 5000 (=> <=12.5M pairs per worst bucket) is the "never
+# detonate" ceiling; pass None for the unbounded correctness-oracle
+# behavior, or a smaller cap for aggressive boilerplate corpora.
+DEFAULT_MAX_BUCKET = 5000
 
 
 # ------------------------------------------------------------------ exact
@@ -123,7 +133,7 @@ def minhash_lsh_candidates(
     band_rows: int = DEFAULT_BAND_ROWS,
     shingle: int = DEFAULT_SHINGLE,
     seed: int = 12345,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -133,17 +143,35 @@ def minhash_lsh_candidates(
     ``max_bucket`` are dropped before the self-join (one extra count
     aggregation over the band table — the dropped pairs are exactly the
     ones a verifier would reject as boilerplate; near-dup clusters that
-    big are better handled by the exact-fingerprint pass). Default None
-    keeps every bucket (correctness-oracle behavior)."""
+    big are better handled by the exact-fingerprint pass). Default
+    ``DEFAULT_MAX_BUCKET``; pass None to keep every bucket.
+
+    No silent caps: when the guard actually drops buckets, a WARNING
+    with the dropped-bucket/member counts is logged (one small
+    aggregation job over the bucket-size table at plan-build time), and
+    :func:`lsh_dropped_bucket_stats` reports the same numbers as a
+    DataFrame for pipelines that persist metrics."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
     bands = lsh_band_keys(sigs, band_rows)
     if max_bucket is not None:
-        small = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") <= max_bucket)
-            .drop("_n")
+        bsz = bands.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+        dropped = (
+            bsz.where(F.col("_n") > max_bucket)
+            .agg(
+                F.count("*").alias("buckets"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("members"),
+            )
+            .collect()[0]
         )
+        if dropped["buckets"]:
+            logger.warning(
+                "minhash_lsh_candidates: dropped %d over-cap band buckets "
+                "(%d member rows, max_bucket=%d) — boilerplate-scale "
+                "clusters; use exact_duplicate_groups for those or raise "
+                "max_bucket",
+                dropped["buckets"], dropped["members"], max_bucket,
+            )
+        small = bsz.where(F.col("_n") <= max_bucket).drop("_n")
         bands = bands.join(small, ["band", "band_key"], "left_semi")
     a = bands.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_a"))
     b = bands.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_b"))
@@ -152,6 +180,30 @@ def minhash_lsh_candidates(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_dropped_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    shingle: int = DEFAULT_SHINGLE,
+    seed: int = 12345,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """One row (max_bucket, dropped_buckets, dropped_members): exactly
+    what :func:`minhash_lsh_candidates` would drop under the hub-bucket
+    guard — the metrics twin of its WARNING log line."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    bands = lsh_band_keys(sigs, band_rows)
+    bsz = bands.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+    cap = max_bucket if max_bucket is not None else (1 << 62)
+    return bsz.where(F.col("_n") > cap).agg(
+        F.lit(cap).cast("long").alias("max_bucket"),
+        F.count("*").cast("long").alias("dropped_buckets"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("dropped_members"),
     )
 
 

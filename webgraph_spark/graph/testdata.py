@@ -664,6 +664,50 @@ def zeta3_bits_sql() -> str:
     return f"WITH {EDGES_CTE},{_ZETA3_TAIL}"
 
 
+_VALS_CTE = """
+lists AS (SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+            LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+          FROM edges),
+vals AS (SELECT CASE WHEN rn = 1
+                     THEN (CASE WHEN dst - src >= 0 THEN 2 * (dst - src)
+                           ELSE -2 * (dst - src) - 1 END)
+                     ELSE dst - prev - 1 END AS v
+         FROM lists)"""
+
+
+def golomb_bits_sql(b: int = 3) -> str:
+    """Closed-form interleaved Golomb_b cost of firsts(int2nat)+gaps:
+    (v//b + 1) unary + minimal binary of v%b (log2b bits below the
+    2^(log2b+1)-b threshold, log2b+1 above). All-integer arithmetic.
+    Twin of bitstream.bv_bits_per_link on a code='golomb<b>' pack."""
+    log2b = b.bit_length() - 1
+    thresh = (1 << (log2b + 1)) - b
+    return f"""WITH {EDGES_CTE},{_VALS_CTE},
+bits AS (SELECT CAST((v // {b} + 1) + {log2b}
+                + CASE WHEN v % {b} >= {thresh} THEN 1 ELSE 0 END
+                AS BIGINT) AS b FROM vals)
+SELECT CAST(SUM(b) AS BIGINT) AS golomb_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_arcs,
+       ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_link
+FROM bits"""
+
+
+def nibble_bits_sql() -> str:
+    """Closed-form variable-length-nibble cost of firsts(int2nat)+gaps:
+    4 bits per 3-bit group, groups = max(1, ceil(bitlen(v)/3)); integer
+    bit lengths via BIN(). Twin of bitstream.bv_bits_per_link on a
+    code='nibble' pack."""
+    return f"""WITH {EDGES_CTE},{_VALS_CTE},
+bits AS (SELECT CAST(4 * (CASE WHEN v = 0 THEN 1
+                ELSE (LENGTH(BIN(CAST(v AS BIGINT))) + 2) // 3 END)
+                AS BIGINT) AS b FROM vals)
+SELECT CAST(SUM(b) AS BIGINT) AS nibble_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_arcs,
+       ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_link
+FROM bits"""
+
+
 def gray_gamma_bits_sql(group_expr: str | None = None) -> str:
     """Twin of gray_code_permutation + gamma_bits_per_link: rebuilds the
     prefix-XOR Gray array key (transforms._succ_key) in SQL, dense-ranks

@@ -273,6 +273,141 @@ def zeta_bits_vec(values: np.ndarray, k: int = 3) -> int:
     return int(((h + 1) + (k * (h + 1) - 1) + islong).sum())
 
 
+def golomb_encode(values: np.ndarray, b: int) -> tuple[bytes, bytes]:
+    """Split-Golomb_b encode (the reference's RESIDUALS_GOLOMB option,
+    BVGraph.java:791-816 read switch; OutputBitStream.writeGolomb):
+    quotient q = v // b unary substream (Σ(q+1) bits) + remainder
+    substream. The interleaved code uses minimal binary for r (b−1 or b
+    bits, decidable only mid-stream); the split layout stores r at
+    FIXED width ceil(log2 b) so whole-array decode stays one vector
+    pass — cost +1 bit per short code when b is not a power of two.
+    The exact interleaved figure is :func:`golomb_bits_vec`."""
+    if b < 1:
+        raise ValueError("golomb_encode: b must be >= 1")
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b"", b""
+    if v.min() < 0:
+        raise ValueError("golomb_encode: values must be non-negative")
+    q = v // b
+    ones = np.cumsum(q + 1) - 1
+    nbytes = (int(ones[-1]) // 8) + 1
+    if nbytes > (1 << 30):
+        raise ValueError(
+            f"golomb_encode: unary quotient stream would be {nbytes} "
+            f"bytes — modulus b={b} is far below the value scale "
+            f"(mean {float(v.mean()):.0f}); Golomb needs b ~ 0.69*mean"
+        )
+    ubuf = np.zeros(nbytes, dtype=np.uint8)
+    _set_bits(ubuf, ones)
+    wb = int(b - 1).bit_length()  # fixed remainder width; 0 when b == 1
+    if wb == 0:
+        return ubuf.tobytes(), b""
+    r = v % b
+    offs = np.arange(len(v), dtype=np.int64) * wb
+    fbuf = np.zeros((int(offs[-1] + wb) // 8) + 1, dtype=np.uint8)
+    for j in range(wb):
+        bit_on = ((r >> (wb - 1 - j)) & 1).astype(bool)
+        if bit_on.any():
+            _set_bits(fbuf, (offs + j)[bit_on])
+    return ubuf.tobytes(), fbuf.tobytes()
+
+
+def golomb_decode(unary_buf: bytes, field_buf: bytes, n: int, b: int) -> np.ndarray:
+    """Decode ``n`` split-Golomb_b values back to int64."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ubits = np.unpackbits(np.frombuffer(unary_buf, dtype=np.uint8))
+    ones = np.flatnonzero(ubits)
+    if len(ones) < n:
+        raise ValueError(f"golomb_decode: {len(ones)} codes, need {n}")
+    q = np.diff(ones[:n], prepend=-1) - 1
+    wb = int(b - 1).bit_length()
+    r = np.zeros(n, dtype=np.int64)
+    if wb:
+        fbits = np.unpackbits(np.frombuffer(field_buf, dtype=np.uint8))
+        offs = np.arange(n, dtype=np.int64) * wb
+        for j in range(wb):
+            r = (r << 1) | fbits[offs + j]
+    return q * b + r
+
+
+def golomb_bits_vec(values: np.ndarray, b: int) -> int:
+    """Exact INTERLEAVED Golomb_b cost: (q+1) unary + minimal binary of
+    r over [0, b): log2b bits when r < 2^(log2b+1) − b, else log2b+1
+    (InputBitStream.readMinimalBinary semantics)."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return 0
+    q = v // b
+    r = v % b
+    log2b = int(b).bit_length() - 1
+    thresh = (1 << (log2b + 1)) - b
+    return int((q + 1 + log2b + (r >= thresh)).sum())
+
+
+def nibble_encode(values: np.ndarray) -> tuple[bytes, bytes]:
+    """Split variable-length-nibble encode (RESIDUALS_NIBBLE;
+    OutputBitStream.writeNibble): interleaved nibble = 4-bit groups of
+    [stop bit | 3 payload bits]. Split layout: the stop bits ARE a
+    unary code of the group count, so the split substreams cost
+    EXACTLY the interleaved 4·groups bits — no fixed-width premium."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b"", b""
+    if v.min() < 0:
+        raise ValueError("nibble_encode: values must be non-negative")
+    g = np.maximum((_bitlen(np.maximum(v, 1)) + 2) // 3, 1)
+    ones = np.cumsum(g) - 1
+    ubuf = np.zeros((int(ones[-1]) // 8) + 1, dtype=np.uint8)
+    _set_bits(ubuf, ones)
+    width = 3 * g
+    offs = np.cumsum(width) - width
+    total = int(offs[-1] + width[-1])
+    fbuf = np.zeros((total // 8) + 1, dtype=np.uint8)
+    for j in range(int(width.max())):
+        live = width > j
+        if not live.any():
+            break
+        shift = width[live] - 1 - j
+        bit_on = ((v[live] >> shift) & 1).astype(bool)
+        if bit_on.any():
+            _set_bits(fbuf, (offs[live] + j)[bit_on])
+    return ubuf.tobytes(), fbuf.tobytes()
+
+
+def nibble_decode(unary_buf: bytes, field_buf: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` split-nibble values back to int64."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ubits = np.unpackbits(np.frombuffer(unary_buf, dtype=np.uint8))
+    ones = np.flatnonzero(ubits)
+    if len(ones) < n:
+        raise ValueError(f"nibble_decode: {len(ones)} codes, need {n}")
+    g = np.diff(ones[:n], prepend=-1)
+    width = 3 * g
+    offs = np.cumsum(width) - width
+    fbits = np.unpackbits(np.frombuffer(field_buf, dtype=np.uint8))
+    out = np.zeros(n, dtype=np.int64)
+    for j in range(int(width.max())):
+        live = width > j
+        if not live.any():
+            break
+        out[live] = (out[live] << 1) | fbits[offs[live] + j]
+    return out
+
+
+def nibble_bits_vec(values: np.ndarray) -> int:
+    """Exact interleaved nibble cost: 4 bits per 3-bit group,
+    groups = max(1, ceil(bitlen(v)/3)). Equals the physical split size
+    by construction (see nibble_encode)."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return 0
+    g = np.maximum((_bitlen(np.maximum(v, 1)) + 2) // 3, 1)
+    return int((4 * g).sum())
+
+
 BV_SCHEMA = (
     "block_id int, node_lo long, node_hi long, n_lists long, n_arcs long, code string, "
     "deg_u binary, deg_v binary, deg_w binary, src_u binary, src_v binary, src_w binary, "
@@ -290,7 +425,15 @@ def _enc(vals: np.ndarray, code: str) -> tuple[bytes, bytes, bytes]:
     if code.startswith("zeta"):
         u, v = zeta_encode(vals, k=int(code[4:] or 3))
         return u, v, b""
-    raise ValueError(f"unknown code {code!r} (gamma|delta|zeta<k>)")
+    if code.startswith("golomb"):
+        u, v = golomb_encode(vals, b=int(code[6:] or 3))
+        return u, v, b""
+    if code == "nibble":
+        u, v = nibble_encode(vals)
+        return u, v, b""
+    raise ValueError(
+        f"unknown code {code!r} (gamma|delta|zeta<k>|golomb<b>|nibble)"
+    )
 
 
 def _dec(u: bytes, v: bytes, w: bytes, n: int, code: str) -> np.ndarray:
@@ -298,6 +441,10 @@ def _dec(u: bytes, v: bytes, w: bytes, n: int, code: str) -> np.ndarray:
         return gamma_decode(u, v, n)
     if code.startswith("zeta"):
         return zeta_decode(u, v, n, k=int(code[4:] or 3))
+    if code.startswith("golomb"):
+        return golomb_decode(u, v, n, b=int(code[6:] or 3))
+    if code == "nibble":
+        return nibble_decode(u, v, n)
     return delta_decode(u, v, w, n)
 
 
@@ -321,9 +468,13 @@ def pack_bv(
     firsts+gaps stream bits == csr.gamma_bits_per_link on the same
     pack, asserted by the bv_bits driver query.
 
-    ``code`` selects the component code — "gamma" (default) or "delta"
-    (the reference's pluggable CompressionFlags, BVGraph.java:474-523);
-    δ wins on heavy-tailed gaps, γ on small ones.
+    ``code`` selects the component code — "gamma" (default), "delta",
+    "zeta<k>", "golomb<b>" or "nibble" (the reference's full pluggable
+    CompressionFlags family, BVGraph.java:474-523, read switch
+    :791-816); δ wins on heavy-tailed gaps, γ on small ones, ζ on
+    power-law gap distributions, Golomb when the gap distribution is
+    near-geometric with known mean, nibble when byte alignment matters
+    more than density.
 
     ``label_col``: γ/δ-code one natural-number label per arc into a
     parallel substream in arc order — the BitStreamArcLabelledImmutable-
@@ -489,6 +640,18 @@ def bv_bits_per_link(blocks: DataFrame) -> DataFrame:
                             row[f"{stream}_w"], n, code,
                         )
                         bits += zeta_bits_vec(vals, k=int(code[4:] or 3))
+                    elif code.startswith("golomb"):
+                        vals = _dec(
+                            row[f"{stream}_u"], row[f"{stream}_v"],
+                            row[f"{stream}_w"], n, code,
+                        )
+                        bits += golomb_bits_vec(vals, b=int(code[6:] or 3))
+                    elif code == "nibble":
+                        vals = _dec(
+                            row[f"{stream}_u"], row[f"{stream}_v"],
+                            row[f"{stream}_w"], n, code,
+                        )
+                        bits += nibble_bits_vec(vals)
                     else:  # delta: lengths live in the split-gamma part
                         n_bits = (
                             gamma_decode(row[f"{stream}_u"], row[f"{stream}_v"], n)

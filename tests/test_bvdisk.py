@@ -235,3 +235,57 @@ def test_write_from_edges_and_cli_shapes(spark, tmp_path):
     back = read_bvgraph(spark, base, num_partitions=2)
     got = {(r["src"], r["dst"]) for r in back.collect()}
     assert got == {(0, 1), (0, 2), (1, 2), (2, 0), (5, 3)}
+
+
+def test_load_graph_dispatch(spark, tmp_path):
+    """ImmutableGraph.load analog: one entry point opens every stored
+    format — native basename, each block-table format, plain edges."""
+    from webgraph_spark.operators.bitstream import pack_bv
+    from webgraph_spark.operators.csr import pack_csr
+    from webgraph_spark.operators.ef import pack_ef
+    from webgraph_spark.sources.storage import load_graph
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 0)], "src long, dst long"
+    )
+    want = {(0, 1), (0, 2), (1, 2), (3, 0)}
+
+    base = str(tmp_path / "native")
+    write_bvgraph_from_edges(edges, base)
+    assert {(r.src, r.dst) for r in load_graph(spark, base).collect()} == want
+
+    for name, packed in [
+        ("csr", pack_csr(edges, num_blocks=2)),
+        ("ef", pack_ef(edges, num_blocks=2)),
+        ("bv", pack_bv(edges, num_blocks=2)),
+    ]:
+        p = str(tmp_path / name)
+        packed.write.mode("overwrite").parquet(p)
+        got = {(r.src, r.dst) for r in load_graph(spark, p).collect()}
+        assert got == want, name
+
+    p = str(tmp_path / "plain")
+    edges.write.mode("overwrite").parquet(p)
+    assert {(r.src, r.dst) for r in load_graph(spark, p).collect()} == want
+
+    with pytest.raises(ValueError, match="neither"):
+        q = str(tmp_path / "junk")
+        spark.range(3).write.parquet(q)
+        load_graph(spark, q)
+
+
+def test_offsets_obl_cache(tmp_path):
+    import os
+
+    succ = _er_lists(50, 0.1, seed=2)
+    base = str(tmp_path / "obl")
+    write_bvgraph(succ, base)
+    p = read_properties(base)
+    o1 = read_offsets(base, p["nodes"])
+    assert os.path.exists(base + ".obl.npy")
+    o2 = read_offsets(base, p["nodes"])  # served from the cache
+    assert np.array_equal(o1, o2)
+    # stale cache (offsets rewritten later) must be ignored
+    os.utime(base + ".offsets")
+    o3 = read_offsets(base, p["nodes"])
+    assert np.array_equal(o1, o3)

@@ -386,14 +386,35 @@ def read_properties(basename: str) -> dict:
 
 def read_offsets(basename: str, n: int, coding: str = "GAMMA") -> np.ndarray:
     """Decode ``basename.offsets`` -> int64[n+1] absolute bit offsets
-    (first is 0; last is one past the end of the graph stream)."""
-    with open(basename + ".offsets", "rb") as f:
+    (first is 0; last is one past the end of the graph stream).
+
+    The sequential code-by-code decode is O(n) driver work; like the
+    reference's ``.obl`` (a serialized EliasFanoMonotoneLongBigList
+    regenerated once and reused when newer than ``.offsets``,
+    BVGraph.java:318-330), the decoded array is cached as
+    ``basename.obl.npy`` and memory-loaded on subsequent reads."""
+    import os
+
+    obl = basename + ".obl.npy"
+    off_path = basename + ".offsets"
+    try:
+        if os.path.getmtime(obl) >= os.path.getmtime(off_path):
+            cached = np.load(obl)
+            if len(cached) == n + 1:
+                return cached
+    except OSError:
+        pass
+    with open(off_path, "rb") as f:
         r = BitReader(f.read())
     out = np.empty(n + 1, dtype=np.int64)
     acc = 0
     for i in range(n + 1):
         acc += r.read_coded(coding, 0)
         out[i] = acc
+    try:
+        np.save(obl, out)
+    except OSError:
+        pass  # read-only location: cache is an optimization only
     return out
 
 

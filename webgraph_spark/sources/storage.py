@@ -102,3 +102,48 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     reading the parquet path directly would drop the bucketing spec and
     reintroduce the shuffle)."""
     return spark.table(table_name)
+
+
+def load_graph(spark: SparkSession, path: str) -> DataFrame:
+    """ImmutableGraph.load analog (ImmutableGraph.java:600-685): open a
+    stored graph by basename/path and return its edge DataFrame,
+    dispatching on what is actually on disk — the reference's
+    reflection-on-``graphclass`` turned into format sniffing:
+
+    - ``<path>.properties`` present -> the reference's NATIVE BVGraph
+      layout, decoded by sources/bvdisk.read_bvgraph (graphclass is
+      validated there);
+    - a parquet directory of block rows -> the matching unpack
+      (operators csr/ef/bitstream/bvfull, keyed on schema columns);
+    - a plain (src, dst[, ...]) parquet edge table -> read as-is.
+    """
+    import os
+
+    if os.path.exists(path + ".properties"):
+        from .bvdisk import read_bvgraph
+
+        return read_bvgraph(spark, path)
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if {"src", "dst"} <= cols:
+        return df
+    if "lbits" in cols and "uppers" in cols:
+        from ..operators.ef import unpack_ef
+
+        return unpack_ef(df)
+    if "res_u" in cols:
+        from ..operators.bvfull import unpack_bv_full
+
+        return unpack_bv_full(df)
+    if "deg_u" in cols and "code" in cols:
+        from ..operators.bitstream import unpack_bv
+
+        return unpack_bv(df)
+    if {"srcs", "counts", "firsts", "gaps"} <= cols:
+        from ..operators.csr import unpack_csr
+
+        return unpack_csr(df)
+    raise ValueError(
+        f"load_graph: {path} is neither a BVGraph basename, a known "
+        f"block table, nor an edge table (columns: {sorted(cols)})"
+    )

@@ -283,6 +283,49 @@ def q_bv_labelled_roundtrip(spark, sf_dir):
     return unpack_bv(pack_bv(e, num_blocks=8, label_col="label"), labelled=True)
 
 
+def q_bvdisk_labelled_roundtrip(spark, sf_dir):
+    """Native LABELLED on-disk interop: γ-coded arc labels in the
+    reference's BitStreamArcLabelledImmutableGraph layout (.labels /
+    .labeloffsets / underlyinggraph property) around a real BVGraph
+    underlying file — densify → storeLabelled → distributed load →
+    map ids back. Same twin as bv_labelled_roundtrip (our columnar
+    labelled format), different physical layout."""
+    import tempfile
+
+    from webgraph_spark.sources.bvdisk import (
+        read_bvgraph_labelled,
+        write_bvgraph_labelled_from_edges,
+    )
+    from webgraph_spark.util.ids import assign_dense_ids
+
+    e = td.tpch_edges_labelled(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ids = assign_dense_ids(nodes, ["node"], id_col="nid").persist()
+    dense = (
+        e.join(ids.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("nid", "dsrc")
+        .join(ids.withColumnRenamed("node", "dst"), "dst")
+        .withColumnRenamed("nid", "ddst")
+        .select(F.col("dsrc").alias("src"), F.col("ddst").alias("dst"),
+                "label")
+    )
+    base = tempfile.mkdtemp(prefix="bvdisk_lab_") + "/g"
+    write_bvgraph_labelled_from_edges(dense, base)
+    back = read_bvgraph_labelled(spark, base, num_partitions=8)
+    return (
+        back.join(ids.withColumnRenamed("nid", "src"), "src")
+        .withColumnRenamed("node", "osrc")
+        .join(ids.withColumnRenamed("nid", "dst"), "dst")
+        .withColumnRenamed("node", "odst")
+        .select(F.col("osrc").alias("src"), F.col("odst").alias("dst"),
+                F.col("label").cast("long").alias("label"))
+    )
+
+
 def q_bv_full_roundtrip(spark, sf_dir):
     """PHYSICAL full-BV format (operators/bvfull.py): copy-blocks +
     intervals + ζ₃ residuals stored as homogeneous split substreams,
@@ -5646,6 +5689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bv_nibble_bits": q_bv_nibble_bits,
         "bv_full_roundtrip": q_bv_full_roundtrip,
         "bvdisk_roundtrip": q_bvdisk_roundtrip,
+        "bvdisk_labelled_roundtrip": q_bvdisk_labelled_roundtrip,
         "bv_full_bits": q_bv_full_bits,
         "bv_stream_bits": q_bv_stream_bits,
         "ef_roundtrip": q_ef_roundtrip,
@@ -6544,6 +6588,9 @@ def oracle_sql() -> dict[str, str]:
         "bv_nibble_bits": td.nibble_bits_sql(),
         "bv_full_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
         "bvdisk_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",
+        "bvdisk_labelled_roundtrip":
+            f"WITH {td.LABELLED_EDGES_CTE} "
+            f"SELECT src, dst, CAST(label AS BIGINT) AS label FROM ledges",
         "bv_full_bits": td.bv_bits_sql(),
         "bv_stream_bits": td.gamma_bits_sql(),
         "ef_roundtrip": f"WITH {td.EDGES_CTE} SELECT src, dst FROM edges",

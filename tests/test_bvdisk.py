@@ -289,3 +289,47 @@ def test_offsets_obl_cache(tmp_path):
     os.utime(base + ".offsets")
     o3 = read_offsets(base, p["nodes"])
     assert np.array_equal(o1, o3)
+
+
+def test_labelled_store_load_roundtrip(spark, tmp_path):
+    """BitStreamArcLabelledImmutableGraph layout: γ labels in successor-
+    enumeration order + γ-delta label offsets + underlyinggraph
+    property (labelling/BitStreamArcLabelledImmutableGraph.java:62-103,
+    GammaCodedIntLabel.java:74-80)."""
+    from webgraph_spark.sources.bvdisk import (
+        read_bvgraph_labelled,
+        write_bvgraph_labelled,
+    )
+
+    rng = np.random.default_rng(23)
+    succ = []
+    for i in range(150):
+        ds = sorted(set(int(v) for v in rng.choice(150, 6)) - {i})
+        succ.append([(d, int(rng.integers(0, 100))) for d in ds])
+    base = str(tmp_path / "lab")
+    st = write_bvgraph_labelled(succ, base)
+    assert st["label_bits"] > 0
+    got = {
+        (r["src"], r["dst"], r["label"])
+        for r in read_bvgraph_labelled(spark, base, num_partitions=6).collect()
+    }
+    want = {(x, d, l) for x, lst in enumerate(succ) for d, l in lst}
+    assert got == want
+    # the underlying graph is independently loadable as a plain BVGraph
+    und = {(r["src"], r["dst"]) for r in
+           read_bvgraph(spark, base + "-underlying", num_partitions=4).collect()}
+    assert und == {(a, b) for a, b, _ in want}
+
+
+def test_labelled_rejects_other_specs(tmp_path):
+    from webgraph_spark.sources.bvdisk import read_labelled_properties
+
+    base = str(tmp_path / "x")
+    with open(base + ".properties", "w") as f:
+        f.write("graphclass=it.unimi.dsi.webgraph.labelling."
+                "BitStreamArcLabelledImmutableGraph\n"
+                "underlyinggraph=x-underlying\n"
+                "labelspec=it.unimi.dsi.webgraph.labelling."
+                "FixedWidthIntLabel(FOO,10)\n")
+    with pytest.raises(NotImplementedError):
+        read_labelled_properties(base)

@@ -429,6 +429,13 @@ def _decode_node(x: int, offsets, reader: BitReader, p: dict,
     got = memo.get(x)
     if got is not None:
         return got
+    if x < p["_off0"]:
+        # a negative numpy index would silently wrap to the wrong node
+        raise ValueError(
+            f"reference chain reaches node {x} below the slice's offset "
+            f"floor {p['_off0']} — exceeds windowsize*maxrefcount "
+            f"(malformed file or wrong properties)"
+        )
     cod = p["codings"]
     zk = p["zetak"]
     w = p["windowsize"]
@@ -773,6 +780,192 @@ def write_bvgraph_from_edges(edges, basename: str, **kw) -> dict:
         )
     kw.setdefault("n_nodes", n)
     return write_bvgraph(succ, basename, **kw)
+
+
+# ------------------------------------------------- labelled graphs
+
+LABELLED_GRAPHCLASS = (
+    "it.unimi.dsi.webgraph.labelling.BitStreamArcLabelledImmutableGraph"
+)
+GAMMA_LABELSPEC = "it.unimi.dsi.webgraph.labelling.GammaCodedIntLabel(label)"
+
+
+def write_bvgraph_labelled(
+    successors: "list[list[tuple[int, int]]] | dict[int, list[tuple[int, int]]]",
+    basename: str,
+    n_nodes: int | None = None,
+    underlying: str | None = None,
+    **kw,
+) -> dict:
+    """BVGraph.storeLabelled analog (BitStreamArcLabelledImmutableGraph
+    layout, labelling/BitStreamArcLabelledImmutableGraph.java:62-103):
+    the underlying graph goes to ``<basename>-underlying`` in the plain
+    BVGraph layout; ``.labels`` holds one γ-coded natural per arc in
+    successor-enumeration order (GammaCodedIntLabel.java:74-80);
+    ``.labeloffsets`` holds n+1 γ-coded per-node bit-offset deltas; the
+    property file names graphclass/underlyinggraph/labelspec.
+
+    ``successors``: per node, a list of (dst, label) pairs (labels must
+    be natural numbers — the γ-coded label contract)."""
+    if isinstance(successors, dict):
+        n = n_nodes if n_nodes is not None else (
+            max(successors) + 1 if successors else 0)
+        lists = [sorted(successors.get(i, [])) for i in range(n)]
+    else:
+        lists = [sorted(s) for s in successors]
+        n = len(lists)
+    und = underlying or basename + "-underlying"
+    gstats = write_bvgraph([[d for d, _ in lst] for lst in lists], und, **kw)
+    w = BitWriter()
+    offsets = [0]
+    for lst in lists:
+        for _, lab in lst:
+            if lab < 0:
+                raise ValueError("GammaCodedIntLabel labels must be >= 0")
+            w.write_gamma(int(lab))
+        offsets.append(w.written)
+    with open(basename + ".labels", "wb") as f:
+        f.write(w.to_bytes())
+    ow = BitWriter()
+    prev = 0
+    for off in offsets:
+        ow.write_gamma(off - prev)
+        prev = off
+    with open(basename + ".labeloffsets", "wb") as f:
+        f.write(ow.to_bytes())
+    import os
+
+    props = {
+        "graphclass": LABELLED_GRAPHCLASS,
+        "underlyinggraph": os.path.basename(und),
+        "labelspec": GAMMA_LABELSPEC,
+    }
+    with open(basename + ".properties", "w", encoding="utf-8") as f:
+        f.write("#BitStreamArcLabelledImmutableGraph properties\n")
+        for k, v in props.items():
+            f.write(f"{k}={v}\n")
+    return {**gstats, "label_bits": w.written}
+
+
+def write_bvgraph_labelled_from_edges(edges, basename: str, **kw) -> dict:
+    """Collect a (src, dst, label) DataFrame into the labelled writer
+    (same export/fixture gating as write_bvgraph_from_edges; labels
+    must be natural numbers per the GammaCodedIntLabel contract)."""
+    rows = edges.select("src", "dst", "label").collect()
+    succ: dict[int, list[tuple[int, int]]] = {}
+    n = 0
+    for r in rows:
+        s, d, l = int(r["src"]), int(r["dst"]), int(r["label"])
+        succ.setdefault(s, []).append((d, l))
+        n = max(n, s + 1, d + 1)
+    kw.setdefault("n_nodes", n)
+    return write_bvgraph_labelled(succ, basename, **kw)
+
+
+def read_labelled_properties(basename: str) -> dict:
+    props: dict[str, str] = {}
+    with open(basename + ".properties", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line[0] in "#!":
+                continue
+            for sep in ("=", ":"):
+                if sep in line:
+                    k, _, v = line.partition(sep)
+                    props[k.strip()] = v.strip()
+                    break
+    if "ArcLabelled" not in props.get("graphclass", ""):
+        raise ValueError(
+            f"not a labelled basename (graphclass={props.get('graphclass')!r})"
+        )
+    if "GammaCodedIntLabel" not in props.get("labelspec", ""):
+        raise NotImplementedError(
+            f"only GammaCodedIntLabel is supported, got "
+            f"{props.get('labelspec')!r}"
+        )
+    return props
+
+
+def read_bvgraph_labelled(spark, basename: str,
+                          num_partitions: int | None = None):
+    """ArcLabelledImmutableGraph load: underlying successors + γ labels
+    -> (src, dst, label) DataFrame, distributed the same byte-range way
+    as :func:`read_bvgraph` (labels ride each slice as its own byte
+    range of ``.labels``)."""
+    import os
+
+    lp = read_labelled_properties(basename)
+    und = lp["underlyinggraph"]
+    if not os.path.isabs(und):
+        und = os.path.join(os.path.dirname(basename), und)
+    p = read_properties(und)
+    n = p["nodes"]
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    offsets = read_offsets(und, n, p["codings"]["offsets"])
+    loffsets = _read_label_offsets(basename, n)
+    back = p["windowsize"] * p["maxrefcount"]
+    if n == 0:
+        return spark.createDataFrame([], "src long, dst long, label long")
+    total_bits = int(offsets[n])
+    targets = [(i * total_bits) // num_partitions
+               for i in range(1, num_partitions)]
+    cuts = np.unique(np.searchsorted(offsets[:n], targets, side="left"))
+    bounds = [0] + [int(c) for c in cuts if 0 < c < n] + [n]
+    rows = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1] - 1
+        off0 = max(0, lo - back)
+        rows.append((
+            lo, hi, off0,
+            offsets[off0:hi + 2].tobytes(),
+            loffsets[lo:hi + 2].tobytes(),
+        ))
+    pdf = pd.DataFrame(
+        rows, columns=["lo", "hi", "off0", "offs", "loffs"])
+    ranges = spark.createDataFrame(
+        pdf, "lo long, hi long, off0 long, offs binary, loffs binary"
+    ).repartition(len(rows), "lo")
+    graph_path = und + ".graph"
+    labels_path = basename + ".labels"
+    meta = {k: p[k] for k in
+            ("windowsize", "maxrefcount", "minintervallength",
+             "zetak", "codings")}
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bdf in batches:
+            for _, row in bdf.iterrows():
+                offs = np.frombuffer(row["offs"], dtype=np.int64)
+                lo, hi = int(row["lo"]), int(row["hi"])
+                s, d = decode_range(
+                    graph_path, offs, int(row["off0"]), lo, hi, meta)
+                loffs = np.frombuffer(row["loffs"], dtype=np.int64)
+                first_byte = int(loffs[0]) >> 3
+                last_byte = (int(loffs[-1]) + 7) >> 3
+                with open(labels_path, "rb") as f:
+                    f.seek(first_byte)
+                    buf = f.read(max(0, last_byte - first_byte))
+                r = BitReader(buf, base_bit=first_byte * 8)
+                r.position(int(loffs[0]))
+                labs = np.empty(len(s), dtype=np.int64)
+                for i in range(len(s)):
+                    labs[i] = r.read_gamma()
+                if len(s):
+                    yield pd.DataFrame({"src": s, "dst": d, "label": labs})
+
+    return ranges.mapInPandas(decode, schema="src long, dst long, label long")
+
+
+def _read_label_offsets(basename: str, n: int) -> np.ndarray:
+    with open(basename + ".labeloffsets", "rb") as f:
+        r = BitReader(f.read())
+    out = np.empty(n + 1, dtype=np.int64)
+    acc = 0
+    for i in range(n + 1):
+        acc += r.read_gamma()
+        out[i] = acc
+    return out
 
 
 def bvgraph_stats(basename: str) -> dict:

@@ -120,6 +120,12 @@ def load_graph(spark: SparkSession, path: str) -> DataFrame:
     import os
 
     if os.path.exists(path + ".properties"):
+        with open(path + ".properties", encoding="utf-8") as f:
+            head = f.read()
+        if "ArcLabelled" in head:
+            from .bvdisk import read_bvgraph_labelled
+
+            return read_bvgraph_labelled(spark, path)
         from .bvdisk import read_bvgraph
 
         return read_bvgraph(spark, path)

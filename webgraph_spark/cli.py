@@ -208,13 +208,19 @@ def cmd_bvstore(args):
 
 def cmd_bvload(args):
     """BVGraph.load from a reference-layout basename -> edge table
-    (distributed byte-range decode)."""
-    from .sources.bvdisk import bvgraph_stats, read_bvgraph
+    (distributed byte-range decode; labelled basenames return
+    (src, dst, label) via the graphclass dispatch)."""
+    from .sources.storage import load_graph
 
     spark = _spark(args)
-    out = read_bvgraph(spark, args.basename)
+    out = load_graph(spark, args.basename)
     _emit_df(out, args, order=["src", "dst"])
-    _emit_json(bvgraph_stats(args.basename))
+    try:
+        from .sources.bvdisk import bvgraph_stats
+
+        _emit_json(bvgraph_stats(args.basename))
+    except ValueError:
+        _emit_json({"labelled": True, "arcs": out.count()})
 
 
 def cmd_unpack(args):

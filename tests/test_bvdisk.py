@@ -333,3 +333,53 @@ def test_labelled_rejects_other_specs(tmp_path):
                 "FixedWidthIntLabel(FOO,10)\n")
     with pytest.raises(NotImplementedError):
         read_labelled_properties(base)
+
+
+def test_reader_rejects_malformed_inputs(tmp_path):
+    """Error paths: wrong graphclass, unsupported version, chain-floor
+    guard (a corrupted reference would otherwise wrap a numpy index)."""
+    from webgraph_spark.sources.bvdisk import _decode_node
+
+    base = str(tmp_path / "bad")
+    with open(base + ".properties", "w") as f:
+        f.write("graphclass=some.other.Thing\nnodes=1\narcs=0\n")
+    with pytest.raises(ValueError, match="not a BVGraph"):
+        read_properties(base)
+    with open(base + ".properties", "w") as f:
+        f.write("graphclass=it.unimi.dsi.webgraph.BVGraph\n"
+                "version=99\nnodes=1\narcs=0\n")
+    with pytest.raises(ValueError, match="version"):
+        read_properties(base)
+    # chain floor: decoding node below the slice's offset floor raises
+    p = {"_off0": 5, "codings": dict(), "zetak": 3, "windowsize": 7,
+         "minintervallength": 4, "maxrefcount": 3}
+    with pytest.raises(ValueError, match="offset floor"):
+        _decode_node(2, np.zeros(3, np.int64), BitReader(b"\xff"), p, {})
+
+
+def test_cli_bvstore_labelled_roundtrip(tmp_path):
+    from webgraph_spark.cli import main as cli_main
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "edges")
+    pq.write_table(
+        pa.table({"src": [0, 0, 1], "dst": [1, 2, 2], "w": [4, 9, 1]}),
+        src + ".parquet",
+    )
+    import os
+    os.makedirs(src, exist_ok=True)
+    os.rename(src + ".parquet", src + "/part-0.parquet")
+    base = str(tmp_path / "g")
+    rc = cli_main(["bvstore", "-i", src, "--basename", base,
+                   "--label-col", "w"])
+    assert rc in (0, None)
+    rc = cli_main(["bvload", "--basename", base,
+                   "-o", str(tmp_path / "back")])
+    assert rc in (0, None)
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT src, dst, label FROM read_parquet('{tmp_path}/back/*.parquet') ORDER BY src, dst"
+    ).fetchall()
+    assert rows == [(0, 1, 4), (0, 2, 9), (1, 2, 1)]

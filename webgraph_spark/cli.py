@@ -194,15 +194,22 @@ def cmd_bvstore(args):
     codings = {}
     if args.residuals:
         codings["residuals"] = args.residuals
-    stats = write_bvgraph_from_edges(
-        e,
-        args.basename,
+    kw = dict(
         window_size=args.window_size,
         max_ref_count=args.max_ref_count,
         min_interval_length=args.min_interval_length,
         zeta_k=args.zeta_k,
         codings=codings or None,
     )
+    if args.label_col:
+        from .sources.bvdisk import write_bvgraph_labelled_from_edges
+
+        stats = write_bvgraph_labelled_from_edges(
+            e.withColumnRenamed(args.label_col, "label"),
+            args.basename, **kw,
+        )
+    else:
+        stats = write_bvgraph_from_edges(e, args.basename, **kw)
     _emit_json(stats)
 
 
@@ -622,6 +629,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--zeta-k", type=int, default=3)
     sp.add_argument("--residuals", default=None,
                     choices=["GAMMA", "DELTA", "ZETA", "GOLOMB", "NIBBLE"])
+    sp.add_argument("--label-col", default=None,
+                    help="store as BitStreamArcLabelledImmutableGraph "
+                         "with this column as the gamma-coded label")
     sp = add("bvload", cmd_bvload, needs_input=False)
     sp.add_argument("--basename", required=True)
 

@@ -44,6 +44,14 @@ def main():
     st = write_bvgraph_from_edges(edges, base)
     t_store = time.time() - t0
 
+    from webgraph_spark.sources.bvdisk import write_bvgraph_distributed
+
+    base_d = tempfile.mkdtemp(prefix="bvdisk_bench_") + "/gd"
+    t0 = time.time()
+    st_d = write_bvgraph_distributed(edges, base_d, num_partitions=32)
+    t_store_d = time.time() - t0
+    assert st_d["arcs"] == n_edges
+
     t0 = time.time()
     n_back = read_bvgraph(spark, base, num_partitions=32).count()
     t_load = time.time() - t0
@@ -61,6 +69,9 @@ def main():
         "bits_per_link": st["bitsperlink"],
         "store_sec_driver": round(t_store, 1),
         "store_edges_per_sec": round(n_edges / t_store, 1),
+        "store_sec_distributed": round(t_store_d, 1),
+        "store_dist_edges_per_sec": round(n_edges / t_store_d, 1),
+        "bits_per_link_distributed": st_d["bitsperlink"],
         "load_sec_distributed": round(t_load, 1),
         "load_edges_per_sec": round(n_edges / t_load, 1),
         "load2_sec_obl_cached": round(t_load2, 1),

@@ -208,6 +208,10 @@ def cmd_bvstore(args):
             e.withColumnRenamed(args.label_col, "label"),
             args.basename, **kw,
         )
+    elif args.distributed:
+        from .sources.bvdisk import write_bvgraph_distributed
+
+        stats = write_bvgraph_distributed(e, args.basename, **kw)
     else:
         stats = write_bvgraph_from_edges(e, args.basename, **kw)
     _emit_json(stats)
@@ -632,6 +636,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--label-col", default=None,
                     help="store as BitStreamArcLabelledImmutableGraph "
                          "with this column as the gamma-coded label")
+    sp.add_argument("--distributed", action="store_true",
+                    help="parallel per-segment compression (the "
+                         "reference's threaded store), bit-concat on "
+                         "the driver")
     sp = add("bvload", cmd_bvload, needs_input=False)
     sp.add_argument("--basename", required=True)
 

@@ -693,21 +693,61 @@ def write_bvgraph(
     else:
         succ = [sorted(s) for s in successors]
         n = len(succ)
+    buf, total_bits, node_bits, m = _encode_segment(
+        succ, 0, window_size, max_ref_count, min_interval_length,
+        zeta_k, cod,
+    )
+    with open(basename + ".graph", "wb") as f:
+        f.write(buf)
+    _write_offsets_file(basename, node_bits, cod["offsets"], zeta_k)
+    stats = {
+        "nodes": n, "arcs": m, "windowsize": window_size,
+        "maxrefcount": max_ref_count,
+        "minintervallength": min_interval_length, "zetak": zeta_k,
+        "graphclass": GRAPHCLASS, "version": 0,
+        "compressionflags": _flags_string(cod),
+        "bitsperlink": round(total_bits / m, 3) if m else 0.0,
+    }
+    with open(basename + ".properties", "w", encoding="utf-8") as f:
+        f.write("#BVGraph properties\n")
+        for k, v in stats.items():
+            f.write(f"{k}={v}\n")
+    return stats
+
+
+def _encode_segment(
+    succ: list,
+    node_offset: int,
+    window_size: int,
+    max_ref_count: int,
+    min_interval_length: int,
+    zeta_k: int,
+    cod: dict,
+) -> tuple[bytes, int, list, int]:
+    """Encode one contiguous node segment (absolute ids node_offset ..
+    node_offset+len(succ)-1) into its own bitstream. References stay
+    WITHIN the segment — exactly the reference's parallel compression
+    contract (each thread's window starts empty at its segment,
+    BVGraph.java:2436-2650), so segment streams concatenate bit-level
+    into a valid single-stream graph file. Returns (bytes, total_bits,
+    per-node bit lengths, arcs)."""
     p = {"windowsize": window_size, "minintervallength": min_interval_length,
          "zetak": zeta_k, "codings": cod}
     w = BitWriter()
-    offsets = [0]
+    node_bits = []
     cyclic = window_size + 1
     ref_count = [-1] * cyclic
     m = 0
-    for x in range(n):
-        cur = succ[x]
+    for i in range(len(succ)):
+        cur = succ[i]
+        x = node_offset + i
+        before = w.written
         m += len(cur)
         w.write_coded(len(cur), cod["outdegrees"], zeta_k)
         if cur:
             best_ref, best_bits = 0, None
-            for ref in range(0, min(window_size, x) + 1):
-                cand = x - ref
+            for ref in range(0, min(window_size, i) + 1):
+                cand = i - ref
                 if ref > 0 and (ref_count[cand % cyclic] >= max_ref_count
                                 or not succ[cand]):
                     continue
@@ -716,30 +756,150 @@ def write_bvgraph(
                                   succ[cand] if ref else [], cur, p)
                 if best_bits is None or bits < best_bits:
                     best_bits, best_ref = bits, ref
-            ref_count[x % cyclic] = (
-                0 if best_ref == 0 else ref_count[(x - best_ref) % cyclic] + 1
+            ref_count[i % cyclic] = (
+                0 if best_ref == 0 else ref_count[(i - best_ref) % cyclic] + 1
             )
             _diff_comp(w, x, best_ref,
-                       succ[x - best_ref] if best_ref else [], cur, p)
+                       succ[i - best_ref] if best_ref else [], cur, p)
         else:
-            ref_count[x % cyclic] = 0
-        offsets.append(w.written)
-    with open(basename + ".graph", "wb") as f:
-        f.write(w.to_bytes())
+            ref_count[i % cyclic] = 0
+        node_bits.append(w.written - before)
+    return w.to_bytes(), w.written, node_bits, m
+
+
+def _write_offsets_file(basename: str, node_bits, coding: str,
+                        zeta_k: int) -> None:
+    """n+1 offsets as coded deltas: first 0, then per-node bit lengths."""
     ow = BitWriter()
-    prev = 0
-    for off in offsets:
-        ow.write_coded(off - prev, cod["offsets"], zeta_k)
-        prev = off
+    ow.write_coded(0, coding, zeta_k)
+    for nb in node_bits:
+        ow.write_coded(int(nb), coding, zeta_k)
     with open(basename + ".offsets", "wb") as f:
         f.write(ow.to_bytes())
+
+
+def _concat_bitstreams(parts: list) -> tuple[bytes, int]:
+    """Bit-level concatenation of (bytes, nbits) segment streams — the
+    reference's temp-file concatenation step made explicit."""
+    acc = 0
+    total = 0
+    for buf, nbits in parts:
+        if nbits == 0:
+            continue
+        v = int.from_bytes(buf, "big") >> (len(buf) * 8 - nbits)
+        acc = (acc << nbits) | v
+        total += nbits
+    if total == 0:
+        return b"", 0
+    pad = (-total) % 8
+    return (acc << pad).to_bytes((total + pad) // 8, "big"), total
+
+
+def write_bvgraph_distributed(
+    edges,
+    basename: str,
+    num_partitions: int | None = None,
+    window_size: int = 7,
+    max_ref_count: int = 3,
+    min_interval_length: int = 4,
+    zeta_k: int = 3,
+    codings: dict | None = None,
+    n_nodes: int | None = None,
+) -> dict:
+    """BVGraph.store with the reference's PARALLEL compression shape
+    (BVGraph.java:2436-2650: split node iterators, one bitstream per
+    thread, concatenate): each executor encodes one contiguous node
+    segment via applyInPandas (references confined to the segment, as
+    in the reference's threads), the driver receives ONLY the encoded
+    segment streams (bytes ~ compressed size, not the edge list) and
+    bit-concatenates them into ``basename.graph`` + builds
+    ``.offsets``/``.properties``. Node ids must be dense 0..n-1
+    (densify first — assign_dense_ids)."""
+    from pyspark.sql import functions as F
+
+    cod = dict(_DEFAULTS)
+    if codings:
+        cod.update({k: v.upper() for k, v in codings.items()})
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if n_nodes is None:
+        mx = edges.agg(
+            F.greatest(F.max("src"), F.max("dst")).alias("m")
+        ).collect()[0]["m"]
+        n_nodes = int(mx) + 1 if mx is not None else 0
+    n = n_nodes
+    if n == 0:
+        return write_bvgraph([], basename, window_size=window_size,
+                             max_ref_count=max_ref_count,
+                             min_interval_length=min_interval_length,
+                             zeta_k=zeta_k, codings=codings)
+    span = max(1, (n + num_partitions - 1) // num_partitions)
+    tagged = edges.select("src", "dst").withColumn(
+        "range_id", F.expr(f"src div {span}")
+    )
+
+    def enc(key, pdf):
+        rid = int(key[0])
+        lo = rid * span
+        hi = min(n, lo + span) - 1
+        arr = pdf[["src", "dst"]].to_numpy(np.int64)
+        arr = np.unique(arr, axis=0)
+        lists: list[list[int]] = [[] for _ in range(hi - lo + 1)]
+        for s, d in arr:
+            lists[int(s) - lo].append(int(d))
+        buf, nbits, node_bits, m = _encode_segment(
+            lists, lo, window_size, max_ref_count,
+            min_interval_length, zeta_k, cod,
+        )
+        return pd.DataFrame({
+            "range_id": [rid],
+            "n_arcs": [m],
+            "nbits": [nbits],
+            "graph": [buf],
+            "node_bits": [np.asarray(node_bits, np.int64).tobytes()],
+        })
+
+    rows = {
+        int(r["range_id"]): r
+        for r in tagged.groupBy("range_id").applyInPandas(
+            enc,
+            schema="range_id long, n_arcs long, nbits long, "
+                   "graph binary, node_bits binary",
+        ).collect()
+    }
+    parts = []
+    all_node_bits: list[int] = []
+    m = 0
+    n_ranges = (n + span - 1) // span
+    for rid in range(n_ranges):
+        lo = rid * span
+        hi = min(n, lo + span) - 1
+        if rid in rows:
+            r = rows[rid]
+            parts.append((bytes(r["graph"]), int(r["nbits"])))
+            all_node_bits.extend(
+                np.frombuffer(r["node_bits"], dtype=np.int64).tolist())
+            m += int(r["n_arcs"])
+        else:  # arc-free segment: all-empty outdegree codes
+            buf, nbits, node_bits, _ = _encode_segment(
+                [[] for _ in range(hi - lo + 1)], lo, window_size,
+                max_ref_count, min_interval_length, zeta_k, cod,
+            )
+            parts.append((buf, nbits))
+            all_node_bits.extend(node_bits)
+    graph_bytes, total_bits = _concat_bitstreams(parts)
+    with open(basename + ".graph", "wb") as f:
+        f.write(graph_bytes)
+    _write_offsets_file(basename, all_node_bits, cod["offsets"], zeta_k)
     stats = {
         "nodes": n, "arcs": m, "windowsize": window_size,
         "maxrefcount": max_ref_count,
         "minintervallength": min_interval_length, "zetak": zeta_k,
         "graphclass": GRAPHCLASS, "version": 0,
         "compressionflags": _flags_string(cod),
-        "bitsperlink": round(w.written / m, 3) if m else 0.0,
+        "bitsperlink": round(total_bits / m, 3) if m else 0.0,
     }
     with open(basename + ".properties", "w", encoding="utf-8") as f:
         f.write("#BVGraph properties\n")

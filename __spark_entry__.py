@@ -344,9 +344,10 @@ def q_bvdisk_roundtrip(spark, sf_dir):
     intervals, ζ₃ residuals, greedy window-7 reference selection —
     BVGraph.java:2049-2327), then the DISTRIBUTED byte-range reader
     decodes it back. store -> load -> same arcs. The writer is the
-    driver-side export path (gated fixture/export scale; the reader is
-    the 100-TB path). BVGraph node ids are DENSE 0..n-1 by contract —
-    the reference routes sparse id spaces through a dictionary
+    reference's PARALLEL store shape (per-segment streams, bit-level
+    concat — write_bvgraph_distributed) and the distributed byte-range
+    reader. BVGraph node ids are DENSE 0..n-1 by contract — the
+    reference routes sparse id spaces through a dictionary
     (ScatteredArcsASCIIGraph) first — so the pipeline densifies with
     the distributed rank, stores/loads, and joins the original ids
     back (the full ingest→store→load→export chain)."""
@@ -354,7 +355,7 @@ def q_bvdisk_roundtrip(spark, sf_dir):
 
     from webgraph_spark.sources.bvdisk import (
         read_bvgraph,
-        write_bvgraph_from_edges,
+        write_bvgraph_distributed,
     )
     from webgraph_spark.util.ids import assign_dense_ids
 
@@ -373,7 +374,7 @@ def q_bvdisk_roundtrip(spark, sf_dir):
         .select(F.col("dsrc").alias("src"), F.col("ddst").alias("dst"))
     )
     base = tempfile.mkdtemp(prefix="bvdisk_") + "/g"
-    write_bvgraph_from_edges(dense, base)
+    write_bvgraph_distributed(dense, base, num_partitions=8)
     back = read_bvgraph(spark, base, num_partitions=8)
     out = (
         back.join(ids.withColumnRenamed("nid", "src"), "src")

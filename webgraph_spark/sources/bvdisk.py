@@ -790,13 +790,21 @@ def _encode_segment(
 
 def _write_offsets_file(basename: str, node_bits, coding: str,
                         zeta_k: int) -> None:
-    """n+1 offsets as coded deltas: first 0, then per-node bit lengths."""
+    """n+1 offsets as coded deltas: first 0, then per-node bit lengths.
+    Also writes the decoded ``.obl.npy`` cache up front — readers of a
+    graph WE stored never pay the sequential offsets decode at all."""
     ow = BitWriter()
     ow.write_coded(0, coding, zeta_k)
     for nb in node_bits:
         ow.write_coded(int(nb), coding, zeta_k)
     with open(basename + ".offsets", "wb") as f:
         f.write(ow.to_bytes())
+    try:
+        arr = np.zeros(len(node_bits) + 1, dtype=np.int64)
+        np.cumsum(np.asarray(node_bits, dtype=np.int64), out=arr[1:])
+        np.save(basename + ".obl.npy", arr)
+    except OSError:
+        pass
 
 
 def _concat_bitstreams(parts: list) -> tuple[bytes, int]:
@@ -826,6 +834,7 @@ def write_bvgraph_distributed(
     zeta_k: int = 3,
     codings: dict | None = None,
     n_nodes: int | None = None,
+    label_col: str | None = None,
 ) -> dict:
     """BVGraph.store with the reference's PARALLEL compression shape
     (BVGraph.java:2436-2650: split node iterators, one bitstream per
@@ -835,7 +844,14 @@ def write_bvgraph_distributed(
     segment streams (bytes ~ compressed size, not the edge list) and
     bit-concatenates them into ``basename.graph`` + builds
     ``.offsets``/``.properties``. Node ids must be dense 0..n-1
-    (densify first — assign_dense_ids)."""
+    (densify first — assign_dense_ids).
+
+    With ``label_col``, the labelled layout is produced the same way:
+    the underlying graph goes to ``<basename>-underlying`` and each
+    segment additionally emits its γ-label stream (labels have no
+    cross-node state, so segment label streams concatenate freely)."""
+    import os
+
     from pyspark.sql import functions as F
 
     cod = dict(_DEFAULTS)
@@ -857,29 +873,58 @@ def write_bvgraph_distributed(
                              min_interval_length=min_interval_length,
                              zeta_k=zeta_k, codings=codings)
     span = max(1, (n + num_partitions - 1) // num_partitions)
-    tagged = edges.select("src", "dst").withColumn(
+    cols = ["src", "dst"] + ([label_col] if label_col else [])
+    tagged = edges.select(*cols).withColumn(
         "range_id", F.expr(f"src div {span}")
     )
+    graph_base = (basename + "-underlying") if label_col else basename
 
     def enc(key, pdf):
         rid = int(key[0])
         lo = rid * span
         hi = min(n, lo + span) - 1
-        arr = pdf[["src", "dst"]].to_numpy(np.int64)
-        arr = np.unique(arr, axis=0)
-        lists: list[list[int]] = [[] for _ in range(hi - lo + 1)]
-        for s, d in arr:
-            lists[int(s) - lo].append(int(d))
+        lists: list[list] = [[] for _ in range(hi - lo + 1)]
+        if label_col:
+            arr = pdf[["src", "dst", label_col]].to_numpy(np.int64)
+            arr = arr[np.lexsort((arr[:, 1], arr[:, 0]))]
+            keep = np.ones(len(arr), dtype=bool)
+            keep[1:] = (arr[1:, 0] != arr[:-1, 0]) | (arr[1:, 1] != arr[:-1, 1])
+            arr = arr[keep]
+            for s, d, l in arr:
+                lists[int(s) - lo].append((int(d), int(l)))
+            dst_lists = [[d for d, _ in lst] for lst in lists]
+        else:
+            arr = np.unique(pdf[["src", "dst"]].to_numpy(np.int64), axis=0)
+            for s, d in arr:
+                lists[int(s) - lo].append(int(d))
+            dst_lists = lists
         buf, nbits, node_bits, m = _encode_segment(
-            lists, lo, window_size, max_ref_count,
+            dst_lists, lo, window_size, max_ref_count,
             min_interval_length, zeta_k, cod,
         )
+        if label_col:
+            lw = BitWriter()
+            lab_bits = []
+            for lst in lists:
+                before = lw.written
+                for _, lab in lst:
+                    if lab < 0:
+                        raise ValueError(
+                            "GammaCodedIntLabel labels must be >= 0")
+                    lw.write_gamma(lab)
+                lab_bits.append(lw.written - before)
+            labels_buf, labels_nbits = lw.to_bytes(), lw.written
+        else:
+            labels_buf, labels_nbits, lab_bits = b"", 0, []
         return pd.DataFrame({
             "range_id": [rid],
             "n_arcs": [m],
             "nbits": [nbits],
             "graph": [buf],
             "node_bits": [np.asarray(node_bits, np.int64).tobytes()],
+            "lnbits": [labels_nbits],
+            "labels": [labels_buf],
+            "lab_bits": [np.asarray(lab_bits, np.int64).tobytes()],
         })
 
     rows = {
@@ -887,11 +932,14 @@ def write_bvgraph_distributed(
         for r in tagged.groupBy("range_id").applyInPandas(
             enc,
             schema="range_id long, n_arcs long, nbits long, "
-                   "graph binary, node_bits binary",
+                   "graph binary, node_bits binary, "
+                   "lnbits long, labels binary, lab_bits binary",
         ).collect()
     }
     parts = []
+    lab_parts = []
     all_node_bits: list[int] = []
+    all_lab_bits: list[int] = []
     m = 0
     n_ranges = (n + span - 1) // span
     for rid in range(n_ranges):
@@ -902,6 +950,10 @@ def write_bvgraph_distributed(
             parts.append((bytes(r["graph"]), int(r["nbits"])))
             all_node_bits.extend(
                 np.frombuffer(r["node_bits"], dtype=np.int64).tolist())
+            if label_col:
+                lab_parts.append((bytes(r["labels"]), int(r["lnbits"])))
+                all_lab_bits.extend(
+                    np.frombuffer(r["lab_bits"], dtype=np.int64).tolist())
             m += int(r["n_arcs"])
         else:  # arc-free segment: all-empty outdegree codes
             buf, nbits, node_bits, _ = _encode_segment(
@@ -910,10 +962,12 @@ def write_bvgraph_distributed(
             )
             parts.append((buf, nbits))
             all_node_bits.extend(node_bits)
+            if label_col:
+                all_lab_bits.extend([0] * (hi - lo + 1))
     graph_bytes, total_bits = _concat_bitstreams(parts)
-    with open(basename + ".graph", "wb") as f:
+    with open(graph_base + ".graph", "wb") as f:
         f.write(graph_bytes)
-    _write_offsets_file(basename, all_node_bits, cod["offsets"], zeta_k)
+    _write_offsets_file(graph_base, all_node_bits, cod["offsets"], zeta_k)
     stats = {
         "nodes": n, "arcs": m, "windowsize": window_size,
         "maxrefcount": max_ref_count,
@@ -922,10 +976,26 @@ def write_bvgraph_distributed(
         "compressionflags": _flags_string(cod),
         "bitsperlink": round(total_bits / m, 3) if m else 0.0,
     }
-    with open(basename + ".properties", "w", encoding="utf-8") as f:
+    with open(graph_base + ".properties", "w", encoding="utf-8") as f:
         f.write("#BVGraph properties\n")
         for k, v in stats.items():
             f.write(f"{k}={v}\n")
+    if label_col:
+        labels_bytes, label_bits = _concat_bitstreams(lab_parts)
+        with open(basename + ".labels", "wb") as f:
+            f.write(labels_bytes)
+        ow = BitWriter()
+        ow.write_gamma(0)
+        for nb in all_lab_bits:
+            ow.write_gamma(int(nb))
+        with open(basename + ".labeloffsets", "wb") as f:
+            f.write(ow.to_bytes())
+        with open(basename + ".properties", "w", encoding="utf-8") as f:
+            f.write("#BitStreamArcLabelledImmutableGraph properties\n")
+            f.write(f"graphclass={LABELLED_GRAPHCLASS}\n")
+            f.write(f"underlyinggraph={os.path.basename(graph_base)}\n")
+            f.write(f"labelspec={GAMMA_LABELSPEC}\n")
+        stats = {**stats, "label_bits": label_bits}
     return stats
 
 

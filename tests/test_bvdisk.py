@@ -453,3 +453,29 @@ def test_distributed_labelled_store(spark, tmp_path):
     got = {(r["src"], r["dst"], r["label"]) for r in
            read_bvgraph_labelled(spark, base, num_partitions=4).collect()}
     assert got == set(rows)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_concat_bitstreams_matches_bigint(seed):
+    """The O(bytes) numpy shifting concat == the obvious big-int
+    reference implementation, across ragged bit lengths."""
+    from webgraph_spark.sources.bvdisk import _concat_bitstreams
+
+    rng = np.random.default_rng(seed)
+    parts = []
+    for _ in range(12):
+        nbits = int(rng.integers(0, 70))
+        nbytes = (nbits + 7) // 8
+        buf = bytes(rng.integers(0, 256, max(nbytes, 1), dtype=np.uint8))
+        parts.append((buf[:nbytes], nbits))
+    got, total = _concat_bitstreams(parts)
+    acc, t2 = 0, 0
+    for buf, nbits in parts:
+        if nbits == 0:
+            continue
+        v = int.from_bytes(buf, "big") >> (len(buf) * 8 - nbits)
+        acc = (acc << nbits) | v
+        t2 += nbits
+    pad = (-t2) % 8
+    want = (acc << pad).to_bytes((t2 + pad) // 8, "big") if t2 else b""
+    assert total == t2 and got == want

@@ -809,19 +809,46 @@ def _write_offsets_file(basename: str, node_bits, coding: str,
 
 def _concat_bitstreams(parts: list) -> tuple[bytes, int]:
     """Bit-level concatenation of (bytes, nbits) segment streams — the
-    reference's temp-file concatenation step made explicit."""
-    acc = 0
+    reference's temp-file concatenation step made explicit. O(total
+    bytes): each part is shifted into place with one vectorized numpy
+    pass (a big-int accumulator would copy the whole prefix per part —
+    O(parts x size), a non-starter at real graph sizes)."""
+    out = bytearray()
+    carry = 0  # value of the s pending bits, right-aligned
+    s = 0      # number of pending bits (0..7)
     total = 0
     for buf, nbits in parts:
         if nbits == 0:
             continue
-        v = int.from_bytes(buf, "big") >> (len(buf) * 8 - nbits)
-        acc = (acc << nbits) | v
+        a = np.frombuffer(buf, dtype=np.uint8)
+        nb = (nbits + 7) >> 3
+        a = a[:nb]
+        if s == 0:
+            full = nbits >> 3
+            out += a[:full].tobytes()
+            rem = nbits & 7
+            if rem:
+                carry = int(a[full]) >> (8 - rem)
+                s = rem
+        else:
+            # y[i] = low (8-s) bits of a[i-1], then high s bits of a[i]
+            x = a.astype(np.uint16)
+            y = np.empty(len(a) + 1, dtype=np.uint8)
+            y[0] = ((carry << (8 - s)) | (int(a[0]) >> s)) & 0xFF
+            if len(a) > 1:
+                y[1:-1] = (((x[:-1] << (8 - s)) & 0xFF)
+                           | (x[1:] >> s)).astype(np.uint8)
+            y[-1] = ((int(a[-1]) << (8 - s)) & 0xFF)
+            tbits = s + nbits
+            full = tbits >> 3
+            rem = tbits & 7
+            out += y[:full].tobytes()
+            carry = (int(y[full]) >> (8 - rem)) if rem else 0
+            s = rem
         total += nbits
-    if total == 0:
-        return b"", 0
-    pad = (-total) % 8
-    return (acc << pad).to_bytes((total + pad) // 8, "big"), total
+    if s:
+        out.append((carry << (8 - s)) & 0xFF)
+    return bytes(out), total
 
 
 def write_bvgraph_distributed(

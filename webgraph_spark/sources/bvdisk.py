@@ -524,9 +524,10 @@ def decode_range(graph_path: str, offsets: np.ndarray, off0: int,
     """Decode successor lists of nodes [lo, hi] given offsets for nodes
     [off0, hi+1] (off0 <= lo - windowsize*maxrefcount when lo > 0).
     Reads only this slice's byte range of the file."""
-    first_byte = int(offsets[lo - off0]) >> 3 if hi >= lo else 0
-    # the byte range must cover the deepest possible back-reference
-    first_byte = min(first_byte, int(offsets[0]) >> 3)
+    # the byte range starts at the offset floor (off0 <= lo -
+    # windowsize*maxrefcount), covering the deepest possible
+    # back-reference of any node in [lo, hi]
+    first_byte = int(offsets[0]) >> 3
     last_byte = (int(offsets[hi + 1 - off0]) + 7) >> 3
     with open(graph_path, "rb") as f:
         f.seek(first_byte)

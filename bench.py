@@ -97,12 +97,19 @@ def main():
 
     # ---- build + materialize the transcript link graph (ingest timing).
     # This is the FIRST job after session bring-up: its window absorbs
-    # JVM/codegen warm-up (see jvm_cold_first_query in detail).
-    edges = tm.run(
-        "ingest_transcripts_to_edges",
-        lambda: build_transcript_graph(spark, n_convs).persist(),
-    )
-    n_edges = edges.count()
+    # JVM/codegen warm-up (see jvm_cold_first_query in detail). The
+    # count() MUST stay inside the timed thunk — persist() alone is
+    # lazy and would time plan construction only.
+    edges_box: list = []
+
+    def _ingest():
+        e = build_transcript_graph(spark, n_convs).persist()
+        n = e.count()
+        edges_box.append((e, n))
+        return n
+
+    tm.run("ingest_transcripts_to_edges", _ingest)
+    edges, n_edges = edges_box[0]
 
     # ---- headline: PageRank to 1e-6 convergence
     from webgraph_spark.algos.pagerank import pagerank

@@ -125,7 +125,8 @@ def _read_all_driver(basename):
     from webgraph_spark.sources.bvdisk import decode_range
 
     p = read_properties(basename)
-    offs = read_offsets(basename, p["nodes"], p["codings"]["offsets"])
+    offs = read_offsets(basename, p["nodes"], p["codings"]["offsets"],
+                        k=p["zetak"])
     if p["nodes"] == 0:
         return set()
     s, d = decode_range(basename + ".graph", offs, 0, 0, p["nodes"] - 1, p)
@@ -479,3 +480,33 @@ def test_concat_bitstreams_matches_bigint(seed):
     pad = (-t2) % 8
     want = (acc << pad).to_bytes((t2 + pad) // 8, "big") if t2 else b""
     assert total == t2 and got == want
+
+
+def test_writer_dedups_duplicate_arcs(tmp_path):
+    """Duplicate (src,dst) arcs must not crash the encoder (review
+    finding: negative residual gap -> negative shift); both writers
+    dedup, the labelled one keeping the smallest label."""
+    from webgraph_spark.sources.bvdisk import write_bvgraph_labelled
+
+    base = str(tmp_path / "dup")
+    st = write_bvgraph([[1, 1, 2], [2], []], base)
+    assert st["arcs"] == 3
+    assert _read_all_driver(base) == {(0, 1), (0, 2), (1, 2)}
+    base2 = str(tmp_path / "dupl")
+    write_bvgraph_labelled([[(1, 9), (1, 4), (2, 3)], [], []], base2)
+    from webgraph_spark.sources.bvdisk import _read_label_offsets
+
+    offs = _read_label_offsets(base2, 3)
+    assert len(offs) == 4
+
+
+def test_offsets_coding_k_threaded(tmp_path):
+    """OFFSETS decoded with the writer's zeta_k (review finding: a
+    GOLOMB offsets stream decoded with k=0 silently returned zeros)."""
+    import os
+
+    succ = _er_lists(40, 0.1, seed=9)
+    base = str(tmp_path / "zk")
+    write_bvgraph(succ, base, codings={"offsets": "GOLOMB"}, zeta_k=5)
+    os.remove(base + ".obl.npy")  # force a real decode
+    assert _read_all_driver(base) == _driver_edges(succ)

@@ -233,7 +233,17 @@ def cmd_bvload(args):
 
         _emit_json(bvgraph_stats(args.basename))
     except ValueError:
-        _emit_json({"labelled": True, "arcs": out.count()})
+        # labelled basename: report from the UNDERLYING graph's
+        # offsets/properties — never re-run the distributed decode
+        # just for a count
+        import os
+
+        from .sources.bvdisk import bvgraph_stats, read_labelled_properties
+
+        und = read_labelled_properties(args.basename)["underlyinggraph"]
+        if not os.path.isabs(und):
+            und = os.path.join(os.path.dirname(args.basename), und)
+        _emit_json({"labelled": True, **bvgraph_stats(und)})
 
 
 def cmd_unpack(args):

@@ -154,6 +154,11 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
     bands = lsh_band_keys(sigs, band_rows)
     if max_bucket is not None:
+        # persist BEFORE the eager guard aggregation: the shingle +
+        # minhash pipeline then runs ONCE — the guard materializes the
+        # cache and the returned plan's two bands branches (pair join +
+        # bucket-size semi-join) read it back instead of recomputing
+        bands = bands.persist()
         bsz = bands.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
         dropped = (
             bsz.where(F.col("_n") > max_bucket)

@@ -353,11 +353,11 @@ def _flags_string(codings: dict) -> str:
     return " | ".join(parts)
 
 
-def read_properties(basename: str) -> dict:
-    """Parse ``basename.properties`` (java.util.Properties subset:
-    key=value / key: value lines, # and ! comments)."""
+def _parse_properties(path: str) -> dict:
+    """java.util.Properties subset: key=value / key: value lines,
+    # and ! comments. Shared by the plain and labelled readers."""
     props: dict[str, str] = {}
-    with open(basename + ".properties", encoding="utf-8") as f:
+    with open(path, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
             if not line or line[0] in "#!":
@@ -367,6 +367,12 @@ def read_properties(basename: str) -> dict:
                     k, _, v = line.partition(sep)
                     props[k.strip()] = v.strip()
                     break
+    return props
+
+
+def read_properties(basename: str) -> dict:
+    """Parse a plain-BVGraph ``basename.properties``."""
+    props = _parse_properties(basename + ".properties")
     gc = props.get("graphclass", GRAPHCLASS)
     if "BVGraph" not in gc:
         raise ValueError(f"not a BVGraph basename (graphclass={gc!r})")
@@ -401,19 +407,24 @@ def _decode_gamma_stream(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
-def read_offsets(basename: str, n: int, coding: str = "GAMMA") -> np.ndarray:
-    """Decode ``basename.offsets`` -> int64[n+1] absolute bit offsets
-    (first is 0; last is one past the end of the graph stream).
+def read_offsets(basename: str, n: int, coding: str = "GAMMA",
+                 k: int = 3, ext: str = ".offsets") -> np.ndarray:
+    """Decode ``basename<ext>`` -> int64[n+1] absolute bit offsets
+    (first is 0; last is one past the end of the stream). ``k`` is the
+    code parameter for ζ/Golomb offset codings (the same zetak the
+    writer used — threading it matters: decoding a Golomb stream with
+    k=0 would silently return zeros).
 
     The sequential code-by-code decode is O(n) driver work; like the
     reference's ``.obl`` (a serialized EliasFanoMonotoneLongBigList
-    regenerated once and reused when newer than ``.offsets``,
+    regenerated once and reused when newer than the offsets file,
     BVGraph.java:318-330), the decoded array is cached as
-    ``basename.obl.npy`` and memory-loaded on subsequent reads."""
+    ``basename<ext>.obl.npy`` and memory-loaded on subsequent reads."""
     import os
 
-    obl = basename + ".obl.npy"
-    off_path = basename + ".offsets"
+    off_path = basename + ext
+    obl = (basename + ".obl.npy") if ext == ".offsets" \
+        else off_path + ".obl.npy"
     try:
         if os.path.getmtime(obl) >= os.path.getmtime(off_path):
             cached = np.load(obl)
@@ -430,7 +441,7 @@ def read_offsets(basename: str, n: int, coding: str = "GAMMA") -> np.ndarray:
         out = np.empty(n + 1, dtype=np.int64)
         acc = 0
         for i in range(n + 1):
-            acc += r.read_coded(coding, 0)
+            acc += r.read_coded(coding, k)
             out[i] = acc
     try:
         np.save(obl, out)
@@ -565,7 +576,8 @@ def read_bvgraph(spark, basename: str, num_partitions: int | None = None):
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    offsets = read_offsets(basename, n, p["codings"]["offsets"])
+    offsets = read_offsets(basename, n, p["codings"]["offsets"],
+                           k=p["zetak"])
     back = p["windowsize"] * p["maxrefcount"]
     if n == 0:
         return spark.createDataFrame([], "src long, dst long")
@@ -711,9 +723,13 @@ def write_bvgraph(
     if isinstance(successors, dict):
         n = n_nodes if n_nodes is not None else (
             max(successors) + 1 if successors else 0)
-        succ = [sorted(successors.get(i, [])) for i in range(n)]
+        # dedup: the grammar encodes strictly increasing lists (the
+        # reference raises on a repeated successor; the distributed
+        # twin np.uniques) — a duplicate arc would otherwise produce a
+        # negative residual gap and a cryptic shift error
+        succ = [sorted(set(successors.get(i, []))) for i in range(n)]
     else:
-        succ = [sorted(s) for s in successors]
+        succ = [sorted(set(s)) for s in successors]
         n = len(succ)
     buf, total_bits, node_bits, m = _encode_segment(
         succ, 0, window_size, max_ref_count, min_interval_length,
@@ -914,7 +930,9 @@ def write_bvgraph_distributed(
         lists: list[list] = [[] for _ in range(hi - lo + 1)]
         if label_col:
             arr = pdf[["src", "dst", label_col]].to_numpy(np.int64)
-            arr = arr[np.lexsort((arr[:, 1], arr[:, 0]))]
+            # sort by (src, dst, label) so keep-first deduplication
+            # deterministically keeps the SMALLEST label per arc
+            arr = arr[np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))]
             keep = np.ones(len(arr), dtype=bool)
             keep[1:] = (arr[1:, 0] != arr[:-1, 0]) | (arr[1:, 1] != arr[:-1, 1])
             arr = arr[keep]
@@ -1086,12 +1104,22 @@ def write_bvgraph_labelled(
 
     ``successors``: per node, a list of (dst, label) pairs (labels must
     be natural numbers — the γ-coded label contract)."""
+    def _norm(lst):
+        # dedup by destination, keeping the SMALLEST label (the
+        # deterministic merge also used by the distributed twin) —
+        # duplicate arcs would break the strictly-increasing grammar
+        best: dict[int, int] = {}
+        for d, l in lst:
+            if d not in best or l < best[d]:
+                best[d] = l
+        return sorted(best.items())
+
     if isinstance(successors, dict):
         n = n_nodes if n_nodes is not None else (
             max(successors) + 1 if successors else 0)
-        lists = [sorted(successors.get(i, [])) for i in range(n)]
+        lists = [_norm(successors.get(i, [])) for i in range(n)]
     else:
-        lists = [sorted(s) for s in successors]
+        lists = [_norm(s) for s in successors]
         n = len(lists)
     und = underlying or basename + "-underlying"
     gstats = write_bvgraph([[d for d, _ in lst] for lst in lists], und, **kw)
@@ -1142,17 +1170,7 @@ def write_bvgraph_labelled_from_edges(edges, basename: str, **kw) -> dict:
 
 
 def read_labelled_properties(basename: str) -> dict:
-    props: dict[str, str] = {}
-    with open(basename + ".properties", encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line or line[0] in "#!":
-                continue
-            for sep in ("=", ":"):
-                if sep in line:
-                    k, _, v = line.partition(sep)
-                    props[k.strip()] = v.strip()
-                    break
+    props = _parse_properties(basename + ".properties")
     if "ArcLabelled" not in props.get("graphclass", ""):
         raise ValueError(
             f"not a labelled basename (graphclass={props.get('graphclass')!r})"
@@ -1182,7 +1200,7 @@ def read_bvgraph_labelled(spark, basename: str,
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    offsets = read_offsets(und, n, p["codings"]["offsets"])
+    offsets = read_offsets(und, n, p["codings"]["offsets"], k=p["zetak"])
     loffsets = _read_label_offsets(basename, n)
     back = p["windowsize"] * p["maxrefcount"]
     if n == 0:
@@ -1237,16 +1255,18 @@ def read_bvgraph_labelled(spark, basename: str,
 
 
 def _read_label_offsets(basename: str, n: int) -> np.ndarray:
-    with open(basename + ".labeloffsets", "rb") as f:
-        raw = f.read()
-    return np.cumsum(_decode_gamma_stream(raw, n + 1))
+    """Label offsets are always gamma (the labelled layout has no
+    offsets-coding flag); served through read_offsets' .obl.npy cache
+    (the same O(n)-once amortization as the graph offsets)."""
+    return read_offsets(basename, n, "GAMMA", ext=".labeloffsets")
 
 
 def bvgraph_stats(basename: str) -> dict:
     """Properties + offsets-derived summary without decoding the body
     (the reference's loadOffline posture)."""
     p = read_properties(basename)
-    offsets = read_offsets(basename, p["nodes"], p["codings"]["offsets"])
+    offsets = read_offsets(basename, p["nodes"], p["codings"]["offsets"],
+                           k=p["zetak"])
     total = int(offsets[p["nodes"]])
     return {
         "nodes": p["nodes"],

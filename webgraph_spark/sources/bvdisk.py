@@ -53,13 +53,16 @@ of at most windowSize nodes each (refCount invariant, BVGraph.java:
 2303-2327), so a slice [lo, hi] never needs a list below
 lo - windowSize*maxRefCount, and each slice row carries exactly the
 offsets it needs. Workers read only their own byte range of the file
-(shared-FS contract, the same one parquet scans rely on). WRITE is a
-driver-side sequential encoder (the format is one bitstream + one
-greedy reference window — inherently sequential; the reference
-parallelizes only by splitting into per-thread temp files and
-concatenating, BVGraph.java:2231-2410) — provided for export and for
-building fixtures; the engine's scale-out storage remains the parquet
-block formats.
+(shared-FS contract, the same one parquet scans rely on). WRITE has two
+paths: :func:`write_bvgraph_distributed` follows the reference's OWN
+parallel-compression shape (BVGraph.java:2436-2650 — split node
+iterators, one stream per worker with references confined to its
+segment, then concatenation; here the segments are applyInPandas tasks
+and the driver bit-concatenates COMPRESSED bytes only, one vectorized
+numpy pass per segment), while :func:`write_bvgraph` is the
+single-stream driver encoder for fixtures and small exports. The
+engine's scale-out storage remains the parquet block formats; this
+module is the interop boundary with the reference's ecosystem.
 """
 
 from __future__ import annotations

@@ -455,6 +455,9 @@ def read_offsets(basename: str, n: int, coding: str = "GAMMA",
 
 # ------------------------------------------------------------ decoding
 
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_I64.setflags(write=False)
+
 
 def _decode_node(x: int, offsets, reader: BitReader, p: dict,
                  memo: dict) -> np.ndarray:
@@ -479,11 +482,10 @@ def _decode_node(x: int, offsets, reader: BitReader, p: dict,
     r.position(int(offsets[x - p["_off0"]]))
     d = r.read_coded(cod["outdegrees"], zk)
     if d == 0:
-        out = np.empty(0, dtype=np.int64)
-        memo[x] = out
-        return out
+        memo[x] = _EMPTY_I64  # shared: zero-outdegree nodes dominate
+        return _EMPTY_I64     # sparse corpora; no per-node allocation
     ref = r.read_coded(cod["references"], zk) if w > 0 else 0
-    copied = np.empty(0, dtype=np.int64)
+    copied = _EMPTY_I64
     if ref > 0:
         bc = r.read_coded(cod["block_count"], zk)
         blocks = [r.read_coded(cod["blocks"], zk) + (0 if i == 0 else 1)
@@ -518,17 +520,27 @@ def _decode_node(x: int, offsets, reader: BitReader, p: dict,
                 intervals.append((li, ln))
                 prev = li + ln
                 extra -= ln
-    res = np.empty(extra, dtype=np.int64)
+    res = np.empty(extra, dtype=np.int64) if extra > 0 else _EMPTY_I64
     if extra > 0:
         v = nat2int(r.read_coded(cod["residuals"], zk)) + x
         res[0] = v
         for i in range(1, extra):
             v += r.read_coded(cod["residuals"], zk) + 1
             res[i] = v
-    parts = [copied, res]
-    for li, ln in intervals:
-        parts.append(np.arange(li, li + ln, dtype=np.int64))
-    out = np.sort(np.concatenate(parts))
+    if not intervals:
+        # common shapes need no merge: residuals and copied lists are
+        # each strictly increasing by construction
+        if not len(copied):
+            out = res
+        elif not extra:
+            out = copied
+        else:
+            out = np.sort(np.concatenate((copied, res)))
+    else:
+        parts = [copied, res]
+        for li, ln in intervals:
+            parts.append(np.arange(li, li + ln, dtype=np.int64))
+        out = np.sort(np.concatenate(parts))
     memo[x] = out
     return out
 

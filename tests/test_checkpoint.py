@@ -151,3 +151,39 @@ def test_release_local_checkpoint_frees_blocks(spark):
     assert after == before
     # releasing a non-checkpointed frame is a safe no-op
     release_local_checkpoint(spark.range(5).selectExpr("id AS node"))
+
+
+def test_pin_prefers_reliable_checkpoint(spark, tmp_path):
+    """plans.iterate.pin: with a reliable checkpoint dir configured the
+    pinned frame is a replicated ``.checkpoint`` (survives executor
+    loss — the cluster posture); without one it falls back to the
+    eager local checkpoint. Either way the values are unchanged."""
+    from pyspark.sql import functions as F
+
+    from webgraph_spark.plans.iterate import pin
+
+    df = spark.range(0, 100).withColumn("x", F.col("id") * 2)
+    expected = [(r.id, r.x) for r in df.orderBy("id").collect()]
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    local = pin(df)
+    assert not local._jdf.rdd().isCheckpointed()
+    assert [(r.id, r.x) for r in local.orderBy("id").collect()] == expected
+
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        reliable = pin(df)
+        # the reliable checkpoint writes replicated blocks under the
+        # configured dir (the derived .rdd() view is a fresh RDD, so
+        # assert on the on-disk evidence instead of isCheckpointed)
+        ckroot = tmp_path / "ck"
+        assert any(ckroot.rglob("*")), "no reliable checkpoint written"
+        assert [
+            (r.id, r.x) for r in reliable.orderBy("id").collect()
+        ] == expected
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert sc.getCheckpointDir() is None

@@ -23,17 +23,18 @@ Scale posture:
   once: quads = sum_pairs C(cn, 2) / 2 (each rectangle is counted by
   both of its diagonals). All arithmetic is exact int64.
 
-Fault-tolerance caveat (same class as pagerank's documented local-
-checkpoint trade-off): the multi-branch plans here pin their shared
-pair/orientation tables with ``localCheckpoint(eager=True)`` — this
-runs a Spark job at plan-construction time and stores UNREPLICATED
-executor-local blocks, so losing an executor mid-query aborts the
-query (a retry recomputes from source; no wrong results). On a
-long-lived cluster run, prefer a reliable ``spark.sparkContext.
-setCheckpointDir`` + ``.checkpoint()`` variant of these pins; the
-local form is chosen because these are interactive one-shot
-analytics, not resumable iterations (those use plans/iterate.py's
-durable CheckpointManager).
+Fault-tolerance (same class as pagerank's documented local-checkpoint
+trade-off): the multi-branch plans here pin their shared pair/
+orientation tables with :func:`..plans.iterate.pin`, which runs a
+Spark job at plan-construction time (deliberate — the table feeds
+many branches) and picks the storage by context: with a reliable
+``spark.sparkContext.setCheckpointDir`` configured it uses replicated
+``.checkpoint(eager=True)`` blocks that survive executor loss (the
+long-lived-cluster posture); without one it falls back to an eager
+local checkpoint — UNREPLICATED executor-local blocks, so losing an
+executor mid-query aborts the query (a retry recomputes from source;
+no wrong results). Resumable iterations use plans/iterate.py's
+durable CheckpointManager instead.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.transforms import no_loops, symmetrize
+from ..plans.iterate import pin
 
 
 def _centered_pairs(
@@ -143,7 +145,7 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         F.col("mutual_arcs").cast("long"),
         F.round(F.col("mutual_arcs") / F.col("arcs"), 6).alias("reciprocity"),
     )
-    out = out.localCheckpoint(eager=True)
+    out = pin(out)
     e.unpersist()
     return out
 
@@ -270,12 +272,12 @@ def triad_census(edges: DataFrame) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.max("fw").alias("f"), F.max("rv").alias("r"))
-        # eager localCheckpoint (the file's reciprocity pattern): the
-        # pair table feeds ~6 plan branches (cns, three ot legs, nodes);
-        # a persist unpersisted before any action would never
-        # materialize and each branch would recompute the distinct+agg
-        .localCheckpoint(eager=True)
     )
+    # pin (reliable checkpoint if a dir is set, else eager local): the
+    # pair table feeds ~6 plan branches (cns, three ot legs, nodes);
+    # a persist unpersisted before any action would never materialize
+    # and each branch would recompute the distinct+agg
+    und = pin(und)
     n = (
         arcs.select(F.col("src").alias("v"))
         .union(arcs.select(F.col("dst").alias("v")))
@@ -555,12 +557,12 @@ def directed_triangle_profile(edges: DataFrame) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.max("fw").alias("f"), F.max("rv").alias("r"))
-        # eager localCheckpoint (the file's reciprocity pattern): the
-        # pair table feeds ~6 plan branches (cns, three ot legs, nodes);
-        # a persist unpersisted before any action would never
-        # materialize and each branch would recompute the distinct+agg
-        .localCheckpoint(eager=True)
     )
+    # pin (reliable checkpoint if a dir is set, else eager local): the
+    # pair table feeds ~6 plan branches (cns, three ot legs, nodes);
+    # a persist unpersisted before any action would never materialize
+    # and each branch would recompute the distinct+agg
+    und = pin(und)
     cns = und.select(F.col("x").alias("v")).unionAll(
         und.select(F.col("y").alias("v"))
     )
@@ -763,8 +765,8 @@ def directed_clustering(
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds degrees, d_bi AND the profile
     )
+    arcs = pin(arcs)  # feeds degrees, d_bi AND the profile
     dout = arcs.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d_out")
     )

@@ -76,6 +76,33 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize a shared sub-plan once so several downstream branches
+    reuse the result instead of each recomputing it.
+
+    Fault-tolerance aware: when the SparkContext has a RELIABLE
+    checkpoint directory configured (``sc.setCheckpointDir``), uses
+    ``df.checkpoint(eager=True)`` — replicated storage that survives
+    executor loss, the right choice on a long-lived cluster run.
+    Otherwise falls back to :func:`eager_checkpoint` (persist-capped
+    eager local checkpoint) — fast, but the blocks are executor-local
+    and unreplicated, so losing an executor mid-query aborts the query
+    (a retry recomputes from source; results are never wrong).
+
+    Either way this runs a Spark job at plan-construction time — by
+    design: the pinned table feeds multiple plan branches, and a
+    persist that is unpersisted before any action would never
+    materialize, recomputing the sub-plan once per branch.
+    """
+    try:
+        ckdir = df.sparkSession.sparkContext.getCheckpointDir()
+    except Exception:
+        ckdir = None
+    if ckdir:
+        return df.checkpoint(eager=True)
+    return eager_checkpoint(df)
+
+
 @contextmanager
 def iteration_confs(spark: SparkSession, extra: dict | None = None):
     """Pin loop-friendly confs for the duration of an iterative job.

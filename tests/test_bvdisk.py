@@ -510,3 +510,36 @@ def test_offsets_coding_k_threaded(tmp_path):
     write_bvgraph(succ, base, codings={"offsets": "GOLOMB"}, zeta_k=5)
     os.remove(base + ".obl.npy")  # force a real decode
     assert _read_all_driver(base) == _driver_edges(succ)
+
+
+def test_distributed_store_writes_offset_caches(spark, tmp_path):
+    """The streaming distributed store fills BOTH .obl.npy offset
+    caches (graph and labeloffsets) through a memmap as segments
+    drain; each must bit-match a fresh decode of its coded offsets
+    stream, and the graph cache's last entry is the stream's total
+    bit length."""
+    import os
+
+    from webgraph_spark.sources.bvdisk import (
+        read_offsets,
+        write_bvgraph_distributed,
+    )
+
+    rows = [(i, (i * 7 + 3) % 50, i % 5) for i in range(50)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    base = str(tmp_path / "cached")
+    st = write_bvgraph_distributed(edges, base, num_partitions=4,
+                                   label_col="w")
+    und = base + "-underlying"
+
+    obl = np.load(und + ".obl.npy")
+    os.remove(und + ".obl.npy")
+    fresh = read_offsets(und, st["nodes"])
+    assert np.array_equal(obl, fresh)
+    assert obl[0] == 0 and len(obl) == st["nodes"] + 1
+
+    lobl = np.load(base + ".labeloffsets.obl.npy")
+    os.remove(base + ".labeloffsets.obl.npy")
+    lfresh = read_offsets(base, st["nodes"], "GAMMA", ext=".labeloffsets")
+    assert np.array_equal(lobl, lfresh)
+    assert lobl[-1] == st["label_bits"]

@@ -58,8 +58,11 @@ paths: :func:`write_bvgraph_distributed` follows the reference's OWN
 parallel-compression shape (BVGraph.java:2436-2650 — split node
 iterators, one stream per worker with references confined to its
 segment, then concatenation; here the segments are applyInPandas tasks
-and the driver bit-concatenates COMPRESSED bytes only, one vectorized
-numpy pass per segment), while :func:`write_bvgraph` is the
+and the driver STREAMS the ordered segment drain straight into the
+target files — one vectorized numpy shift per segment, holding only
+one segment plus a ≤7-bit carry, never the whole compressed stream —
+the analog of the reference's temp-file concatenation), while
+:func:`write_bvgraph` is the
 single-stream driver encoder for fixtures and small exports. The
 engine's scale-out storage remains the parquet block formats; this
 module is the interop boundary with the reference's ecosystem.
@@ -839,34 +842,42 @@ def _write_offsets_file(basename: str, node_bits, coding: str,
         pass
 
 
-def _concat_bitstreams(parts: list) -> tuple[bytes, int]:
-    """Bit-level concatenation of (bytes, nbits) segment streams — the
-    reference's temp-file concatenation step made explicit. O(total
-    bytes): each part is shifted into place with one vectorized numpy
-    pass (a big-int accumulator would copy the whole prefix per part —
+class _BitConcatStream:
+    """Carry-aware streaming bit-level concatenation of segment
+    bitstreams into a writable file object — the reference's temp-file
+    concatenation step (BVGraph.java:2616-2650) as a STREAMING writer.
+    Only the sub-byte carry (≤7 bits) lives between ``append`` calls,
+    so the caller can feed segments one at a time and never holds more
+    than one segment's bytes in memory. Each part is shifted into
+    place with one vectorized numpy pass — O(total bytes) overall (a
+    big-int accumulator would copy the whole prefix per part:
     O(parts x size), a non-starter at real graph sizes)."""
-    out = bytearray()
-    carry = 0  # value of the s pending bits, right-aligned
-    s = 0      # number of pending bits (0..7)
-    total = 0
-    for buf, nbits in parts:
+
+    def __init__(self, f):
+        self.f = f
+        self.carry = 0  # value of the s pending bits, right-aligned
+        self.s = 0      # number of pending bits (0..7)
+        self.total = 0
+
+    def append(self, buf, nbits: int) -> None:
         if nbits == 0:
-            continue
+            return
         a = np.frombuffer(buf, dtype=np.uint8)
         nb = (nbits + 7) >> 3
         a = a[:nb]
+        s = self.s
         if s == 0:
             full = nbits >> 3
-            out += a[:full].tobytes()
+            self.f.write(a[:full].tobytes())
             rem = nbits & 7
             if rem:
-                carry = int(a[full]) >> (8 - rem)
-                s = rem
+                self.carry = int(a[full]) >> (8 - rem)
+                self.s = rem
         else:
             # y[i] = low (8-s) bits of a[i-1], then high s bits of a[i]
             x = a.astype(np.uint16)
             y = np.empty(len(a) + 1, dtype=np.uint8)
-            y[0] = ((carry << (8 - s)) | (int(a[0]) >> s)) & 0xFF
+            y[0] = ((self.carry << (8 - s)) | (int(a[0]) >> s)) & 0xFF
             if len(a) > 1:
                 y[1:-1] = (((x[:-1] << (8 - s)) & 0xFF)
                            | (x[1:] >> s)).astype(np.uint8)
@@ -874,13 +885,34 @@ def _concat_bitstreams(parts: list) -> tuple[bytes, int]:
             tbits = s + nbits
             full = tbits >> 3
             rem = tbits & 7
-            out += y[:full].tobytes()
-            carry = (int(y[full]) >> (8 - rem)) if rem else 0
-            s = rem
-        total += nbits
-    if s:
-        out.append((carry << (8 - s)) & 0xFF)
-    return bytes(out), total
+            self.f.write(y[:full].tobytes())
+            self.carry = (int(y[full]) >> (8 - rem)) if rem else 0
+            self.s = rem
+        self.total += nbits
+
+    def close(self) -> None:
+        """Flush the final partial byte (zero-padded). Does NOT close
+        the underlying file object."""
+        if self.s:
+            self.f.write(bytes([(self.carry << (8 - self.s)) & 0xFF]))
+            self.s = 0
+            self.carry = 0
+
+
+def _concat_bitstreams(parts: list) -> tuple[bytes, int]:
+    """In-memory bit-level concatenation of (bytes, nbits) segment
+    streams (:class:`_BitConcatStream` against a BytesIO) — kept for
+    fixture-scale callers and as the property-test twin of the
+    streaming writer."""
+    import io
+
+    bio = io.BytesIO()
+    cat = _BitConcatStream(bio)
+    for buf, nbits in parts:
+        cat.append(buf, nbits)
+    total = cat.total
+    cat.close()
+    return bio.getvalue(), total
 
 
 def write_bvgraph_distributed(
@@ -988,47 +1020,145 @@ def write_bvgraph_distributed(
             "lab_bits": [np.asarray(lab_bits, np.int64).tobytes()],
         })
 
-    rows = {
-        int(r["range_id"]): r
-        for r in tagged.groupBy("range_id").applyInPandas(
+    seg_rows = (
+        tagged.groupBy("range_id")
+        .applyInPandas(
             enc,
             schema="range_id long, n_arcs long, nbits long, "
                    "graph binary, node_bits binary, "
                    "lnbits long, labels binary, lab_bits binary",
-        ).collect()
-    }
-    parts = []
-    lab_parts = []
-    all_node_bits: list[int] = []
-    all_lab_bits: list[int] = []
-    m = 0
+        )
+        # range-sort so toLocalIterator yields segments in node order;
+        # the parallel encode is the MAP side of this shuffle, so it
+        # still runs with full cluster parallelism — only the ordered
+        # byte drain below is sequential (and it is pure I/O)
+        .sort("range_id")
+    )
     n_ranges = (n + span - 1) // span
-    for rid in range(n_ranges):
-        lo = rid * span
-        hi = min(n, lo + span) - 1
-        if rid in rows:
-            r = rows[rid]
-            parts.append((bytes(r["graph"]), int(r["nbits"])))
-            all_node_bits.extend(
-                np.frombuffer(r["node_bits"], dtype=np.int64).tolist())
+
+    # Streaming assembly: segments drain through toLocalIterator in
+    # node order and are bit-appended straight to the target files.
+    # Driver memory is ONE segment + the ≤7-bit carries — never the
+    # whole compressed stream (the round-3/4 driver-concat caveat).
+    # The .obl.npy offsets caches are filled through a numpy memmap for
+    # the same reason.
+    m = 0
+    gf = open(graph_base + ".graph", "wb")
+    of = open(graph_base + ".offsets", "wb")
+    gcat = _BitConcatStream(gf)
+    ocat = _BitConcatStream(of)
+    obl = np.lib.format.open_memmap(
+        graph_base + ".obl.npy", mode="w+", dtype=np.int64, shape=(n + 1,))
+    obl[0] = 0
+    pos = 0   # running absolute bit offset into the graph stream
+    idx = 1   # next obl slot
+    head = BitWriter()
+    head.write_coded(0, cod["offsets"], zeta_k)
+    ocat.append(head.to_bytes(), head.written)
+    if label_col:
+        lf = open(basename + ".labels", "wb")
+        lof = open(basename + ".labeloffsets", "wb")
+        lcat = _BitConcatStream(lf)
+        locat = _BitConcatStream(lof)
+        lobl = np.lib.format.open_memmap(
+            basename + ".labeloffsets.obl.npy", mode="w+",
+            dtype=np.int64, shape=(n + 1,))
+        lobl[0] = 0
+        lpos = 0
+        lidx = 1
+        lhead = BitWriter()
+        lhead.write_gamma(0)
+        locat.append(lhead.to_bytes(), lhead.written)
+        lpos, lidx = 0, 1
+    else:
+        lpos = lidx = 0  # bound for _append_segment's nonlocal
+
+    def _append_segment(graph_buf, nbits, node_bits_arr,
+                        labels_buf=b"", lnbits=0, lab_bits_arr=None):
+        nonlocal pos, idx, lpos, lidx
+        gcat.append(graph_buf, nbits)
+        ow = BitWriter()
+        for nb in node_bits_arr:
+            ow.write_coded(int(nb), cod["offsets"], zeta_k)
+        ocat.append(ow.to_bytes(), ow.written)
+        if len(node_bits_arr):
+            cs = pos + np.cumsum(node_bits_arr, dtype=np.int64)
+            obl[idx:idx + len(cs)] = cs
+            pos = int(cs[-1])
+            idx += len(cs)
+        if label_col:
+            lcat.append(labels_buf, lnbits)
+            lw = BitWriter()
+            for nb in lab_bits_arr:
+                lw.write_gamma(int(nb))
+            locat.append(lw.to_bytes(), lw.written)
+            if len(lab_bits_arr):
+                lcs = lpos + np.cumsum(lab_bits_arr, dtype=np.int64)
+                lobl[lidx:lidx + len(lcs)] = lcs
+                lpos = int(lcs[-1])
+                lidx += len(lcs)
+
+    next_rid = 0
+    empty_cache: tuple | None = None
+
+    def _fill_empty(upto: int):
+        """Arc-free segments for every missing range id in order: the
+        all-empty outdegree codes depend only on the node COUNT, so one
+        full-span encode is cached and reused."""
+        nonlocal next_rid, empty_cache
+        while next_rid < upto:
+            lo = next_rid * span
+            cnt = min(n, lo + span) - lo
+            if empty_cache is None or empty_cache[3] != cnt:
+                buf, nbits, node_bits, _ = _encode_segment(
+                    [[] for _ in range(cnt)], lo, window_size,
+                    max_ref_count, min_interval_length, zeta_k, cod,
+                )
+                empty_cache = (
+                    buf, nbits, np.asarray(node_bits, np.int64), cnt)
+            _append_segment(empty_cache[0], empty_cache[1],
+                            empty_cache[2], b"", 0,
+                            np.zeros(cnt, np.int64))
+            next_rid += 1
+
+    try:
+        for r in seg_rows.toLocalIterator(prefetchPartitions=True):
+            rid = int(r["range_id"])
+            _fill_empty(rid)
+            nbarr = np.frombuffer(bytes(r["node_bits"]), dtype=np.int64)
             if label_col:
-                lab_parts.append((bytes(r["labels"]), int(r["lnbits"])))
-                all_lab_bits.extend(
-                    np.frombuffer(r["lab_bits"], dtype=np.int64).tolist())
+                _append_segment(
+                    bytes(r["graph"]), int(r["nbits"]), nbarr,
+                    bytes(r["labels"]), int(r["lnbits"]),
+                    np.frombuffer(bytes(r["lab_bits"]), dtype=np.int64),
+                )
+            else:
+                _append_segment(bytes(r["graph"]), int(r["nbits"]), nbarr)
             m += int(r["n_arcs"])
-        else:  # arc-free segment: all-empty outdegree codes
-            buf, nbits, node_bits, _ = _encode_segment(
-                [[] for _ in range(hi - lo + 1)], lo, window_size,
-                max_ref_count, min_interval_length, zeta_k, cod,
-            )
-            parts.append((buf, nbits))
-            all_node_bits.extend(node_bits)
-            if label_col:
-                all_lab_bits.extend([0] * (hi - lo + 1))
-    graph_bytes, total_bits = _concat_bitstreams(parts)
-    with open(graph_base + ".graph", "wb") as f:
-        f.write(graph_bytes)
-    _write_offsets_file(graph_base, all_node_bits, cod["offsets"], zeta_k)
+            next_rid = rid + 1
+        _fill_empty(n_ranges)
+        total_bits = gcat.total
+        gcat.close()
+        ocat.close()
+        if label_col:
+            label_bits = lcat.total
+            lcat.close()
+            locat.close()
+    finally:
+        gf.close()
+        of.close()
+        obl.flush()
+        del obl
+        if label_col:
+            lf.close()
+            lof.close()
+            lobl.flush()
+            del lobl
+    # cache-validity: read_offsets trusts .obl.npy only when its mtime
+    # is >= the coded offsets file's — re-stamp after both are closed
+    os.utime(graph_base + ".obl.npy")
+    if label_col:
+        os.utime(basename + ".labeloffsets.obl.npy")
     stats = {
         "nodes": n, "arcs": m, "windowsize": window_size,
         "maxrefcount": max_ref_count,
@@ -1042,15 +1172,6 @@ def write_bvgraph_distributed(
         for k, v in stats.items():
             f.write(f"{k}={v}\n")
     if label_col:
-        labels_bytes, label_bits = _concat_bitstreams(lab_parts)
-        with open(basename + ".labels", "wb") as f:
-            f.write(labels_bytes)
-        ow = BitWriter()
-        ow.write_gamma(0)
-        for nb in all_lab_bits:
-            ow.write_gamma(int(nb))
-        with open(basename + ".labeloffsets", "wb") as f:
-            f.write(ow.to_bytes())
         with open(basename + ".properties", "w", encoding="utf-8") as f:
             f.write("#BitStreamArcLabelledImmutableGraph properties\n")
             f.write(f"graphclass={LABELLED_GRAPHCLASS}\n")

@@ -543,3 +543,29 @@ def test_distributed_store_writes_offset_caches(spark, tmp_path):
     lfresh = read_offsets(base, st["nodes"], "GAMMA", ext=".labeloffsets")
     assert np.array_equal(lobl, lfresh)
     assert lobl[-1] == st["label_bits"]
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_encode_gamma_stream_matches_bitwriter(seed):
+    """The vectorized γ-stream encoder is bit-identical to the scalar
+    BitWriter loop and roundtrips through _decode_gamma_stream,
+    including the power-of-two boundary values where a float-log2
+    implementation would be off by one."""
+    from webgraph_spark.sources.bvdisk import (
+        BitWriter,
+        _decode_gamma_stream,
+        _encode_gamma_stream,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = np.concatenate([
+        rng.integers(0, 2 ** int(b), 50) for b in (1, 4, 8, 16, 31)
+    ] + [np.array([0, 1, 2, 3, 4, 7, 8, 2**20 - 2, 2**20 - 1, 2**20])])
+    vals = vals.astype(np.int64)
+    buf, nbits = _encode_gamma_stream(vals)
+    w = BitWriter()
+    for v in vals:
+        w.write_gamma(int(v))
+    assert (buf, nbits) == (w.to_bytes(), w.written)
+    assert np.array_equal(_decode_gamma_stream(buf, len(vals)), vals)
+    assert _encode_gamma_stream(np.empty(0, np.int64)) == (b"", 0)

@@ -396,6 +396,46 @@ def read_properties(basename: str) -> dict:
     }
 
 
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for a uint64 array (6 binary-
+    reduction passes — no float log2, whose last-ulp rounding at exact
+    powers of two is precisely the hazard class this repo bans from
+    anything oracle-compared)."""
+    v = v.copy()
+    out = np.zeros(len(v), dtype=np.uint64)
+    for sh in (np.uint64(32), np.uint64(16), np.uint64(8),
+               np.uint64(4), np.uint64(2), np.uint64(1)):
+        t = v >> sh
+        m = t > 0
+        out[m] += sh
+        v = np.where(m, t, v)
+    out[v > 0] += 1
+    return out
+
+
+def _encode_gamma_stream(values: np.ndarray) -> tuple[bytes, int]:
+    """Vectorized γ-encode of a value array into one MSB-first packed
+    bitstream: γ(x) is (x+1) written in 2*floor(log2(x+1))+1 bits (the
+    h-zeros unary prefix is the code's natural left padding). The
+    scalar BitWriter loop runs ~0.8M codes/s on the driver — at 21M
+    nodes that loop, not the segment drain, dominated the distributed
+    store's assembly; this runs at numpy speed (~50M codes/s).
+    Returns (packed bytes, total bits)."""
+    n = len(values)
+    if n == 0:
+        return b"", 0
+    v = values.astype(np.uint64) + np.uint64(1)
+    w = np.uint64(2) * (_bit_length_u64(v) - np.uint64(1)) + np.uint64(1)
+    starts = np.zeros(n, dtype=np.uint64)
+    np.cumsum(w[:-1], out=starts[1:])
+    total = int(starts[-1] + w[-1])
+    val_idx = np.repeat(np.arange(n, dtype=np.int64), w.astype(np.int64))
+    j = np.arange(total, dtype=np.uint64) - starts[val_idx]
+    shift = (w[val_idx] - np.uint64(1)) - j
+    bits = ((v[val_idx] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes(), total
+
+
 def _decode_gamma_stream(buf: bytes, n: int) -> np.ndarray:
     """Decode ``n`` consecutive γ codes (the offsets / label-offsets
     streams). A γ stream is inherently sequential (each code's start
@@ -830,10 +870,18 @@ def _write_offsets_file(basename: str, node_bits, coding: str,
     graph WE stored never pay the sequential offsets decode at all."""
     ow = BitWriter()
     ow.write_coded(0, coding, zeta_k)
-    for nb in node_bits:
-        ow.write_coded(int(nb), coding, zeta_k)
     with open(basename + ".offsets", "wb") as f:
-        f.write(ow.to_bytes())
+        if coding == "GAMMA":
+            cat = _BitConcatStream(f)
+            cat.append(ow.to_bytes(), ow.written)
+            buf, nbits = _encode_gamma_stream(
+                np.asarray(node_bits, dtype=np.int64))
+            cat.append(buf, nbits)
+            cat.close()
+        else:
+            for nb in node_bits:
+                ow.write_coded(int(nb), coding, zeta_k)
+            f.write(ow.to_bytes())
     try:
         arr = np.zeros(len(node_bits) + 1, dtype=np.int64)
         np.cumsum(np.asarray(node_bits, dtype=np.int64), out=arr[1:])
@@ -1020,20 +1068,25 @@ def write_bvgraph_distributed(
             "lab_bits": [np.asarray(lab_bits, np.int64).tobytes()],
         })
 
-    seg_rows = (
-        tagged.groupBy("range_id")
-        .applyInPandas(
-            enc,
-            schema="range_id long, n_arcs long, nbits long, "
-                   "graph binary, node_bits binary, "
-                   "lnbits long, labels binary, lab_bits binary",
-        )
-        # range-sort so toLocalIterator yields segments in node order;
-        # the parallel encode is the MAP side of this shuffle, so it
-        # still runs with full cluster parallelism — only the ordered
-        # byte drain below is sequential (and it is pure I/O)
-        .sort("range_id")
-    )
+    from pyspark import StorageLevel
+
+    seg = tagged.groupBy("range_id").applyInPandas(
+        enc,
+        schema="range_id long, n_arcs long, nbits long, "
+               "graph binary, node_bits binary, "
+               "lnbits long, labels binary, lab_bits binary",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the encode ONCE, with full cluster parallelism,
+    # before the range-sort: sort's boundary-sampling job would
+    # otherwise run the whole encode stage a second time (only the
+    # upstream hash shuffle is reused, not the applyInPandas work —
+    # measured 2x store wall at 31.5M edges). The cached rows are the
+    # COMPRESSED segment streams (~bits/8 bytes across the cluster),
+    # spilling to executor disk if memory-tight.
+    seg.count()
+    # range-sort so toLocalIterator yields segments in node order;
+    # only the ordered byte drain below is sequential (pure I/O)
+    seg_rows = seg.sort("range_id")
     n_ranges = (n + span - 1) // span
 
     # Streaming assembly: segments drain through toLocalIterator in
@@ -1077,10 +1130,14 @@ def write_bvgraph_distributed(
                         labels_buf=b"", lnbits=0, lab_bits_arr=None):
         nonlocal pos, idx, lpos, lidx
         gcat.append(graph_buf, nbits)
-        ow = BitWriter()
-        for nb in node_bits_arr:
-            ow.write_coded(int(nb), cod["offsets"], zeta_k)
-        ocat.append(ow.to_bytes(), ow.written)
+        if cod["offsets"] == "GAMMA":
+            obuf, obits = _encode_gamma_stream(node_bits_arr)
+            ocat.append(obuf, obits)
+        else:
+            ow = BitWriter()
+            for nb in node_bits_arr:
+                ow.write_coded(int(nb), cod["offsets"], zeta_k)
+            ocat.append(ow.to_bytes(), ow.written)
         if len(node_bits_arr):
             cs = pos + np.cumsum(node_bits_arr, dtype=np.int64)
             obl[idx:idx + len(cs)] = cs
@@ -1088,10 +1145,8 @@ def write_bvgraph_distributed(
             idx += len(cs)
         if label_col:
             lcat.append(labels_buf, lnbits)
-            lw = BitWriter()
-            for nb in lab_bits_arr:
-                lw.write_gamma(int(nb))
-            locat.append(lw.to_bytes(), lw.written)
+            lbuf, lbits = _encode_gamma_stream(lab_bits_arr)
+            locat.append(lbuf, lbits)
             if len(lab_bits_arr):
                 lcs = lpos + np.cumsum(lab_bits_arr, dtype=np.int64)
                 lobl[lidx:lidx + len(lcs)] = lcs
@@ -1145,6 +1200,7 @@ def write_bvgraph_distributed(
             lcat.close()
             locat.close()
     finally:
+        seg.unpersist()
         gf.close()
         of.close()
         obl.flush()

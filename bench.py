@@ -157,6 +157,27 @@ def main():
     tm.run("bv_unpack", lambda: unpack_bv(bv).count())
     bv.unpersist()
 
+    # ---- native reference-layout interop: streaming distributed store
+    # (O(one segment) driver memory) + distributed byte-range load
+    import tempfile
+
+    from webgraph_spark.sources.bvdisk import (
+        read_bvgraph,
+        write_bvgraph_distributed,
+    )
+
+    bv_base = tempfile.mkdtemp(prefix="bench_bv_") + "/g"
+    tm.run(
+        "bv_native_store",
+        lambda: write_bvgraph_distributed(
+            edges, bv_base, num_partitions=max(cpus, 8)),
+    )
+    tm.run(
+        "bv_native_load",
+        lambda: read_bvgraph(
+            spark, bv_base, num_partitions=max(cpus, 8)).count(),
+    )
+
     # ---- CSR-consuming PageRank (numpy message kernel), 5 iterations
     from webgraph_spark.algos.pagerank_csr import pagerank_csr
 

@@ -569,3 +569,47 @@ def test_encode_gamma_stream_matches_bitwriter(seed):
     assert (buf, nbits) == (w.to_bytes(), w.written)
     assert np.array_equal(_decode_gamma_stream(buf, len(vals)), vals)
     assert _encode_gamma_stream(np.empty(0, np.int64)) == (b"", 0)
+
+
+def test_distributed_store_failure_preserves_prior_store(spark, tmp_path):
+    """Atomicity barrier: all artifacts go to .tmp siblings and are
+    renamed only after a fully successful drain, so a store that fails
+    mid-run (here: a negative label rejected by the γ-label contract)
+    leaves a PRIOR valid store at the same basename untouched — no
+    truncated .graph, no half-filled .obl.npy the mtime check would
+    trust — and cleans up its temp files."""
+    import os
+
+    import pytest as _pytest
+
+    from webgraph_spark.sources.bvdisk import write_bvgraph_distributed
+
+    rows = [(i, (i + 1) % 30, i % 4) for i in range(30)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    base = str(tmp_path / "atomic")
+    st = write_bvgraph_distributed(edges, base, num_partitions=3,
+                                   label_col="w")
+    before = {
+        p: open(p, "rb").read()
+        for p in (base + "-underlying.graph", base + "-underlying.offsets",
+                  base + "-underlying.obl.npy", base + ".labels",
+                  base + ".labeloffsets")
+    }
+
+    bad = spark.createDataFrame(
+        [(i, (i + 1) % 30, -1) for i in range(30)],
+        "src long, dst long, w long")
+    with _pytest.raises(Exception):
+        write_bvgraph_distributed(bad, base, num_partitions=3,
+                                  label_col="w")
+
+    for p, content in before.items():
+        assert open(p, "rb").read() == content, f"{p} was clobbered"
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    assert leftovers == []
+    # and the prior store still round-trips
+    from webgraph_spark.sources.bvdisk import read_bvgraph_labelled
+
+    got = {(r["src"], r["dst"], r["label"]) for r in
+           read_bvgraph_labelled(spark, base, num_partitions=2).collect()}
+    assert got == set(rows) and st["arcs"] == 30

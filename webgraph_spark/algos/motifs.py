@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.transforms import no_loops, symmetrize
-from ..plans.iterate import pin
+from ..plans.iterate import eager_checkpoint, pin
 
 
 def _centered_pairs(
@@ -145,7 +145,10 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         F.col("mutual_arcs").cast("long"),
         F.round(F.col("mutual_arcs") / F.col("arcs"), 6).alias("reciprocity"),
     )
-    out = pin(out)
+    # a 1-row aggregate: the persist-capped eager local checkpoint is
+    # right at any scale — pin()'s reliable path would round-trip one
+    # row through distributed storage
+    out = eager_checkpoint(out)
     e.unpersist()
     return out
 

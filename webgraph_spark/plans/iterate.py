@@ -93,6 +93,14 @@ def pin(df: DataFrame) -> DataFrame:
     design: the pinned table feeds multiple plan branches, and a
     persist that is unpersisted before any action would never
     materialize, recomputing the sub-plan once per branch.
+
+    Reliable-checkpoint housekeeping: Spark only deletes reliable
+    checkpoint files when ``spark.cleaner.referenceTracking.
+    cleanCheckpoints=true`` (default false) and the RDD is GC'd — on a
+    long-lived cluster that repeatedly calls pinned analytics, set
+    that conf (or point the checkpoint dir at storage with a TTL) so
+    pins are reclaimed; otherwise each call leaves its materialized
+    table under the checkpoint dir until the application exits.
     """
     try:
         ckdir = df.sparkSession.sparkContext.getCheckpointDir()

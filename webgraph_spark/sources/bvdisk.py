@@ -413,6 +413,9 @@ def _bit_length_u64(v: np.ndarray) -> np.ndarray:
     return out
 
 
+_GAMMA_ENC_CHUNK = 1 << 20  # values per vectorized encode pass
+
+
 def _encode_gamma_stream(values: np.ndarray) -> tuple[bytes, int]:
     """Vectorized γ-encode of a value array into one MSB-first packed
     bitstream: γ(x) is (x+1) written in 2*floor(log2(x+1))+1 bits (the
@@ -424,6 +427,22 @@ def _encode_gamma_stream(values: np.ndarray) -> tuple[bytes, int]:
     n = len(values)
     if n == 0:
         return b"", 0
+    if n > _GAMMA_ENC_CHUNK:
+        # the scatter arrays below cost ~25 bytes per OUTPUT BIT; a
+        # whole-graph offsets stream (hundreds of Mbits) would make
+        # that a multi-GB transient, so big inputs stream through the
+        # bit concatenator in bounded chunks
+        import io
+
+        bio = io.BytesIO()
+        cat = _BitConcatStream(bio)
+        for i in range(0, n, _GAMMA_ENC_CHUNK):
+            buf, nbits = _encode_gamma_stream(
+                values[i:i + _GAMMA_ENC_CHUNK])
+            cat.append(buf, nbits)
+        total = cat.total
+        cat.close()
+        return bio.getvalue(), total
     v = values.astype(np.uint64) + np.uint64(1)
     w = np.uint64(2) * (_bit_length_u64(v) - np.uint64(1)) + np.uint64(1)
     starts = np.zeros(n, dtype=np.uint64)
@@ -949,9 +968,9 @@ class _BitConcatStream:
 
 def _concat_bitstreams(parts: list) -> tuple[bytes, int]:
     """In-memory bit-level concatenation of (bytes, nbits) segment
-    streams (:class:`_BitConcatStream` against a BytesIO) — kept for
-    fixture-scale callers and as the property-test twin of the
-    streaming writer."""
+    streams (:class:`_BitConcatStream` against a BytesIO) — the
+    property-test twin of the streaming writer (no production caller
+    since the store went streaming)."""
     import io
 
     bio = io.BytesIO()
@@ -1096,35 +1115,23 @@ def write_bvgraph_distributed(
     # The .obl.npy offsets caches are filled through a numpy memmap for
     # the same reason.
     m = 0
-    gf = open(graph_base + ".graph", "wb")
-    of = open(graph_base + ".offsets", "wb")
-    gcat = _BitConcatStream(gf)
-    ocat = _BitConcatStream(of)
-    obl = np.lib.format.open_memmap(
-        graph_base + ".obl.npy", mode="w+", dtype=np.int64, shape=(n + 1,))
-    obl[0] = 0
+    # Every artifact is written to a ".tmp" sibling and atomically
+    # renamed into place only after a fully successful drain: a
+    # mid-store failure (task loss, disk full) leaves any PRIOR valid
+    # store at this basename untouched, and can never expose a
+    # half-filled .obl.npy that read_offsets' mtime check would trust
+    # (the memmap preallocates n+1 zeroed slots — a partial fill is
+    # indistinguishable from data without this barrier).
+    finals = [graph_base + ".graph", graph_base + ".offsets",
+              graph_base + ".obl.npy"]
+    if label_col:
+        finals += [basename + ".labels", basename + ".labeloffsets",
+                   basename + ".labeloffsets.obl.npy"]
+    tmp = {f: f + ".tmp" for f in finals}
+    handles: list = []
     pos = 0   # running absolute bit offset into the graph stream
     idx = 1   # next obl slot
-    head = BitWriter()
-    head.write_coded(0, cod["offsets"], zeta_k)
-    ocat.append(head.to_bytes(), head.written)
-    if label_col:
-        lf = open(basename + ".labels", "wb")
-        lof = open(basename + ".labeloffsets", "wb")
-        lcat = _BitConcatStream(lf)
-        locat = _BitConcatStream(lof)
-        lobl = np.lib.format.open_memmap(
-            basename + ".labeloffsets.obl.npy", mode="w+",
-            dtype=np.int64, shape=(n + 1,))
-        lobl[0] = 0
-        lpos = 0
-        lidx = 1
-        lhead = BitWriter()
-        lhead.write_gamma(0)
-        locat.append(lhead.to_bytes(), lhead.written)
-        lpos, lidx = 0, 1
-    else:
-        lpos = lidx = 0  # bound for _append_segment's nonlocal
+    lpos = lidx = 0  # bound for _append_segment's nonlocal
 
     def _append_segment(graph_buf, nbits, node_bits_arr,
                         labels_buf=b"", lnbits=0, lab_bits_arr=None):
@@ -1177,6 +1184,35 @@ def write_bvgraph_distributed(
             next_rid += 1
 
     try:
+        gf = open(tmp[graph_base + ".graph"], "wb")
+        handles.append(gf)
+        of = open(tmp[graph_base + ".offsets"], "wb")
+        handles.append(of)
+        gcat = _BitConcatStream(gf)
+        ocat = _BitConcatStream(of)
+        obl = np.lib.format.open_memmap(
+            tmp[graph_base + ".obl.npy"], mode="w+",
+            dtype=np.int64, shape=(n + 1,))
+        obl[0] = 0
+        head = BitWriter()
+        head.write_coded(0, cod["offsets"], zeta_k)
+        ocat.append(head.to_bytes(), head.written)
+        if label_col:
+            lf = open(tmp[basename + ".labels"], "wb")
+            handles.append(lf)
+            lof = open(tmp[basename + ".labeloffsets"], "wb")
+            handles.append(lof)
+            lcat = _BitConcatStream(lf)
+            locat = _BitConcatStream(lof)
+            lobl = np.lib.format.open_memmap(
+                tmp[basename + ".labeloffsets.obl.npy"], mode="w+",
+                dtype=np.int64, shape=(n + 1,))
+            lobl[0] = 0
+            lidx = 1
+            lhead = BitWriter()
+            lhead.write_gamma(0)
+            locat.append(lhead.to_bytes(), lhead.written)
+
         for r in seg_rows.toLocalIterator(prefetchPartitions=True):
             rid = int(r["range_id"])
             _fill_empty(rid)
@@ -1192,6 +1228,7 @@ def write_bvgraph_distributed(
             m += int(r["n_arcs"])
             next_rid = rid + 1
         _fill_empty(n_ranges)
+
         total_bits = gcat.total
         gcat.close()
         ocat.close()
@@ -1199,22 +1236,36 @@ def write_bvgraph_distributed(
             label_bits = lcat.total
             lcat.close()
             locat.close()
-    finally:
-        seg.unpersist()
-        gf.close()
-        of.close()
+        for h in handles:
+            h.close()
         obl.flush()
         del obl
         if label_col:
-            lf.close()
-            lof.close()
             lobl.flush()
             del lobl
-    # cache-validity: read_offsets trusts .obl.npy only when its mtime
-    # is >= the coded offsets file's — re-stamp after both are closed
-    os.utime(graph_base + ".obl.npy")
-    if label_col:
-        os.utime(basename + ".labeloffsets.obl.npy")
+        # success barrier: rename everything into place atomically,
+        # data files before their caches (dict order), then re-stamp
+        # the caches — read_offsets trusts .obl.npy only when its
+        # mtime is >= the coded offsets file's
+        for final, t in tmp.items():
+            os.replace(t, final)
+        os.utime(graph_base + ".obl.npy")
+        if label_col:
+            os.utime(basename + ".labeloffsets.obl.npy")
+    except BaseException:
+        for h in handles:
+            try:
+                h.close()
+            except Exception:
+                pass
+        for t in tmp.values():
+            try:
+                os.remove(t)
+            except OSError:
+                pass
+        raise
+    finally:
+        seg.unpersist()
     stats = {
         "nodes": n, "arcs": m, "windowsize": window_size,
         "maxrefcount": max_ref_count,

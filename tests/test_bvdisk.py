@@ -613,3 +613,64 @@ def test_distributed_store_failure_preserves_prior_store(spark, tmp_path):
     got = {(r["src"], r["dst"], r["label"]) for r in
            read_bvgraph_labelled(spark, base, num_partitions=2).collect()}
     assert got == set(rows) and st["arcs"] == 30
+
+
+# ---------------------- property tests (hypothesis, bit-kernel level)
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**31 - 1), st.integers(0, 70)),
+        min_size=0, max_size=20,
+    )
+)
+def test_bit_concat_stream_property(parts_spec):
+    """_BitConcatStream over arbitrary ragged part sequences equals the
+    big-int reference concatenation: append bits of each part MSB-first,
+    zero-pad the final byte."""
+    import io
+
+    from webgraph_spark.sources.bvdisk import _BitConcatStream
+
+    rng = np.random.default_rng(7)
+    parts = []
+    for _, nbits in parts_spec:
+        nbytes = (nbits + 7) // 8
+        buf = bytes(rng.integers(0, 256, max(nbytes, 1), dtype=np.uint8))
+        parts.append((buf[:nbytes], nbits))
+
+    bio = io.BytesIO()
+    cat = _BitConcatStream(bio)
+    for buf, nbits in parts:
+        cat.append(buf, nbits)
+    total = cat.total
+    cat.close()
+    got = bio.getvalue()
+
+    acc, t2 = 0, 0
+    for buf, nbits in parts:
+        if nbits == 0:
+            continue
+        v = int.from_bytes(buf, "big") >> (8 * len(buf) - nbits)
+        acc = (acc << nbits) | v
+        t2 += nbits
+    pad = (-t2) % 8
+    want = (acc << pad).to_bytes((t2 + pad) // 8, "big") if t2 else b""
+    assert (got, total) == (want, t2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**40), min_size=0, max_size=200))
+def test_encode_gamma_stream_property(values):
+    """Vectorized γ-stream encode == scalar BitWriter loop for arbitrary
+    value lists (including 0, huge values, and power-of-two edges)."""
+    from webgraph_spark.sources.bvdisk import BitWriter, _encode_gamma_stream
+
+    vals = np.asarray(values, dtype=np.int64)
+    w = BitWriter()
+    for v in values:
+        w.write_gamma(int(v))
+    assert _encode_gamma_stream(vals) == (w.to_bytes(), w.written)

@@ -2344,8 +2344,10 @@ def q_transitivity(spark, sf_dir):
     graph_clustering_coeff, computed over the user co-occurrence
     projection (the layered TPC-H link graph is triangle-free by
     construction, so the projection is the triangle-bearing surface,
-    same as graph_truss4). Exact integer numerator and denominator;
-    one float division at the end."""
+    same as graph_truss4). Exact integer numerator and denominator
+    (the wedge sum aggregates the even integer d*(d-1) as decimal(38,0)
+    and halves after the aggregation, so it stays exact past 2^53
+    total wedges); one float division at the end."""
     from webgraph_spark.algos.triangles import triangle_count
     from webgraph_spark.functions.mining import bipartite_project
     from webgraph_spark.operators.transforms import simplify
@@ -2359,7 +2361,9 @@ def q_transitivity(spark, sf_dir):
         sym.groupBy("src")
         .agg(F.count("*").alias("d"))
         .agg(
-            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            # sum the even integer d*(d-1) exactly (decimal, no double
+            # path), halve AFTER aggregation — exact past 2^53
+            (F.sum((F.col("d") * (F.col("d") - 1)).cast("decimal(38,0)")) / 2)
             .cast("long")
             .alias("wedges")
         )
@@ -2395,7 +2399,8 @@ orient AS (
 tri AS (SELECT COUNT(*) AS t FROM orient e1
   JOIN orient e2 ON e1.dst = e2.src
   JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst),
-wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg)
+wed AS (SELECT CAST(SUM(CAST(d * (d - 1) AS HUGEINT)) // 2 AS BIGINT)
+          AS wedges FROM deg)
 SELECT CAST(tri.t AS BIGINT) AS triangles, wed.wedges,
        ROUND(3.0 * tri.t / CAST(wed.wedges AS DOUBLE), 6) AS transitivity
 FROM tri, wed"""
@@ -2440,7 +2445,7 @@ tri AS (SELECT COUNT(*) AS t FROM orient e1
   JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst),
 mom AS (SELECT CAST(SUM(d) AS BIGINT) AS s1,
                CAST(SUM(d * d) AS BIGINT) AS s2,
-               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges
+               CAST(SUM(CAST(d * (d - 1) AS HUGEINT)) // 2 AS BIGINT) AS wedges
         FROM deg)
 SELECT CAST(tri.t AS BIGINT) AS triangles, mom.wedges,
        ROUND(3.0 * tri.t / CAST(mom.wedges AS DOUBLE), 6) AS transitivity,
@@ -5667,63 +5672,10 @@ def q_centroid_classify(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "graph_degree_dist_out": q_degree_out,
-        "graph_degree_dist_in": q_degree_in,
-        "graph_stats": q_graph_stats,
-        "graph_pagerank5": q_pagerank5,
-        "graph_cc8": q_cc8,
-        "graph_lp3": q_lp3,
-        "graph_modularity3": q_modularity3,
-        "graph_louvain2": q_louvain2,
-        "graph_hitting6": q_hitting6,
-        "graph_conductance5": q_conductance,
-        "graph_triangles": q_triangles,
-        "graph_doulion_triangles": q_doulion,
-        "graph_rmat_degrees": q_rmat_degrees,
-        "graph_bfs3": q_bfs3,
-        "graph_compose_cust_part": q_compose,
-        "graph_quotient_nation": q_quotient_nation,
-        "csr_roundtrip": q_csr_roundtrip,
-        "bv_stream_roundtrip": q_bv_stream_roundtrip,
-        "bv_labelled_roundtrip": q_bv_labelled_roundtrip,
-        "bv_zeta_bits": q_bv_zeta_bits,
-        "bv_golomb_bits": q_bv_golomb_bits,
-        "bv_nibble_bits": q_bv_nibble_bits,
-        "bv_full_roundtrip": q_bv_full_roundtrip,
-        "bvdisk_roundtrip": q_bvdisk_roundtrip,
-        "bvdisk_labelled_roundtrip": q_bvdisk_labelled_roundtrip,
-        "bv_full_bits": q_bv_full_bits,
-        "bv_stream_bits": q_bv_stream_bits,
-        "ef_roundtrip": q_ef_roundtrip,
-        "ef_bits": q_ef_bits,
-        "graph_gamma_bits": q_gamma_bits,
-        "graph_bv_bits": q_bv_bits,
-        "graph_gray_gamma_bits": q_gray_gamma_bits,
-        "graph_closeness_sample": q_closeness_sample,
-        "graph_scc_dag": q_scc_dag,
-        "docs_text_stats": q_text_stats,
-        "docs_token_totals": q_token_totals,
-        "docs_by_lang": q_docs_by_lang,
-        "docs_minhash_sigs": q_minhash_sigs,
-        "docs_lsh_pairs": q_lsh_pairs,
-        "docs_jaccard": q_jaccard,
-        "docs_simhash": q_simhash,
-        "docs_dedup_clusters": q_dedup_clusters,
-        "emb_cosine_top5": q_cosine_top5,
-        "emb_anisotropy": q_emb_anisotropy,
-        "emb_label_counts": q_emb_label_counts,
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_event_sessions,
-        "graph_pagerank_converged": q_pagerank_converged,
-        "graph_cc_converged": q_cc_converged,
-        "graph_cc_stars": q_cc_stars,
-        "emb_ann_lsh_top5": q_ann_lsh_top5,
-        "emb_ann_recall5": q_ann_recall5,
-        "multimodal_features": q_multimodal_features,
-        "transcript_graph_pagerank": q_transcript_graph,
-        "graph_hyperball_nf": q_hyperball_nf,
+        # Registry order note: rotated for round 5 so the driver's first-50
+        # correctness sample covers queries never verified in rounds 1-4
+        # (see tools/driver_coverage.py for the per-round manifest).
         "graph_hyperball_wide_nf": q_hyperball_wide_nf,
-        "graph_harmonic_approx": q_harmonic_approx,
         "graph_topk_harmonic": q_topk_harmonic,
         "graph_betweenness": q_betweenness,
         "emb_near_dups": q_emb_near_dups,
@@ -5880,6 +5832,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": q_value_quantiles,
         "events_decay_pagerank": q_decay_pagerank,
         "graph_powerlaw_alpha": q_powerlaw_alpha,
+        "graph_degree_dist_out": q_degree_out,
+        "graph_degree_dist_in": q_degree_in,
+        "graph_stats": q_graph_stats,
+        "graph_pagerank5": q_pagerank5,
+        "graph_cc8": q_cc8,
+        "graph_lp3": q_lp3,
+        "graph_modularity3": q_modularity3,
+        "graph_louvain2": q_louvain2,
+        "graph_hitting6": q_hitting6,
+        "graph_conductance5": q_conductance,
+        "graph_triangles": q_triangles,
+        "graph_doulion_triangles": q_doulion,
+        "graph_rmat_degrees": q_rmat_degrees,
+        "graph_bfs3": q_bfs3,
+        "graph_compose_cust_part": q_compose,
+        "graph_quotient_nation": q_quotient_nation,
+        "csr_roundtrip": q_csr_roundtrip,
+        "bv_stream_roundtrip": q_bv_stream_roundtrip,
+        "bv_labelled_roundtrip": q_bv_labelled_roundtrip,
+        "bv_zeta_bits": q_bv_zeta_bits,
+        "bv_golomb_bits": q_bv_golomb_bits,
+        "bv_nibble_bits": q_bv_nibble_bits,
+        "bv_full_roundtrip": q_bv_full_roundtrip,
+        "bvdisk_roundtrip": q_bvdisk_roundtrip,
+        "bvdisk_labelled_roundtrip": q_bvdisk_labelled_roundtrip,
+        "bv_full_bits": q_bv_full_bits,
+        "bv_stream_bits": q_bv_stream_bits,
+        "ef_roundtrip": q_ef_roundtrip,
+        "ef_bits": q_ef_bits,
+        "graph_gamma_bits": q_gamma_bits,
+        "graph_bv_bits": q_bv_bits,
+        "graph_gray_gamma_bits": q_gray_gamma_bits,
+        "graph_closeness_sample": q_closeness_sample,
+        "graph_scc_dag": q_scc_dag,
+        "docs_text_stats": q_text_stats,
+        "docs_token_totals": q_token_totals,
+        "docs_by_lang": q_docs_by_lang,
+        "docs_minhash_sigs": q_minhash_sigs,
+        "docs_lsh_pairs": q_lsh_pairs,
+        "docs_jaccard": q_jaccard,
+        "docs_simhash": q_simhash,
+        "docs_dedup_clusters": q_dedup_clusters,
+        "emb_cosine_top5": q_cosine_top5,
+        "emb_anisotropy": q_emb_anisotropy,
+        "emb_label_counts": q_emb_label_counts,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_event_sessions,
+        "graph_pagerank_converged": q_pagerank_converged,
+        "graph_cc_converged": q_cc_converged,
+        "graph_cc_stars": q_cc_stars,
+        "emb_ann_lsh_top5": q_ann_lsh_top5,
+        "emb_ann_recall5": q_ann_recall5,
+        "multimodal_features": q_multimodal_features,
+        "transcript_graph_pagerank": q_transcript_graph,
+        "graph_hyperball_nf": q_hyperball_nf,
+        "graph_harmonic_approx": q_harmonic_approx,
     }
 
 

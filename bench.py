@@ -312,7 +312,44 @@ def main():
     )
     tm2.run("connected_components", _cc)
     tm2.run("label_propagation_4", _lp)
+    tm2.run(
+        "hyperball_nf16",
+        lambda: hyperball(edges, log2m=5, max_t=16, seed=31),
+    )
     headline2 = n_edges * res2.iterations / tm2.queries["pagerank_1e6"]
+
+    # Verbose instrumentation (per-query steal maps, full second pass,
+    # round counts) goes to a BENCH/ artifact; the stdout line stays
+    # lean so the driver's capture parses it (round-4 verdict item 2 —
+    # BENCH_r04.json came back parsed:null because the line outgrew the
+    # driver's buffer).
+    detail = {
+        "n_edges": n_edges,
+        "pr_iterations": res.iterations,
+        "pr_converged": res.converged,
+        "triangles": tri,
+        "cc_default_rounds": cc_iters,
+        "cc_hashmin_rounds": cch.iterations,
+        "cc_stars_rounds": cc_stars_iters,
+        "hyperball_rounds": hb.iterations,
+        "hyperball_modes": sorted({r["mode"] for r in (hb.per_round or [])}),
+        "cpus": cpus,
+        # environment self-diagnosis (verdict r3 item 6)
+        "jvm_cold_first_query": "ingest_transcripts_to_edges",
+        "headline_pass1_edges_per_sec": round(edges_per_sec, 1),
+        "headline_pass2_edges_per_sec": round(headline2, 1),
+        "second_pass": tm2.queries,
+        "steal_pct_per_query": {
+            k: v for k, v in tm.steal.items() if v > 0.0
+        },
+        "second_pass_steal_pct": {
+            k: v for k, v in tm2.steal.items() if v > 0.0
+        },
+    }
+    j1 = _cpu_jiffies()
+    tot = (j1[0] - j0[0]) + (j1[1] - j0[1])
+    if tot > 0:
+        detail["host_steal_pct"] = round(100.0 * (j1[1] - j0[1]) / tot, 1)
 
     out = {
         "metric": "pagerank_edges_per_sec_to_1e-6",
@@ -323,31 +360,21 @@ def main():
         "detail": {
             "n_edges": n_edges,
             "pr_iterations": res.iterations,
-            "pr_converged": res.converged,
-            "triangles": tri,
-            "cc_default_rounds": cc_iters,
-            "cc_hashmin_rounds": cch.iterations,
-            "cc_stars_rounds": cc_stars_iters,
-            "hyperball_rounds": hb.iterations,
-            "hyperball_modes": sorted({r["mode"] for r in (hb.per_round or [])}),
-            "cpus": cpus,
-            # environment self-diagnosis (verdict r3 item 6)
-            "jvm_cold_first_query": "ingest_transcripts_to_edges",
-            "headline_pass1_edges_per_sec": round(edges_per_sec, 1),
             "headline_pass2_edges_per_sec": round(headline2, 1),
-            "second_pass": tm2.queries,
-            "steal_pct_per_query": {
-                k: v for k, v in tm.steal.items() if v > 0.0
-            },
-            "second_pass_steal_pct": {
-                k: v for k, v in tm2.steal.items() if v > 0.0
-            },
+            "host_steal_pct": detail.get("host_steal_pct"),
+            "full_detail_artifact": "BENCH/driver_bench_full.json",
         },
     }
-    j1 = _cpu_jiffies()
-    tot = (j1[0] - j0[0]) + (j1[1] - j0[1])
-    if tot > 0:
-        out["detail"]["host_steal_pct"] = round(100.0 * (j1[1] - j0[1]) / tot, 1)
+    try:
+        artifact = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH",
+            "driver_bench_full.json",
+        )
+        with open(artifact, "w") as f:
+            json.dump({**out, "detail": detail}, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the summary
     print(json.dumps(out))
     spark.stop()
 

@@ -212,7 +212,8 @@ def cmd_bvstore(args):
 
         stats = write_bvgraph_labelled_from_edges(
             e.withColumnRenamed(args.label_col, "label"),
-            args.basename, **kw,
+            args.basename, label_kind=args.label_kind,
+            label_width=args.label_width, **kw,
         )
     else:
         stats = write_bvgraph_from_edges(e, args.basename, **kw)
@@ -647,7 +648,15 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["GAMMA", "DELTA", "ZETA", "GOLOMB", "NIBBLE"])
     sp.add_argument("--label-col", default=None,
                     help="store as BitStreamArcLabelledImmutableGraph "
-                         "with this column as the gamma-coded label")
+                         "with this column as the arc label")
+    sp.add_argument("--label-kind", default="gamma",
+                    choices=["gamma", "fixed", "fixedlist"],
+                    help="label class: GammaCodedIntLabel (default), "
+                         "FixedWidthIntLabel, or FixedWidthIntListLabel "
+                         "(driver writer only; --distributed stores "
+                         "gamma labels)")
+    sp.add_argument("--label-width", type=int, default=None,
+                    help="bit width for the fixed/fixedlist label kinds")
     sp.add_argument("--distributed", action="store_true",
                     help="parallel per-segment compression (the "
                          "reference's threaded store), bit-concat on "

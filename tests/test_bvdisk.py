@@ -545,6 +545,45 @@ def test_distributed_labelled_store(spark, tmp_path):
     assert got == set(rows)
 
 
+def test_distributed_labelled_store_fixed_width(spark, tmp_path):
+    """Distributed store with FixedWidthIntLabel: per-segment fixed-
+    width label streams concatenate exactly like the γ ones (no
+    cross-node state), label_bits is exactly arcs*width, and the
+    labelspec property round-trips the decode."""
+    from webgraph_spark.sources.bvdisk import (
+        read_bvgraph_labelled,
+        read_labelled_properties,
+        write_bvgraph_distributed,
+    )
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for i in range(100):
+        for d in sorted(set(int(v) for v in rng.integers(0, 100, 4)) - {i}):
+            rows.append((i, d, int(rng.integers(0, 1024))))
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    base = str(tmp_path / "labfw")
+    st = write_bvgraph_distributed(edges, base, num_partitions=5,
+                                   label_col="w", label_kind="fixed",
+                                   label_width=10)
+    assert st["label_bits"] == len(rows) * 10
+    lp = read_labelled_properties(base)
+    assert lp["label"] == {"kind": "fixed", "key": "label", "width": 10}
+    got = {(r["src"], r["dst"], r["label"]) for r in
+           read_bvgraph_labelled(spark, base, num_partitions=4).collect()}
+    assert got == set(rows)
+    # out-of-range label fails loudly, and fixedlist is rejected
+    bad = spark.createDataFrame([(0, 1, 5000)], "src long, dst long, w long")
+    with pytest.raises(Exception):
+        write_bvgraph_distributed(bad, str(tmp_path / "bad"),
+                                  num_partitions=2, label_col="w",
+                                  label_kind="fixed", label_width=10)
+    with pytest.raises(ValueError, match="fixedlist"):
+        write_bvgraph_distributed(edges, str(tmp_path / "bad2"),
+                                  num_partitions=2, label_col="w",
+                                  label_kind="fixedlist", label_width=10)
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_concat_bitstreams_matches_bigint(seed):
     """The O(bytes) numpy shifting concat == the obvious big-int

@@ -205,7 +205,9 @@ def cmd_bvstore(args):
         from .sources.bvdisk import write_bvgraph_distributed
 
         stats = write_bvgraph_distributed(
-            e, args.basename, label_col=args.label_col, **kw
+            e, args.basename, label_col=args.label_col,
+            label_kind=args.label_kind, label_width=args.label_width,
+            **kw
         )
     elif args.label_col:
         from .sources.bvdisk import write_bvgraph_labelled_from_edges
@@ -653,8 +655,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["gamma", "fixed", "fixedlist"],
                     help="label class: GammaCodedIntLabel (default), "
                          "FixedWidthIntLabel, or FixedWidthIntListLabel "
-                         "(driver writer only; --distributed stores "
-                         "gamma labels)")
+                         "(fixedlist is ragged per arc, driver writer "
+                         "only)")
     sp.add_argument("--label-width", type=int, default=None,
                     help="bit width for the fixed/fixedlist label kinds")
     sp.add_argument("--distributed", action="store_true",

@@ -1197,6 +1197,8 @@ def write_bvgraph_distributed(
     codings: dict | None = None,
     n_nodes: int | None = None,
     label_col: str | None = None,
+    label_kind: str = "gamma",
+    label_width: int | None = None,
 ) -> dict:
     """BVGraph.store with the reference's PARALLEL compression shape
     (BVGraph.java:2436-2650: split node iterators, one bitstream per
@@ -1210,8 +1212,21 @@ def write_bvgraph_distributed(
 
     With ``label_col``, the labelled layout is produced the same way:
     the underlying graph goes to ``<basename>-underlying`` and each
-    segment additionally emits its γ-label stream (labels have no
-    cross-node state, so segment label streams concatenate freely)."""
+    segment additionally emits its label stream (labels have no
+    cross-node state, so segment label streams concatenate freely).
+    ``label_kind`` picks the label class: ``gamma``
+    (GammaCodedIntLabel, default) or ``fixed`` (FixedWidthIntLabel,
+    ``label_width`` bits/arc); list labels (``fixedlist``) are ragged
+    per arc and go through the driver writer
+    (write_bvgraph_labelled_from_edges)."""
+    if label_kind == "fixedlist":
+        raise ValueError(
+            "fixedlist labels are ragged per arc — use "
+            "write_bvgraph_labelled_from_edges for the list-label "
+            "layout")
+    if label_kind == "fixed" and not (
+            label_width is not None and 0 <= label_width <= 31):
+        raise ValueError("label_kind='fixed' needs label_width in 0..31")
     import os
 
     from pyspark.sql import functions as F
@@ -1272,10 +1287,17 @@ def write_bvgraph_distributed(
             for lst in lists:
                 before = lw.written
                 for _, lab in lst:
-                    if lab < 0:
-                        raise ValueError(
-                            "GammaCodedIntLabel labels must be >= 0")
-                    lw.write_gamma(lab)
+                    if label_kind == "fixed":
+                        if not 0 <= lab < (1 << label_width):
+                            raise ValueError(
+                                f"label {lab} out of range for width "
+                                f"{label_width}")
+                        lw.write_int(lab, label_width)
+                    else:
+                        if lab < 0:
+                            raise ValueError(
+                                "GammaCodedIntLabel labels must be >= 0")
+                        lw.write_gamma(lab)
                 lab_bits.append(lw.written - before)
             labels_buf, labels_nbits = lw.to_bytes(), lw.written
         else:
@@ -1477,7 +1499,9 @@ def write_bvgraph_distributed(
                 f.write(f"graphclass={LABELLED_GRAPHCLASS}\n")
                 f.write(f"underlyinggraph="
                         f"{os.path.basename(graph_base)}\n")
-                f.write(f"labelspec={GAMMA_LABELSPEC}\n")
+                f.write(f"labelspec="
+                        f"{_labelspec_string(label_kind, width=label_width)}"
+                        f"\n")
             stats = {**stats, "label_bits": label_bits}
 
         # success barrier: rename everything into place, data files

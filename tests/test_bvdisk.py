@@ -820,6 +820,12 @@ def test_distributed_store_mid_drain_failure_cleans_tmp(
                   base + ".properties")
     }
 
+    # snapshot: other tests in the shared session may legitimately
+    # hold caches — assert the failed store adds NO persisted RDD,
+    # not that the session is globally cache-free
+    jsc = spark.sparkContext._jsc.sc()
+    persisted_before = jsc.getPersistentRDDs().size()
+
     calls = {"n": 0}
     orig_append = bvdisk._BitConcatStream.append
 
@@ -840,9 +846,8 @@ def test_distributed_store_mid_drain_failure_cleans_tmp(
         assert open(p, "rb").read() == content, f"{p} was clobbered"
     leftovers = [f for f in os.listdir(tmp_path) if ".tmp" in f]
     assert leftovers == []
-    # no segment RDD left cached after the failure (ADVICE r4 item 1)
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    # no segment RDD left cached by the failed store (ADVICE r4 item 1)
+    assert jsc.getPersistentRDDs().size() <= persisted_before
     # and the prior store still decodes
     got = {(r["src"], r["dst"]) for r in
            read_bvgraph(spark, base, num_partitions=2).collect()}
